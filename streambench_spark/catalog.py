@@ -1,0 +1,42 @@
+"""Table catalog over the driver testdata directories (TESTDATA.md).
+
+``load_tables`` returns plain DataFrames; parquet scans get predicate
+pushdown + column pruning from Catalyst, so downstream operators never
+pre-materialize. At 100 TB the same loader points at a partitioned table
+root and partition pruning applies (nothing here assumes single files).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streambench_spark.schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long ns
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to µs —
+        # lossless for this data (µs-resolution values) and consistent
+        # with DuckDB's ms-level epoch arithmetic in the oracles.
+        from pyspark.sql import functions as F
+
+        # integer division (DIV) — float division would lose precision on
+        # ~1.7e18 ns epoch values (double mantissa is 53 bits).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register each testdata table as a temp view for spark.sql use."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,96 @@
+"""Relational operators: filter / project / joins / top-k / set ops.
+
+Reference parity (SURVEY.md §2.2, §2.3, §2.6):
+- P1 filter          .where($"event_type" === "view")   SparkYahooRunner.scala:72
+- P2 projection      .select($"ad_id", $"event_time")   SparkYahooRunner.scala:73
+- J1/J2 stream-static equi join (tiny dim side)         SparkYahooRunner.scala:74,
+  YahooBenchmark.scala:143-147 (Flink closure map), YahooMapper.cpp:47-65
+- J3 stream-stream join with time bounds                sbx Join/* (engine capability)
+- J4 cross join (1x1 metric rows)                       YahooBenchmark.scala:63
+- top-k              ReducedKVPairCompLess min-heap     sbx/Values.h:1714-1731
+
+Scale notes:
+- ``dim_join`` broadcasts explicitly: the dim side in YSB is ~1000 rows;
+  at 100 TB the fact side never shuffles for this join.
+- ``interval_join`` is an equi-join on key + range predicate: Spark plans a
+  SortMergeJoin on the equi part with the range as post-filter — state
+  bounded by the time band in streaming, partition-local in batch.
+- ``top_k`` uses orderBy+limit: Spark runs per-partition TakeOrdered then a
+  single reduce — no global sort shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_where(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """P1/P3. Catalyst pushes this into the scan (PushedFilters)."""
+    return df.filter(predicate)
+
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """P2. Explicit column pruning (Catalyst also derives it)."""
+    return df.select(*cols)
+
+
+def dim_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """J1/J2: fact-to-small-dimension equi join, dim side broadcast.
+
+    The broadcast is the Spark-idiomatic equivalent of the reference's
+    closure-captured hashmap (Flink StaticJoinMapper, StreamBox
+    YahooMapper.do_map) — each task gets the whole dim table, zero shuffle
+    of the fact side.
+    """
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lower: str = "0 seconds",
+    upper: str = "5 minutes",
+) -> DataFrame:
+    """J3: symmetric join with time bounds (StreamBox generic Join).
+
+    right.ts in [left.ts + lower, left.ts + upper]. In streaming this is
+    Spark's watermarked stream-stream join; in batch it is an equi+range
+    join. Columns of both sides must be disambiguated by the caller
+    (aliases 'l' and 'r' are applied here).
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond)
+
+
+def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """J4: used by the harness to combine 1x1 metric frames."""
+    return left.crossJoin(right)
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """orderBy + limit → TakeOrderedAndProject (per-partition heaps,
+    single-pass reduce; no full sort shuffle)."""
+    return df.orderBy(*order).limit(k)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
+    return left.join(right, on, "left_anti")

@@ -1,0 +1,130 @@
+"""Time-window operators — in the reference, "window" always means event-time
+windows (SURVEY.md §2.5); no OVER-clause functions exist there.
+
+Reference parity:
+- W1 tumbling window   window($"event_time","10 seconds")  SparkYahooRunner.scala:75;
+  Flink TumblingEventTimeWindows YahooBenchmark.scala:166; sbx WinGBK test-yahoo.cpp:150
+- W2 session window    sbx SessionWindow merge semantics   sbx/Values.h:1414-1688
+- W3 sliding/accumulating windows (WinSum_* window-count arg, test-yahoo.cpp:139,141)
+- A1/A3 windowed keyed agg (count+max)                      SparkYahooRunner.scala:75-83
+- A4 windowed global sum (WinSum_addlong)
+- A5 windowed distinct count (WinSum_mergeset, sbx/Values.h:2190-2208)
+- A6 windowed collect-to-vector (WinSum_mergevector)
+
+All builders emit ``window_start`` as epoch millis (LongType) to honor the
+reference output schema (``time_window LONG`` — YahooBenchmark.scala:78-81)
+and keep oracle hashing exact (no timestamp formatting ambiguity).
+
+Scale notes: groupBy(window, key) is a hash aggregate with map-side partial
+aggregation; the shuffle key is (window, key) so skew only arises from hot
+keys, which AQE skew-join/salting handles. State in streaming is bounded by
+``withWatermark`` upstream of these builders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window(ts_col: str, duration: str) -> Column:
+    """W1. Epoch-aligned fixed windows, identical semantics to DuckDB
+    time_bucket(INTERVAL duration, ts)."""
+    return F.window(F.col(ts_col), duration)
+
+
+def sliding_window(ts_col: str, duration: str, slide: str) -> Column:
+    """W3. Each row lands in duration/slide overlapping windows."""
+    return F.window(F.col(ts_col), duration, slide)
+
+
+def windowed_keyed_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    slide: str | None = None,
+) -> DataFrame:
+    """A1/A2/A3: THE YSB aggregation shape — per (window, key) aggregate.
+
+    Catalyst plans HashAggregate(partial) → shuffle → HashAggregate(final),
+    which is exactly the reference's partial+final pattern (Flink fold
+    YahooBenchmark.scala:229-242; StreamBox WinGBK→WinKeyReducer).
+    """
+    win = (
+        F.window(F.col(ts_col), duration)
+        if slide is None
+        else F.window(F.col(ts_col), duration, slide)
+    )
+    return (
+        df.groupBy(win.alias("w"), *[F.col(k) for k in keys])
+        .agg(*aggs)
+        .withColumn("window_start", F.unix_millis(F.col("w.start")))
+        .drop("w")
+    )
+
+
+def windowed_global_agg(
+    df: DataFrame, ts_col: str, duration: str, aggs: list[Column]
+) -> DataFrame:
+    """A4: WinSum_addlong — per-window aggregate, no key."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), duration).alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.unix_millis(F.col("w.start")))
+        .drop("w")
+    )
+
+
+def windowed_distinct_count(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    col: str,
+    exact: bool = True,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """A5: WinSum_mergeset. Exact in batch; ``exact=False`` uses HLL
+    (approx_count_distinct) which is the streaming-safe / 100 TB path —
+    the reference's 16-way sharded set (creek_set_array) is the same
+    contention-avoidance idea Spark gets from partial aggregation.
+    """
+    agg = (
+        F.count_distinct(F.col(col)) if exact else F.approx_count_distinct(F.col(col), rsd)
+    ).alias("distinct_count")
+    return windowed_global_agg(df, ts_col, duration, [agg])
+
+
+def windowed_collect(
+    df: DataFrame, ts_col: str, duration: str, col: str, sort: bool = True
+) -> DataFrame:
+    """A6: WinSum_mergevector — gather all values per window.
+
+    ``sort=True`` wraps in sort_array for deterministic output (the
+    reference's concurrent_vector is unordered; tests need determinism).
+    """
+    collected = F.collect_list(F.col(col))
+    if sort:
+        collected = F.sort_array(collected)
+    return windowed_global_agg(df, ts_col, duration, [collected.alias("collected")])
+
+
+def session_windowed_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """W2: session windows with gap-merge semantics (sbx/Values.h:1414-1688
+    try_add_record/merge). Spark's session_window implements the same
+    extend-on-overlap + merge-adjacent model natively.
+    """
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("session_start", F.unix_millis(F.col("w.start")))
+        .withColumn("session_end", F.unix_millis(F.col("w.end")))
+        .drop("w")
+    )

@@ -1,0 +1,402 @@
+"""Named query registry — the driver-facing capability surface.
+
+Every entry pairs a PySpark builder ``(spark, sf_dir) -> DataFrame`` with a
+DuckDB oracle SQL string over the same parquet tables (views: region nation
+customer supplier part orders lineitem events documents embeddings).
+The driver compares row-count + schema + order-insensitive value hash, with
+columns sorted by name — so every computed column is aliased identically on
+both sides, floats are rounded identically, and timestamps are emitted as
+epoch millis (LONG) to avoid formatting ambiguity.
+
+Each entry's docstring cites the SURVEY.md §2 row(s) it covers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streambench_spark.catalog import load_table
+from streambench_spark.operators import aggregates as agg_ops
+from streambench_spark.operators import relational as rel
+from streambench_spark.operators import windows as win
+from streambench_spark.plans.ysb import ysb_oracle_sql, ysb_query
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    fn: QueryFn
+    oracle: str | None  # None → driver records weaker rows-only check
+    tags: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: list[str] | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, tags=tags or [])
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# YSB core (SURVEY.md §2.2-2.5: P1 P2 J1 A1 W1)
+# ---------------------------------------------------------------------------
+
+
+@register("ysb", ysb_oracle_sql(3600), tags=["flagship", "ysb"])
+def q_ysb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE query: filter → project → broadcast dim join → 1h tumbling
+    windowed count+max (SparkYahooRunner.scala:71-83)."""
+    return ysb_query(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        window="1 hour",
+    )
+
+
+@register("ysb_10s", ysb_oracle_sql(10), tags=["ysb"])
+def q_ysb_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-faithful 10 s window variant (SparkYahooRunner.scala:75)."""
+    return ysb_query(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        window="10 seconds",
+    )
+
+
+@register(
+    "filter_project",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+    FROM events WHERE event_type = 'view'
+    """,
+    tags=["relational"],
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+P2: predicate and projection both reach the parquet scan
+    (PushedFilters / ReadSchema)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = rel.project(
+        rel.filter_where(ev, F.col("event_type") == "view"),
+        "event_id",
+        "user_id",
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+    )
+    return out
+
+
+@register(
+    "windowed_global_sum",
+    """
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS window_start,
+        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+        count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=["windows"],
+)
+def q_windowed_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (WinSum_addlong): per-window global sum, no key. Monetary values
+    summed as integer cents so the result is associativity-independent
+    (bit-exact under any partitioning / aggregation order)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    out = win.windowed_global_agg(
+        ev,
+        "ts",
+        "1 day",
+        [
+            F.sum(cents).alias("sum_value_cents"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select("window_start", "sum_value_cents", "n")
+
+
+@register(
+    "windowed_distinct_users",
+    """
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS window_start,
+        count(DISTINCT user_id) AS distinct_count
+    FROM events GROUP BY 1
+    """,
+    tags=["windows"],
+)
+def q_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (WinSum_mergeset): per-window distinct count — exact in batch;
+    the streaming/100TB path uses approx_count_distinct (HLL)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win.windowed_distinct_count(ev, "ts", "1 day", "user_id", exact=True)
+    return out.select("window_start", "distinct_count")
+
+
+@register(
+    "windowed_collect",
+    """
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS window_start,
+        string_agg(event_type, ',' ORDER BY event_type) AS collected
+    FROM events
+    WHERE event_type IN ('view', 'click')
+    GROUP BY 1
+    """,
+    tags=["windows"],
+)
+def q_windowed_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (WinSum_mergevector): collect values per window; emitted as a
+    sorted comma-joined string for deterministic comparison."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    out = win.windowed_collect(ev, "ts", "1 day", "event_type", sort=True)
+    return out.select(
+        "window_start", F.array_join(F.col("collected"), ",").alias("collected")
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH offsets AS (SELECT unnest([0, 1]) AS k)
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 12 HOUR, ts) - (k * INTERVAL 12 HOUR))
+            AS window_start,
+        count(*) AS n,
+        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    HAVING window_start > epoch_ms(TIMESTAMP '2023-12-31 12:00:00')
+    """,
+    tags=["windows"],
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: sliding window (1 day length, 12 h slide) — each row lands in 2
+    windows, mirroring StreamBox's window-count aggregation arg
+    (sbx/test-yahoo.cpp:139). The oracle replicates window assignment by
+    cross-joining slide offsets. The first (partial) window is excluded on
+    both sides: Spark only materializes windows that contain data, and the
+    boundary window differs between the two assignment formulations.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = win.windowed_keyed_agg(
+        ev,
+        "ts",
+        "1 day",
+        keys=[],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+        ],
+        slide="12 hours",
+    )
+    cutoff_ms = 1704024000000  # 2023-12-31 12:00:00 UTC
+    return out.select("window_start", "n", "sum_value_cents").filter(
+        F.col("window_start") > cutoff_ms
+    )
+
+
+@register(
+    "session_windows",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start,
+           epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=["windows"],
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: session windows, 30 min gap, per user — Spark session_window
+    implements the reference's gap-merge semantics (sbx/Values.h:1414-1688).
+    Oracle is the classic gaps-and-islands rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    out = win.session_windowed_agg(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4) and relational breadth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_self_join",
+    """
+    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    tags=["joins"],
+)
+def q_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: stream-stream style join with time bounds — views followed by a
+    purchase from the same user within 1 h. In streaming this is Spark's
+    watermarked symmetric hash join; state bounded by the 1 h band."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = rel.interval_join(
+        views, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour",
+    )
+    return joined.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "cross_join_metrics",
+    """
+    SELECT t.throughput_rows, l.max_value
+    FROM (SELECT count(*) AS throughput_rows FROM events) t
+    CROSS JOIN (SELECT max(value) AS max_value FROM events) l
+    """,
+    tags=["joins", "harness"],
+)
+def q_cross_join_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: 1x1 cross join combining metric rows
+    (YahooBenchmark.scala:63 throughput.crossJoin(latency))."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.agg(F.count(F.lit(1)).alias("throughput_rows"))
+    l = ev.agg(F.max("value").alias("max_value"))
+    return rel.cross_join(t, l)
+
+
+@register(
+    "top_k_users",
+    """
+    SELECT user_id, count(*) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 5
+    """,
+    tags=["relational"],
+)
+def q_top_k_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 top-k: per-partition heaps + single reduce
+    (TakeOrderedAndProject), the distributed analog of the reference's
+    min-heap comparators (sbx/Values.h:1714-1731)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = agg_ops.grouped_agg(ev, ["user_id"], [F.count(F.lit(1)).alias("n_events")])
+    return rel.top_k(counts, [F.desc("n_events"), F.asc("user_id")], 5)
+
+
+@register(
+    "global_percentiles",
+    """
+    SELECT
+        min(value) AS min_v,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 / count(*) AS avg_v,
+        round(quantile_cont(value, 0.95), 4) AS p95_v,
+        round(quantile_cont(value, 0.99), 4) AS p99_v,
+        max(value) AS max_v
+    FROM events
+    """,
+    tags=["aggregates", "harness"],
+)
+def q_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: the latency-report aggregate (min/avg/p95/p99/max,
+    SparkYahooRunner.scala:139-144). Exact percentile here so the oracle
+    hash-matches; the bench harness uses percentile_approx as the
+    reference does. min/max are exact (no arithmetic); avg is computed as
+    integer-cents sum / count so both engines do one identical IEEE
+    division; percentiles are rounded (linear interpolation on identical
+    sorted inputs)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.agg(
+        F.min("value").alias("min_v"),
+        (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_v"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_v"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+@register(
+    "grouped_max",
+    """
+    SELECT user_id, event_type, epoch_ms(max(ts)) AS max_ts_ms,
+           max(value) AS max_value
+    FROM events GROUP BY user_id, event_type
+    """,
+    tags=["aggregates"],
+)
+def q_grouped_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: batch grouped max (SparkYahooRunner.scala:136-137)."""
+    ev = load_table(spark, sf_dir, "events")
+    return agg_ops.grouped_agg(
+        ev,
+        ["user_id", "event_type"],
+        [
+            F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+            F.max("value").alias("max_value"),
+        ],
+    )
+
+
+@register(
+    "json_roundtrip",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=["scalar"],
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5: JSON parse of the props payload (the reference round-trips
+    rows through JSON on the Kafka path, SparkYahooRunner.scala:77,132-135)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,57 @@
+"""SparkSession factory — the engine's equivalent of the reference's
+``SparkHelper.getAndConfigureSparkSession`` (ysb/benchmark/spark/
+SparkHelper.scala:6-27), with defaults tuned for scale rather than the
+reference's single-partition benchmark mode.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), broadcast threshold explicit, shuffle partitions sized to the
+cluster (here: local[N] test mode). On a 1000-executor cluster the same
+session factory is used with ``shuffle_partitions`` set to 2-3x total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "streambench-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine session.
+
+    The reference forces ``spark.sql.shuffle.partitions = 1``
+    (SparkYahooRunner.scala:69) because it benchmarks a single core; we
+    default to the core count and rely on AQE to coalesce — the setting is
+    still exposed as a knob for parity with the reference's
+    ``sparkParallelism``.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+        # timestamp type — read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.spill.compress", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
