@@ -72,6 +72,22 @@ def q_ysb_10s(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ysb_streaming", ysb_oracle_sql(3600), tags=["ysb", "streaming"])
+def q_ysb_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE query executed through Structured Streaming: file-source replay
+    of the frozen events table, complete-mode memory sink, final state
+    returned as a batch DataFrame — streaming ≡ batch equivalence is the
+    correctness claim (SURVEY.md §5.2 step 2)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_streaming_ysb_to_table
+
+    events_stream = stream_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_streaming_ysb_to_table(
+        spark, events_stream, customer, window="1 hour", watermark=None, mode="complete"
+    )
+
+
 @register(
     "filter_project",
     """

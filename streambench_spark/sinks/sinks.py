@@ -1,0 +1,106 @@
+"""Sink builders.
+
+Reference parity:
+- S8 console/metrics display (.show — YahooBenchmark.scala:63-73)
+- S9 record/window sinks (StreamBox RecordBundleSink/WindowsBundleSink,
+  sbx/test-yahoo.cpp:140-160) → console/noop/foreachBatch
+- S10 latency-measuring sink (Flink TimestampingSink,
+  YahooBenchmark.scala:35-70) → foreachBatch stamping arrival time;
+  the Kafka-free harness substitutes foreachBatch arrival time for the
+  broker's LogAppendTime (documented difference, SURVEY.md §7.3)
+- S2/S3 Kafka sinks (to_json(struct("*")) — YahooBenchmarkRunner.scala:40-53)
+  gated behind broker availability; the JSON serialization is identical.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def _ckpt() -> str:
+    return tempfile.mkdtemp(prefix="sb_ckpt_")
+
+
+def console_sink(sdf: DataFrame, mode: str = "update") -> StreamingQuery:
+    return (
+        sdf.writeStream.format("console")
+        .outputMode(mode)
+        .option("truncate", "false")
+        .option("checkpointLocation", _ckpt())
+        .start()
+    )
+
+
+def noop_sink(sdf: DataFrame, mode: str = "update") -> StreamingQuery:
+    """Pure-throughput sink (StreamBox's terminal sinks do no IO)."""
+    return (
+        sdf.writeStream.format("noop")
+        .outputMode(mode)
+        .option("checkpointLocation", _ckpt())
+        .start()
+    )
+
+
+def parquet_sink(sdf: DataFrame, path: str) -> StreamingQuery:
+    return (
+        sdf.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", path)
+        .option("checkpointLocation", _ckpt())
+        .start()
+    )
+
+
+def latency_marking_sink(
+    sdf: DataFrame, collector: list, mode: str = "update"
+) -> StreamingQuery:
+    """S10: stamps each micro-batch with arrival time (processing clock)
+    and appends (arrival_ms, rows, max_last_update_ms) to ``collector`` —
+    the Kafka-free analog of the broker LogAppendTime latency clock."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        import time
+
+        arrival_ms = int(time.time() * 1000)
+        agg = batch_df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.max("last_update_ms").alias("max_lu"),
+        ).collect()[0]
+        collector.append((arrival_ms, agg["rows"], agg["max_lu"]))
+
+    return (
+        sdf.writeStream.foreachBatch(handle)
+        .outputMode(mode)
+        .option("checkpointLocation", _ckpt())
+        .start()
+    )
+
+
+def to_json_rows(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """S2/S3 serialization: to_json(struct("*")) as value (+ optional key),
+    the exact Kafka wire shape of the reference
+    (YahooBenchmarkRunner.scala:40-47)."""
+    cols = [F.to_json(F.struct(*df.columns)).alias("value")]
+    if key_col:
+        cols.insert(0, F.col(key_col).cast("string").alias("key"))
+    return df.select(*cols)
+
+
+def kafka_sink(
+    sdf: DataFrame, topic: str, brokers: str, mode: str = "update"
+) -> StreamingQuery:
+    """S2: requires the spark-sql-kafka package + a broker; raises a clear
+    error otherwise (tests run Kafka-free)."""
+    return (
+        to_json_rows(sdf)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", _ckpt())
+        .outputMode(mode)
+        .start()
+    )

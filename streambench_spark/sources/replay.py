@@ -1,0 +1,91 @@
+"""S7: file-replay streaming source (StreamBox UnboundedInMem semantics,
+sbx/Unbounded.h:1041-1185 + sbx/UnboundedInMemEvaluator.h:1636-1996).
+
+The reference preloads a CSV and replays it in a loop, rewriting
+timestamps and pacing to a target throughput. Spark-first equivalents:
+
+- ``stream_table``: readStream over the frozen table (bounded replay) —
+  the deterministic test path; ``availableNow`` drains it completely.
+- ``paced_replay``: rate source joined to the preloaded table by
+  ``value % N`` — unbounded looping replay at a target rows/sec, with
+  timestamps rewritten to the rate source's clock, exactly the
+  reference's replay-loop semantics. The lookup side is broadcast: no
+  shuffle on the stream.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streambench_spark.catalog import load_table
+
+
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming read of a frozen testdata table with its batch schema.
+
+    events.ts arrives as raw ns longs under nanosAsLong, so the same
+    ns→µs conversion as the batch catalog is applied here — batch and
+    streaming plans see one schema.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # the streaming file source requires a directory basePath; a glob whose
+    # non-glob prefix is the directory works for both file- and dir-shaped
+    # tables (testdata ships single-file tables)
+    df = reader.load(path + "*" if not os.path.isdir(path) else path)
+    if name == "events":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def paced_replay(
+    spark: SparkSession,
+    lookup: DataFrame,
+    rows_per_second: int,
+    num_partitions: int = 8,
+    ts_col: str = "event_time",
+) -> DataFrame:
+    """Unbounded looping replay of a preloaded table at a target rate.
+
+    ``lookup`` must carry a 0..N-1 ``idx`` column (use with_index). The
+    rate source provides pacing + the rewritten timestamp; the modulo
+    join provides the looping replay. Broadcast keeps it shuffle-free.
+    """
+    n = lookup.count()
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .option("numPartitions", num_partitions)
+        .load()
+    )
+    keyed = stream.select(
+        F.pmod(F.col("value"), F.lit(n)).alias("idx"),
+        F.col("timestamp").alias(ts_col),
+    )
+    return keyed.join(F.broadcast(lookup), "idx").drop("idx")
+
+
+def with_index(df: DataFrame, order_col: str) -> DataFrame:
+    """Attach a dense 0..N-1 idx by order_col (one-time prep of the
+    replay lookup; small table, so the global window is acceptable)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(order_col)
+    return df.withColumn("idx", F.row_number().over(w) - 1)
+
+
+def replay_events(spark: SparkSession, sf_dir: str, rows_per_second: int) -> DataFrame:
+    """events-table replay: S7 shape over the driver testdata."""
+    ev = load_table(spark, sf_dir, "events").drop("ts")
+    return paced_replay(spark, with_index(ev, "event_id"), rows_per_second, ts_col="ts")

@@ -1,0 +1,41 @@
+"""M1/A9: throughput measurement via StreamingQueryListener — the exact
+semantics of the reference's Listener (SparkYahooRunner.scala:28-40,
+91-113): accumulate numInputRows across progress events; throughput =
+rows * 1000 / (end - start) ms, start at onQueryStarted, end at
+onQueryTerminated. Documented as a lower bound, as the reference does
+(SparkYahooRunner.scala:91-97: termination fires after the last batch)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class ThroughputListener(StreamingQueryListener):
+    def __init__(self) -> None:
+        self.rows = 0
+        self.start_ms: float | None = None
+        self.end_ms: float | None = None
+
+    def onQueryStarted(self, event) -> None:
+        if self.start_ms is None:
+            self.start_ms = time.time() * 1000
+
+    def onQueryProgress(self, event) -> None:
+        self.rows += event.progress.numInputRows
+
+    def onQueryIdle(self, event) -> None:
+        pass
+
+    def onQueryTerminated(self, event) -> None:
+        self.end_ms = time.time() * 1000
+
+    @property
+    def throughput_rows_per_s(self) -> float:
+        """rows * 1000 / duration_ms — the reference's lower-bound metric."""
+        if self.start_ms is None:
+            return 0.0
+        end = self.end_ms or (time.time() * 1000)
+        dur = max(end - self.start_ms, 1.0)
+        return self.rows * 1000.0 / dur

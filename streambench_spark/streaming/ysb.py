@@ -1,0 +1,88 @@
+"""Streaming execution of the YSB query — same expression tree as the
+batch plan (plans/ysb.py), wrapped with the reference's streaming policy
+surface (SURVEY.md §2.7):
+
+- T2 watermarks: the reference Spark runner uses NO watermark + update
+  mode (state never evicted, SparkYahooRunner.scala:71-84); Flink uses
+  wm = max_seen - 1ms (YahooBenchmark.scala:149-162). Both are options
+  here; default is a small watermark so long runs don't OOM state.
+- T3 late data: append mode + watermark drops it (Flink FIRE_AND_PURGE);
+  update mode keeps revising (Spark-runner behavior).
+- T4 triggers: processing-time early firing ≙ Flink
+  EventAndProcessingTimeTrigger; availableNow for bounded replay.
+- T6 checkpointing: per-run checkpoint dir like the reference's random
+  dirs (SparkYahooRunner.scala:82).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+from streambench_spark.plans.ysb import ysb_query
+
+
+def ysb_streaming(
+    events_stream: DataFrame,
+    customer: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = "1 second",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming YSB plan: optional watermark, then the shared batch tree.
+
+    ``watermark=None`` reproduces the reference Spark runner's unbounded
+    update-mode state (documented OOM hazard at scale)."""
+    src = events_stream
+    if watermark is not None:
+        src = src.withWatermark(ts_col, watermark)
+    return ysb_query(src, customer, window=window)
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    mode: str = "update",
+    available_now: bool = True,
+    timeout_s: int = 300,
+) -> tuple[StreamingQuery, str]:
+    """Run a streaming DataFrame to a memory sink; returns (query, table).
+
+    availableNow drains all available input then stops — the deterministic
+    replay path used by tests and the driver-facing streaming queries."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    writer = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix="sb_ckpt_"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination(timeout_s)
+    return q, name
+
+
+def run_streaming_ysb_to_table(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    customer: DataFrame,
+    window: str = "1 hour",
+    watermark: str | None = None,
+    mode: str = "complete",
+) -> DataFrame:
+    """Bounded streaming run, final state returned as a batch DataFrame.
+
+    complete mode + memory sink → the final table IS the full aggregate
+    state, equal to the batch query over the same input (streaming ≡ batch
+    equivalence, SURVEY.md §5.2 step 2)."""
+    out = ysb_streaming(events_stream, customer, window=window, watermark=watermark)
+    _, table = run_to_memory(out, mode=mode, available_now=True)
+    return spark.table(table)

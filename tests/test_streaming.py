@@ -1,0 +1,171 @@
+"""Streaming semantics tests (SURVEY.md §5.2 steps 2 + 5):
+- streaming ≡ batch equivalence over the frozen events table
+- watermark late-data drop (append) vs revision (update)
+- generator determinism and shape
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from streambench_spark.catalog import load_table
+from streambench_spark.plans.ysb import ysb_query
+from streambench_spark.sources import generators as gen
+from streambench_spark.sources.replay import stream_table
+from streambench_spark.streaming.ysb import run_streaming_ysb_to_table, run_to_memory, ysb_streaming
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_equals_batch(spark):
+    """complete-mode availableNow run over the frozen table == batch."""
+    events_stream = stream_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    streaming_result = run_streaming_ysb_to_table(
+        spark, events_stream, customer, window="1 hour", watermark=None, mode="complete"
+    )
+    batch_result = ysb_query(
+        load_table(spark, SF_DIR, "events"), customer, window="1 hour"
+    )
+    assert _rows(streaming_result) == _rows(batch_result)
+
+
+def test_update_mode_final_state_equals_batch(spark):
+    """update mode: last emission per key wins; with a single availableNow
+    batch the emitted set equals the batch result."""
+    events_stream = stream_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    out = ysb_streaming(events_stream, customer, window="1 hour", watermark=None)
+    _, table = run_to_memory(out, mode="update", available_now=True)
+    emitted = spark.table(table)
+    # dedupe to final state per (window, segment): max count wins
+    final = (
+        emitted.groupBy("time_window", "segment")
+        .agg(F.max("count").alias("count"), F.max("last_update_ms").alias("last_update_ms"))
+    )
+    batch_result = ysb_query(
+        load_table(spark, SF_DIR, "events"), customer, window="1 hour"
+    )
+    assert _rows(final) == _rows(batch_result)
+
+
+def test_append_mode_with_watermark_drops_late_rows(spark, tmp_path):
+    """T2/T3: rows behind the watermark are dropped in append mode."""
+    data = [
+        # (user, ts): the late-row filter uses the PREVIOUS batch's
+        # watermark, so the wm-advancing row needs one filler batch before
+        # the late row for the drop to be observable.
+        (1, "2024-01-01 00:00:01"),
+        (1, "2024-01-01 00:00:02"),
+        (1, "2024-01-01 00:00:15"),  # advances wm past window [0,10)
+        (1, "2024-01-01 00:00:16"),  # filler batch: wm now in effect
+        (1, "2024-01-01 00:00:03"),  # late: behind wm, must be dropped
+    ]
+    # one single-row file per batch (maxFilesPerTrigger=1); sleep gives
+    # strictly increasing mtimes so the source processes them in order
+    import time
+
+    src = tmp_path / "late_events"
+    for i, (uid, ts) in enumerate(data):
+        spark.createDataFrame([(uid, ts)], "user_id long, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(str(src / f"f{i}"))
+        time.sleep(1.1)
+    schema = "user_id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 millisecond")
+        .groupBy(F.window("ts", "10 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), "user_id", "n")
+    )
+    _, table = run_to_memory(agg, mode="append", available_now=True)
+    got = {(r.ws, r.n) for r in spark.table(table).collect()}
+    # window [00:00:00,00:00:10) must have count 2 (late row dropped);
+    # window [00:00:10,...) may or may not be emitted (wm may not pass it)
+    assert (1704067200000, 2) in got
+    assert (1704067200000, 3) not in got
+
+
+def test_update_mode_revises_counts(spark, tmp_path):
+    """T3 update-mode behavior: the same late row revises the count."""
+    import time
+
+    data = [
+        (1, "2024-01-01 00:00:01"),
+        (1, "2024-01-01 00:00:02"),
+        (1, "2024-01-01 00:00:15"),
+        (1, "2024-01-01 00:00:03"),
+    ]
+    src = tmp_path / "late_events_u"
+    for i, (uid, ts) in enumerate(data):
+        spark.createDataFrame([(uid, ts)], "user_id long, ts_s string").withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(str(src / f"f{i}"))
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "f*"))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "10 seconds").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), "user_id", "n")
+    )
+    _, table = run_to_memory(agg, mode="update", available_now=True)
+    got = {(r.ws, r.n) for r in spark.table(table).collect()}
+    assert (1704067200000, 3) in got  # revised count emitted
+
+
+def test_campaign_generator_shape(spark):
+    c = gen.gen_campaigns(spark, 100, 10)
+    assert c.count() == 1000
+    assert c.select("campaign_id").distinct().count() == 100
+    # reference off-by-one mode (YahooBenchmark.scala:40)
+    c99 = gen.gen_campaigns(spark, 100, 10, exact=False)
+    assert c99.select("campaign_id").distinct().count() == 99
+
+
+def test_event_generator_deterministic(spark):
+    c = gen.gen_campaigns(spark, 10, 10)
+    e1 = gen.gen_events_batch(spark, c, 3000)
+    e2 = gen.gen_events_batch(spark, c, 3000)
+    assert _rows(e1) == _rows(e2)
+    assert e1.columns == [
+        "user_id", "page_id", "ad_id", "ad_type", "event_type", "event_time", "ip_address",
+    ]
+    # round-robin event_type → exactly 1/3 views
+    views = e1.filter(F.col("event_type") == "view").count()
+    assert views == 1000
+    # every ad_id resolves in the dim (inner-join totality)
+    assert e1.join(c, "ad_id", "left_anti").count() == 0
+
+
+def test_flink_ts_quirk(spark):
+    """S6: runs of 1000 records share one timestamp."""
+    c = gen.gen_campaigns(spark, 10, 10)
+    e = gen.gen_events_batch(spark, c, 2000, flink_ts_quirk=True)
+    assert e.select("event_time").distinct().count() == 2
+
+
+def test_ysb_on_generated_data_matches_manual(spark):
+    """YSB semantics on generator output: equal to a hand-computed agg."""
+    c = gen.gen_campaigns(spark, 10, 10)
+    e = gen.gen_events_batch(spark, c, 6000, events_per_second=100)
+    joined = (
+        e.filter(F.col("event_type") == "view")
+        .join(c, "ad_id")
+        .groupBy(F.window("event_time", "10 seconds").alias("w"), "campaign_id")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = joined.agg(F.sum("count")).collect()[0][0]
+    assert total == 2000  # 1/3 of 6000, all ads resolve
