@@ -1,0 +1,121 @@
+"""Driver-simulating correctness gate (run locally before every commit).
+
+Mimics the driver: a BARE SparkSession (no engine configs — the round-1
+failure mode), each registry query executed at sf0.01, and the matching
+DuckDB oracle over the same parquet files. Compares row count, sorted
+column names, and an order-insensitive value comparison with the same
+normalizations the driver applies (columns sorted by name, rows sorted,
+floats rounded).
+
+Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import traceback
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(rows, colnames):
+    """Sort columns by name, normalize cell values, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            elif isinstance(v, bool):
+                v = int(v)
+            elif isinstance(v, (list, tuple)):
+                v = tuple(
+                    round(x, 6) if isinstance(x, float) else x for x in v
+                )
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # BARE session — exactly what the driver hands us.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+
+    n_pass = n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+            if name not in oracles:
+                print(f"  {name}: rows-only check, spark_rows={len(srows)} OK")
+                n_pass += 1
+                continue
+            res = con.execute(oracles[name])
+            ocols_raw = [d[0] for d in res.description]
+            orows = normalize(res.fetchall(), ocols_raw)
+            ocols = sorted(ocols_raw)
+            ok_rows = len(srows) == len(orows)
+            ok_schema = scols == ocols
+            ok_vals = srows == orows
+            if ok_rows and ok_schema and ok_vals:
+                print(f"  {name}: PASS ({len(srows)} rows)")
+                n_pass += 1
+            else:
+                n_fail += 1
+                print(f"  {name}: FAIL rows={ok_rows} ({len(srows)} vs {len(orows)}) schema={ok_schema} vals={ok_vals}")
+                if not ok_schema:
+                    print(f"    spark cols:  {scols}")
+                    print(f"    oracle cols: {ocols}")
+                if ok_schema and not ok_vals:
+                    for a, b in zip(srows[:50], orows[:50]):
+                        if a != b:
+                            print(f"    spark:  {a}")
+                            print(f"    oracle: {b}")
+                            break
+        except Exception:
+            n_fail += 1
+            print(f"  {name}: ERROR")
+            traceback.print_exc(limit=3)
+
+    print(f"\n{n_pass} pass / {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,9 +17,26 @@ from streambench_spark.schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable correctness confs on the CALLER's session.
+
+    The driver invokes queries with its own SparkSession (not our
+    ``session.get_spark``), so correctness-critical confs must be applied
+    here, not only in the session factory. Both are runtime-settable SQL
+    confs (verified: ``spark.conf.set`` takes effect for subsequent reads).
+
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+      timestamp type, so read the column as a raw ns long and convert.
+    - UTC session timezone: oracle comparisons use epoch-ms arithmetic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is parquet TIMESTAMP(NANOS): read as long ns
         # (spark.sql.legacy.parquet.nanosAsLong) and truncate to µs —
         # lossless for this data (µs-resolution values) and consistent

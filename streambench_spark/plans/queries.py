@@ -114,7 +114,8 @@ def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT
         epoch_ms(time_bucket(INTERVAL 1 DAY, ts)) AS window_start,
-        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS sum_value_cents,
         count(*) AS n
     FROM events GROUP BY 1
     """,
@@ -188,7 +189,8 @@ def q_windowed_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_ms(time_bucket(INTERVAL 12 HOUR, ts) - (k * INTERVAL 12 HOUR))
             AS window_start,
         count(*) AS n,
-        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS sum_value_cents
     FROM events CROSS JOIN offsets
     GROUP BY 1
     HAVING window_start > epoch_ms(TIMESTAMP '2023-12-31 12:00:00')
@@ -231,7 +233,7 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
         SELECT user_id, ts,
                CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts > INTERVAL 30 MINUTE
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessions AS (

@@ -54,4 +54,14 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # getOrCreate() silently ignores .config() when a session already exists
+    # in the JVM — re-apply the runtime-settable correctness confs so they
+    # always take effect regardless of who created the session first.
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+    }.items():
+        spark.conf.set(k, v)
+    return spark

@@ -35,6 +35,9 @@ def stream_table(
     ns→µs conversion as the batch catalog is applied here — batch and
     streaming plans see one schema.
     """
+    from streambench_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema).format("parquet")
@@ -44,7 +47,7 @@ def stream_table(
     # non-glob prefix is the directory works for both file- and dir-shaped
     # tables (testdata ships single-file tables)
     df = reader.load(path + "*" if not os.path.isdir(path) else path)
-    if name == "events":
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
