@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A multimodal training pipeline stores image/audio/video as ``binary``
+columns beside typed metadata and runs decode / feature-extraction /
+resize / frame-sampling as Arrow-batched Python over ``mapInPandas``.
+This container has no codec libraries, so the decode step is STUBBED
+(deterministic fake parser for a self-describing fake header, else
+``NotImplementedError``) — but everything Spark-side is real and tested:
+the schema, the mapInPandas batch shape (pandas.Series of bytes in,
+DataFrame out), partition-preserving execution, and Arrow binary
+round-tripping.
+
+Scale posture: mapInPandas streams Arrow record batches through one
+Python worker per core with NO shuffle — decode/feature-extract is
+embarrassingly parallel, so the plan is a single mapPartitions-like stage
+whose throughput scales linearly with executors. Batch size is governed
+by spark.sql.execution.arrow.maxRecordsPerBatch (set in session.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Typed metadata schema for a multimodal asset column.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_sha256", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+# Self-describing fake header: b"FAKEIMG:<width>x<height>:" prefix.
+_FAKE_MAGIC = b"FAKEIMG:"
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Decode image dimensions. Real codecs (Pillow/ffmpeg) are absent in
+    this container — parse the deterministic fake header, else refuse."""
+    if payload.startswith(_FAKE_MAGIC):
+        dims = payload[len(_FAKE_MAGIC) :].split(b":", 1)[0]
+        w, h = dims.split(b"x")
+        return int(w), int(h)
+    raise NotImplementedError(
+        "real image decoding requires a codec library not present in this "
+        "environment; payloads must carry the FAKEIMG header in tests"
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    Per batch: byte length + sha256 (always computable) and decoded
+    dimensions when the payload is a (fake-)image; width/height are NULL
+    for non-images. One narrow stage, no shuffle."""
+
+    # Self-contained closure: only stdlib/pandas imports inside, no
+    # references to this module's globals — cloudpickle then ships it by
+    # value, so executors need no PYTHONPATH entry for this package
+    # (matters when the driver process runs from an arbitrary cwd).
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        magic = b"FAKEIMG:"
+
+        def _dims(row):
+            payload, media = row["payload"], row["media_type"]
+            if media == "image" and payload.startswith(magic):
+                w, h = payload[len(magic):].split(b":", 1)[0].split(b"x")
+                return int(w), int(h)
+            return (None, None)
+
+        for pdf in batches:
+            out = _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_sha256": pdf["payload"].map(
+                        lambda b: _hashlib.sha256(b).hexdigest()
+                    ),
+                }
+            )
+            dims = pdf.apply(_dims, axis=1)
+            out["width"] = [d[0] for d in dims]
+            out["height"] = [d[1] for d in dims]
+            yield out
+
+    return assets.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def documents_as_binary_assets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adapt the documents table into a binary-asset table (payload =
+    UTF-8 bytes of the text). Lets the binary path be driver-verified
+    against a SQL oracle without codec libraries: the oracle recomputes
+    octet length + sha256 over the same encoding."""
+    return docs.select(
+        "doc_id",
+        F.lit("text").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+    )
+
+
+def frame_sample_indices(n_frames_col: str, every_n: int) -> Column:
+    """Video frame-sampling plan helper: indices 0, every_n, 2·every_n …
+    below n_frames — pure expression (the decode of those frames is the
+    stubbed step)."""
+    return F.expr(
+        f"CASE WHEN {n_frames_col} > 0 THEN "
+        f"sequence(0, {n_frames_col} - 1, {every_n}) ELSE array() END"
+    )

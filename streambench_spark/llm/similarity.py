@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Three strategies, from exact baseline to the 100 TB scale path:
+
+- brute-force cosine top-k : exact; O(N·M) pairs — the correctness
+  baseline and the right choice when one side is small enough to
+  broadcast (e.g. a query batch against a corpus).
+- IVF top-k                : candidates restricted to the same coarse
+  cell (here the precomputed ``label`` column stands in for a k-means
+  cell id, which a real pipeline materializes offline). The join is an
+  equi-join on the cell id → co-partitioned, no all-pairs product.
+- sign-LSH top-k           : candidates restricted to the same
+  random-hyperplane sign bucket (here: sign bits of the leading
+  coordinates — deterministic and oracle-replicable; a real deployment
+  uses random projections, same plan shape).
+
+All vector math is higher-order array expressions (``zip_with`` +
+``aggregate``) — JVM codegen, no Python. Elements are cast FLOAT→DOUBLE
+before multiplying and the fold is left-to-right, which is exactly what
+the DuckDB oracle's list comprehension + list_reduce does, so cosine
+values are bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm (double) — computed once per row, reused by
+    every pair the row participates in."""
+    return emb.withColumn(
+        "norm", F.expr(f"sqrt({DOT_EXPR.format(a=vec_col, b=vec_col)})")
+    )
+
+
+def _top1(pairs: DataFrame) -> DataFrame:
+    """Rank candidate neighbors: rounded cosine desc, neighbor id asc.
+
+    Rounding BEFORE ranking makes the winner well-defined under float
+    noise (ties broken by id), so Spark and the oracle agree exactly.
+    """
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "neighbor_id", "sim")
+    )
+
+
+def _cosine_pairs(a: DataFrame, b: DataFrame, on, vec_col: str) -> DataFrame:
+    dot = F.expr(DOT_EXPR.format(a=f"a.{vec_col}", b=f"b.{vec_col}"))
+    return (
+        a.alias("a")
+        .join(b.alias("b"), on)
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("sim"),
+        )
+    )
+
+
+def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Exact nearest neighbor (cosine) for every vector, brute force.
+
+    The full N×N product — correct but quadratic; usable when either side
+    fits in a broadcast. At corpus scale this is the per-query-batch path
+    (broadcast the query batch, scan the corpus once); the IVF/LSH
+    variants below are the corpus-vs-corpus path.
+    """
+    e = with_norm(emb, vec_col).select("vec_id", vec_col, "norm")
+    pairs = _cosine_pairs(e, e, F.col("a.vec_id") != F.col("b.vec_id"), vec_col)
+    return _top1(pairs)
+
+
+def ivf_top1(emb: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """IVF (probe-1) nearest neighbor: candidates share the coarse cell.
+
+    Equi-join on the cell id — Spark co-partitions both sides by cell, so
+    every executor computes only its cells' micro-products; with C
+    balanced cells the pair count drops by ~C× vs brute force.
+    """
+    e = with_norm(emb, vec_col).select("vec_id", cell_col, vec_col, "norm")
+    on = (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}")) & (
+        F.col("a.vec_id") != F.col("b.vec_id")
+    )
+    return _top1(_cosine_pairs(e, e, on, vec_col))
+
+
+def lsh_bucket_expr(vec_col: str = "embedding", n_bits: int = 8) -> str:
+    """Sign-bucket id: bit i set iff coordinate i is >= 0.
+
+    Stands in for random-hyperplane LSH with axis-aligned planes so the
+    oracle can replicate it; swapping in true random hyperplanes changes
+    only this expression (dot with a literal plane array), not the plan.
+    """
+    return (
+        f"aggregate(transform(sequence(0, {n_bits - 1}), i -> "
+        f"IF({vec_col}[i] >= CAST(0 AS FLOAT), shiftleft(1L, i), 0L)), "
+        f"0L, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_top1(emb: DataFrame, n_bits: int = 8, vec_col: str = "embedding") -> DataFrame:
+    """Sign-LSH nearest neighbor: candidates share the sign bucket.
+
+    Same plan shape as IVF but the cell id is computed, not stored. 2^n_bits
+    buckets; vectors alone in their bucket produce no row (documented —
+    real ANN multi-probes neighboring buckets to fix this)."""
+    e = (
+        with_norm(emb, vec_col)
+        .withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_bits)))
+        .select("vec_id", "bucket", vec_col, "norm")
+    )
+    on = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
+    return _top1(_cosine_pairs(e, e, on, vec_col))

@@ -1,0 +1,321 @@
+"""Registry entries for the LLM-data-pipeline operators (documents +
+embeddings tables), each with a DuckDB oracle that replicates the exact
+same computation — including the portable md5-based hashes and the same
+left-fold float accumulation — so value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from streambench_spark.catalog import load_table
+from streambench_spark.llm import dedup, multimodal, similarity, text
+from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
+from streambench_spark.plans.queries import register
+
+# DuckDB fragments mirroring the Spark expressions -------------------------
+
+_D_H32 = "CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
+_D_TOKENS = "regexp_split_to_array(lower({col}), '\\s+')"
+# 1-indexed DuckDB lists; range(a, b) is [a, b) → i in 1..len-2 for trigrams
+_D_SHINGLES = (
+    "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
+    "for i in range(1, len(tk) - 1)])"
+)
+
+
+def _oracle_shingle_cte() -> str:
+    return f"""
+    toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM toks)
+    """
+
+
+_JACCARD_ORACLE = f"""
+WITH {_oracle_shingle_cte()},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+           count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+"""
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    rows = num_hashes // bands
+    coeffs = minhash_coefficients(num_hashes)
+    h = _D_H32.format(s="s")
+    sig = ", ".join(
+        f"list_min([({a} * ({h} % {MERSENNE_P}) + {b}) % {MERSENNE_P} for s in shingles])"
+        for a, b in coeffs
+    )
+    band_keys = ", ".join(
+        "concat_ws('_', " + ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_oracle_shingle_cte()},
+sigs AS (
+    SELECT doc_id, shingles, [{sig}] AS sig
+    FROM sh WHERE len(shingles) > 0
+),
+banded AS (
+    SELECT doc_id, unnest(generate_series(1, {bands})) AS band_idx,
+           unnest([{band_keys}]) AS band_key
+    FROM sigs
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+),
+verified AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+           len(sa.shingles) AS na, len(sb.shingles) AS nb
+    FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id
+              JOIN sigs sb ON cand.id_b = sb.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM verified
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+"""
+
+
+_SIMHASH_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
+th AS (
+    SELECT doc_id, unnest(list_transform(tk, t -> {_D_H32.format(s='t')})) AS h
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, i,
+           sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range(32)) AS i)
+    GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT)
+           AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+_FINGERPRINT_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents)
+SELECT doc_id,
+       list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(tk, t -> {_D_H32.format(s='t')} % {MERSENNE_P})),
+           (acc, hv) -> (acc * 31 + hv) % {MERSENNE_P}) AS fingerprint
+FROM toks
+"""
+
+_STOP_LIST = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+_DOC_STATS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, length(text) AS n_chars, {_D_TOKENS.format(col='text')} AS tk
+    FROM documents
+)
+SELECT doc_id, n_chars,
+       len(tk) AS n_tokens,
+       len(list_distinct(tk)) AS n_distinct,
+       len(list_filter(tk, t -> list_contains([{_STOP_LIST}], t))) AS n_stop,
+       round(CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE)
+             / len(tk), 6) AS avg_token_len
+FROM toks
+"""
+
+_TOKEN_COUNTS_ORACLE = f"""
+SELECT doc_id,
+       len({_D_TOKENS.format(col='text')}) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def _lang_id_oracle() -> str:
+    def occ(marker: str) -> str:
+        esc = marker.replace("'", "''")
+        return (
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{esc}', '')))"
+            f" / length('{esc}') AS BIGINT)"
+        )
+
+    scores = ", ".join(
+        " + ".join(occ(m) for m in markers) + f" AS score_{lang}"
+        for lang, markers in text.LANG_MARKERS.items()
+    )
+    langs = list(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, {pred} AS pred_lang, {best} AS score FROM scored
+"""
+
+
+_D_DOT = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "[CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) for i in range(1, len({a}) + 1)]), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _topk_oracle(join_cond: str, extra_col: str = "") -> str:
+    """Top-1 cosine neighbor oracle with a parameterized candidate join."""
+    dot_self = _D_DOT.format(a="embedding", b="embedding")
+    dot_ab = _D_DOT.format(a="a.embedding", b="b.embedding")
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, embedding, sqrt({dot_self}) AS norm{extra_col}
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           round({dot_ab} / (a.norm * b.norm), 6) AS sim
+    FROM e a JOIN e b ON {join_cond}
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+    FROM pairs
+)
+SELECT vec_id, neighbor_id, sim FROM ranked WHERE rn = 1
+"""
+
+
+_D_LSH_BUCKET = (
+    "CAST(list_sum([CASE WHEN embedding[i + 1] >= 0 THEN CAST(1 AS BIGINT) << i "
+    "ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+)
+
+_BINARY_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256  -- DuckDB hashes the UTF-8 bytes
+FROM documents
+"""
+
+
+# Registry entries ----------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+           count(*) AS n_copies,
+           min(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+    tags=["llm", "dedup"],
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalized-content sha256 group-by (one skew-free
+    shuffle on the hash)."""
+    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register("neardup_ngram_jaccard", _JACCARD_ORACLE, tags=["llm", "dedup"])
+def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with exact word-3-gram Jaccard >= 0.5 via shingle
+    inverted-index join (no all-pairs product)."""
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register("minhash_lsh_neardup", _minhash_oracle(), tags=["llm", "dedup"])
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH (8 bands × 2 rows) candidates, exact
+    Jaccard >= 0.5 verify on candidates only. Oracle replicates the full
+    minhash pipeline with identical coefficients."""
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+
+
+@register("simhash_fingerprint", _SIMHASH_ORACLE, tags=["llm", "dedup"])
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints, per-row codegen fold (zero shuffle)."""
+    return dedup.simhash_fingerprints(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "simhash")
+
+
+@register("doc_fingerprint", _FINGERPRINT_ORACLE, tags=["llm", "text"])
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint of the token sequence
+    (train/test contamination checks)."""
+    return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register("doc_stats", _DOC_STATS_ORACLE, tags=["llm", "text"])
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats (length/stopword/distinct ratios)."""
+    return text.doc_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register("token_counts", _TOKEN_COUNTS_ORACLE, tags=["llm", "text"])
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    return text.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register("lang_id", _lang_id_oracle(), tags=["llm", "text"])
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-profile marker-n-gram language ID with deterministic argmax."""
+    return text.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_topk_cosine",
+    _topk_oracle("a.vec_id != b.vec_id"),
+    tags=["llm", "similarity"],
+)
+def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine nearest neighbor per vector (brute-force baseline)."""
+    return similarity.brute_force_top1(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_ivf_topk",
+    _topk_oracle("a.label = b.label AND a.vec_id != b.vec_id"),
+    tags=["llm", "similarity"],
+)
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe-1 nearest neighbor: candidates share the coarse cell
+    (label column = precomputed quantizer assignment)."""
+    return similarity.ivf_top1(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_lsh_topk",
+    _topk_oracle(
+        "a.bucket = b.bucket AND a.vec_id != b.vec_id",
+        extra_col=f", {_D_LSH_BUCKET} AS bucket",
+    ),
+    tags=["llm", "similarity"],
+)
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed nearest neighbor (8-bit sign bucket)."""
+    return similarity.lsh_top1(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("binary_features", _BINARY_FEATURES_ORACLE, tags=["llm", "multimodal"])
+def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary plumbing, driver-verified: documents → binary
+    payloads → Arrow-batched mapInPandas feature extraction (byte length +
+    sha256). Exercises the real binary/Arrow path end-to-end."""
+    assets = multimodal.documents_as_binary_assets(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(assets).select(
+        "doc_id", "n_bytes", "payload_sha256"
+    )

@@ -412,6 +412,11 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# LLM-data-pipeline entries register themselves on import (bottom of file
+# so `register` exists; the partial-module cycle is benign).
+from streambench_spark.plans import llm_queries  # noqa: E402, F401
+
+
 def queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

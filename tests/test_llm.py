@@ -1,0 +1,148 @@
+"""LLM-data-pipeline operator tests: dedup, similarity, text analysis,
+multimodal binary plumbing. Registry-vs-oracle equivalence for these is in
+test_registry.py (they're registry entries); here we test the operator
+semantics directly on small constructed inputs plus the testdata corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streambench_spark.catalog import load_table
+from streambench_spark.llm import dedup, multimodal, similarity, text
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_collapses_normalized_copies(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello  World"),
+            (2, "hello world"),
+            (3, "  HELLO   WORLD "),
+            (4, "something else"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["canonical_id"]: r["n_copies"] for r in dedup.exact_dedup_groups(docs).collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_minhash_lsh_matches_exact_jaccard_on_corpus(spark):
+    """On the planted near-dups (J >= 0.9, clean gap below 0.07) banded
+    LSH at 8 bands x 2 rows must recover exactly the exact-Jaccard pairs."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert len(exact) > 0
+    assert lsh == exact
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    pair = dedup.ngram_jaccard_pairs(docs, 0.9).first()
+    fps = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_fingerprints(docs).select("doc_id", "simhash").collect()
+    }
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    near = hamming(fps[pair["id_a"]], fps[pair["id_b"]])
+    # an arbitrary unrelated pair (first two doc ids not in the near pair)
+    others = [i for i in sorted(fps) if i not in (pair["id_a"], pair["id_b"])][:2]
+    far = hamming(fps[others[0]], fps[others[1]])
+    assert near <= 3 < far
+
+
+def test_brute_force_top1_finds_planted_neighbor(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0], 0),
+            (3, [0.0, 1.0, 0.0], 1),
+            (4, [0.0, 0.9, 0.1], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    top = {r["vec_id"]: r["neighbor_id"] for r in similarity.brute_force_top1(emb).collect()}
+    assert top == {1: 2, 2: 1, 3: 4, 4: 3}
+    ivf = {r["vec_id"]: r["neighbor_id"] for r in similarity.ivf_top1(emb).collect()}
+    assert ivf == top  # planted neighbors share the label cell
+
+
+def test_lsh_top1_subset_of_brute_force_quality(spark):
+    """Bucketed candidates: every reported neighbor must share the sign
+    bucket and the similarity must equal the exact pairwise cosine."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lsh = similarity.lsh_top1(emb)
+    withb = emb.withColumn("bucket", F.expr(similarity.lsh_bucket_expr()))
+    bmap = {r["vec_id"]: r["bucket"] for r in withb.select("vec_id", "bucket").collect()}
+    rows = lsh.collect()
+    assert 0 < len(rows) <= emb.count()
+    for r in rows[:50]:
+        assert bmap[r["vec_id"]] == bmap[r["neighbor_id"]]
+
+
+def test_doc_stats_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    r = text.doc_stats(docs).first()
+    assert r["n_tokens"] == 6
+    assert r["n_distinct"] == 5
+    assert r["n_stop"] == 2  # 'the' twice
+    assert r["n_chars"] == 22
+    assert abs(r["avg_token_len"] - 17 / 6) < 1e-6
+
+
+def test_lang_id_deterministic_argmax(spark):
+    docs = spark.createDataFrame(
+        [(1, "der hund und die katze"), (2, "the quick fox and the dog")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(docs).collect()}
+    assert out[1] == "de"
+    assert out[2] == "en"
+
+
+def test_doc_fingerprint_is_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in text.doc_fingerprints(docs).collect()}
+    assert fps[1] == fps[3]
+    assert fps[1] != fps[2]
+
+
+def test_multimodal_feature_extraction_decodes_fake_images(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"FAKEIMG:640x480:pixeldata")),
+            (2, "audio", bytearray(b"\x00\x01\x02")),
+        ],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_features(assets).collect()}
+    assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+    assert rows[1]["n_bytes"] == len(b"FAKEIMG:640x480:pixeldata")
+    assert rows[2]["width"] is None and rows[2]["n_bytes"] == 3
+    assert len(rows[2]["payload_sha256"]) == 64
+
+
+def test_decode_image_refuses_real_payloads():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG\r\n...")
+
+
+def test_frame_sample_indices(spark):
+    df = spark.range(1).select(
+        F.lit(10).alias("n_frames")
+    ).select(multimodal.frame_sample_indices("n_frames", 3).alias("idx"))
+    assert df.first()["idx"] == [0, 3, 6, 9]
