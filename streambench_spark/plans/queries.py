@@ -267,6 +267,48 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "session_start", "session_end", "n_events")
 
 
+@register(
+    "ysb_streaming_append",
+    """
+    WITH wm AS (
+        SELECT epoch_ms(max(ts)) - 1000 AS wm_ms
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 3600 SECOND, e.ts)) AS time_window,
+        c.c_mktsegment AS segment,
+        count(*) AS count,
+        epoch_ms(max(e.ts)) AS last_update_ms
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'view'
+    GROUP BY 1, 2
+    HAVING time_window + 3600000 <= (SELECT wm_ms FROM wm)
+    """,
+    tags=["ysb", "streaming"],
+)
+def q_ysb_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE query in the scale-correct streaming shape: append mode +
+    watermark + parquet file sink (bounded state, nothing collected to the
+    driver). Emits exactly the windows finalized by the closing watermark.
+
+    The stream is pre-filtered to 'view' BEFORE withWatermark so the
+    watermark clock is definitionally max(view ts) − 1 s (Catalyst pushes
+    the filter below the watermark node anyway; making it explicit keeps
+    the oracle's cutoff independent of optimizer placement)."""
+    from pyspark.sql import functions as SF
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_streaming_ysb_append
+
+    return run_streaming_ysb_append(
+        spark,
+        stream_table(spark, sf_dir, "events").filter(SF.col("event_type") == "view"),
+        load_table(spark, sf_dir, "customer"),
+        window="1 hour",
+        watermark="1 second",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J4) and relational breadth
 # ---------------------------------------------------------------------------

@@ -56,7 +56,8 @@ def parquet_sink(sdf: DataFrame, path: str) -> StreamingQuery:
 
 
 def latency_marking_sink(
-    sdf: DataFrame, collector: list, mode: str = "update"
+    sdf: DataFrame, collector: list, mode: str = "update",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """S10: stamps each micro-batch with arrival time (processing clock)
     and appends (arrival_ms, rows, max_last_update_ms) to ``collector`` —
@@ -72,12 +73,14 @@ def latency_marking_sink(
         ).collect()[0]
         collector.append((arrival_ms, agg["rows"], agg["max_lu"]))
 
-    return (
+    writer = (
         sdf.writeStream.foreachBatch(handle)
         .outputMode(mode)
         .option("checkpointLocation", _ckpt())
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def to_json_rows(df: DataFrame, key_col: str | None = None) -> DataFrame:

@@ -13,23 +13,38 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class ThroughputListener(StreamingQueryListener):
+    """Tracks one query. ``bind(query_id)`` pins it explicitly (events
+    from concurrent queries on the session are ignored); unbound, it
+    adopts the first query that starts after registration."""
+
     def __init__(self) -> None:
         self.rows = 0
         self.start_ms: float | None = None
         self.end_ms: float | None = None
+        self.query_id: str | None = None
+
+    def bind(self, query_id) -> None:
+        self.query_id = str(query_id)
+
+    def _mine(self, event_id) -> bool:
+        return self.query_id is None or str(event_id) == self.query_id
 
     def onQueryStarted(self, event) -> None:
-        if self.start_ms is None:
+        if self._mine(event.id) and self.start_ms is None:
+            if self.query_id is None:
+                self.query_id = str(event.id)
             self.start_ms = time.time() * 1000
 
     def onQueryProgress(self, event) -> None:
-        self.rows += event.progress.numInputRows
+        if self._mine(event.progress.id):
+            self.rows += event.progress.numInputRows
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
-        self.end_ms = time.time() * 1000
+        if self._mine(event.id):
+            self.end_ms = time.time() * 1000
 
     @property
     def throughput_rows_per_s(self) -> float:

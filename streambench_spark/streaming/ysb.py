@@ -42,6 +42,39 @@ def ysb_streaming(
     return ysb_query(src, customer, window=window)
 
 
+def start_query(
+    sdf: DataFrame,
+    fmt: str = "noop",
+    mode: str = "update",
+    available_now: bool = False,
+    trigger_interval_ms: int | None = None,
+    query_name: str | None = None,
+    options: dict[str, str] | None = None,
+) -> StreamingQuery:
+    """Generic query starter exposing the reference's emission-policy knobs.
+
+    - ``trigger_interval_ms`` ≙ Flink's ``flinkTriggerIntervalMillis``
+      (T4, EventAndProcessingTimeTrigger early firing): processing-time
+      trigger cadence for unbounded runs.
+    - ``available_now`` drains bounded input then stops (the deterministic
+      replay policy). Mutually exclusive with the interval trigger.
+    """
+    writer = sdf.writeStream.format(fmt).outputMode(mode).option(
+        "checkpointLocation", tempfile.mkdtemp(prefix="sb_ckpt_")
+    )
+    if query_name:
+        writer = writer.queryName(query_name)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if available_now and trigger_interval_ms is not None:
+        raise ValueError("availableNow and processingTime triggers are exclusive")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_interval_ms is not None:
+        writer = writer.trigger(processingTime=f"{trigger_interval_ms} milliseconds")
+    return writer.start()
+
+
 def run_to_memory(
     sdf: DataFrame,
     mode: str = "update",
@@ -53,21 +86,45 @@ def run_to_memory(
     availableNow drains all available input then stops — the deterministic
     replay path used by tests and the driver-facing streaming queries."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    writer = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option(
-            "checkpointLocation",
-            tempfile.mkdtemp(prefix="sb_ckpt_"),
-        )
-    )
+    q = start_query(sdf, fmt="memory", mode=mode, available_now=available_now,
+                    query_name=name)
     if available_now:
-        writer = writer.trigger(availableNow=True)
-    q = writer.start()
-    if available_now:
-        q.awaitTermination(timeout_s)
+        # awaitTermination returns False on timeout — an incomplete run
+        # must not masquerade as the final state.
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(
+                f"availableNow run exceeded {timeout_s}s before draining"
+            )
     return q, name
+
+
+def run_streaming_ysb_append(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    customer: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "1 second",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Append-mode + watermark + parquet file sink — the scale-correct
+    streaming shape (T2/T3 through the driver surface): state is evicted
+    as the watermark passes each window, results land in files (never the
+    driver), and late rows are dropped.
+
+    Emission semantics (validated in tests): a window is emitted once the
+    final watermark (max event time − delay, advanced by the closing
+    no-data micro-batch) is >= its end; the trailing window(s) remain in
+    state and are NOT emitted — bounded-input append mode is the batch
+    result minus unfinalized windows."""
+    out = ysb_streaming(events_stream, customer, window=window, watermark=watermark)
+    path = tempfile.mkdtemp(prefix="sb_append_out_")
+    q = start_query(out, fmt="parquet", mode="append", available_now=True,
+                    options={"path": path})
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"append-mode run exceeded {timeout_s}s")
+    return spark.read.schema(out.schema).parquet(path)
 
 
 def run_streaming_ysb_to_table(

@@ -1,0 +1,57 @@
+"""Bench harness (M4/M5) + latency pipeline (M3) tests — bounded file
+replay so trials are deterministic and fast."""
+
+from __future__ import annotations
+
+from streambench_spark.bench import BenchParams, latency_report, run_benchmark
+from streambench_spark.bench.harness import run_latency_trial, run_throughput_trial
+from streambench_spark.catalog import load_table
+from streambench_spark.sources.replay import stream_table
+from streambench_spark.streaming.ysb import ysb_streaming
+from tests.conftest import SF_DIR
+
+
+def _bounded_source(spark):
+    events = stream_table(spark, SF_DIR, "events")
+    customer = load_table(spark, SF_DIR, "customer")
+    return ysb_streaming(events, customer, window="1 hour", watermark=None)
+
+
+def test_latency_report_percentiles():
+    r = latency_report([float(x) for x in range(1, 101)])
+    assert r["min"] == 1.0 and r["max"] == 100.0
+    assert r["avg"] == 50.5
+    assert r["p95"] == 95.0 and r["p99"] == 99.0
+    assert latency_report([])["p99"] == 0.0
+
+
+def test_throughput_trial_bounded(spark):
+    params = BenchParams(duration_s=5)
+    m = run_throughput_trial(spark, params, source=_bounded_source(spark))
+    assert m["rows"] > 0
+    assert m["throughput_rows_per_s"] > 0
+    assert m["totalDurationMillis"] > 0
+
+
+def test_latency_trial_bounded(spark):
+    params = BenchParams(duration_s=5)
+    m = run_latency_trial(spark, params, source=_bounded_source(spark))
+    assert m["batches"] >= 1
+    assert m["latency_max_ms"] >= m["latency_p99_ms"] >= m["latency_min_ms"]
+
+
+def test_benchmark_trial_loop(spark):
+    params = BenchParams(trials=2, warmup_trials=1, duration_s=5)
+    report = run_benchmark(spark, params, source_factory=lambda: _bounded_source(spark))
+    assert len(report["trials"]) == 3
+    assert sum(1 for t in report["trials"] if t["warmup"]) == 1
+    assert report["median_throughput_rows_per_s"] > 0
+    assert report["params"]["window"] == "10 seconds"
+
+
+def test_params_from_env(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_TRIALS", "7")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_WINDOW", "30 seconds")
+    p = BenchParams.from_env()
+    assert p.trials == 7
+    assert p.window == "30 seconds"

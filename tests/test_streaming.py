@@ -53,6 +53,31 @@ def test_update_mode_final_state_equals_batch(spark):
     assert _rows(final) == _rows(batch_result)
 
 
+def test_append_mode_file_sink_emits_finalized_windows(spark):
+    """Append + watermark + parquet sink == batch minus windows not yet
+    finalized by the closing watermark (max event time − delay)."""
+    from streambench_spark.streaming.ysb import run_streaming_ysb_append
+
+    customer = load_table(spark, SF_DIR, "customer")
+    appended = run_streaming_ysb_append(
+        spark,
+        stream_table(spark, SF_DIR, "events").filter(F.col("event_type") == "view"),
+        customer,
+        window="1 hour", watermark="1 second",
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    wm_ms = (
+        ev.filter(F.col("event_type") == "view")
+        .agg(F.unix_millis(F.max("ts")).alias("m"))
+        .collect()[0]["m"]
+    ) - 1000
+    batch = ysb_query(ev, customer, window="1 hour").filter(
+        F.col("time_window") + 3600000 <= wm_ms
+    )
+    assert _rows(appended) == _rows(batch)
+    assert appended.count() > 0
+
+
 def test_append_mode_with_watermark_drops_late_rows(spark, tmp_path):
     """T2/T3: rows behind the watermark are dropped in append mode."""
     data = [
