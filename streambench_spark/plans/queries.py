@@ -454,6 +454,78 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Generator coverage (S1/S6): driver-checked, not just pytest-checked
+# ---------------------------------------------------------------------------
+
+_UUID_SHAPED_DUCK = (
+    "concat_ws('-', substring(md5(CAST({v} AS VARCHAR)), 1, 8), "
+    "substring(md5(CAST({v} AS VARCHAR)), 9, 4), "
+    "substring(md5(CAST({v} AS VARCHAR)), 13, 4), "
+    "substring(md5(CAST({v} AS VARCHAR)), 17, 4), "
+    "substring(md5(CAST({v} AS VARCHAR)), 21, 12))"
+)
+
+
+def _generator_oracle(num_events: int, flink_quirk: bool) -> str:
+    """DuckDB replication of gen_campaigns(10, 2) + gen_events_batch:
+    same md5-derived uuid-shaped ad ids, same sorted-ad idx assignment,
+    same modulo attribute/timestamp derivations (base 2024-01-01 UTC,
+    1000 events/s)."""
+    ts = (
+        "1704067200000 + (e.event_idx // 1000) * 1000"
+        if flink_quirk
+        else "1704067200000 + e.event_idx"
+    )
+    uuid = _UUID_SHAPED_DUCK.format(v="c.i * 2 + a.i")
+    return f"""
+    WITH ads AS (
+        SELECT {uuid} AS ad_id
+        FROM (SELECT unnest(range(10)) AS i) c
+        CROSS JOIN (SELECT unnest(range(2)) AS i) a
+    ),
+    idx AS (SELECT ad_id, row_number() OVER (ORDER BY ad_id) - 1 AS idx FROM ads),
+    ev AS (SELECT unnest(range({num_events})) AS event_idx)
+    SELECT e.event_idx AS event_idx,
+           i.ad_id AS ad_id,
+           ['banner','modal','sponsored-search','mail','mobile'][(e.event_idx % 5) + 1]
+               AS ad_type,
+           ['view','click','purchase'][(e.event_idx % 3) + 1] AS event_type,
+           {ts} AS ts_ms
+    FROM ev e JOIN idx i ON i.idx = e.event_idx % 20
+    """
+
+
+def _generator_query(flink_quirk: bool, num_events: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streambench_spark.sources import generators as gen
+
+        c = gen.gen_campaigns(spark, 10, 2)
+        e = gen.gen_events_batch(spark, c, num_events, flink_ts_quirk=flink_quirk)
+        return e.select(
+            "event_idx",
+            "ad_id",
+            "ad_type",
+            "event_type",
+            F.unix_millis("event_time").alias("ts_ms"),
+        )
+
+    return q
+
+
+REGISTRY["generator_events"] = QueryDef(
+    fn=_generator_query(False, 1000),
+    oracle=_generator_oracle(1000, False),
+    tags=["generators"],
+)
+# S6: Flink EventGenerator timestamp quirk (refresh once per 1000 rows)
+REGISTRY["generator_events_flink"] = QueryDef(
+    fn=_generator_query(True, 2500),
+    oracle=_generator_oracle(2500, True),
+    tags=["generators"],
+)
+
+
 # LLM-data-pipeline entries register themselves on import (bottom of file
 # so `register` exists; the partial-module cycle is benign).
 from streambench_spark.plans import llm_queries  # noqa: E402, F401

@@ -93,6 +93,28 @@ def to_json_rows(df: DataFrame, key_col: str | None = None) -> DataFrame:
     return df.select(*cols)
 
 
+def kafka_batch_sink(
+    df: DataFrame, topic: str, brokers: str, key_col: str | None = None
+) -> None:
+    """S3: one-shot batch write of a (small) table to a topic — the
+    reference seeds the campaigns dim this way before the run
+    (YahooBenchmarkRunner.scala:40-44). Same gating as the sources."""
+    try:
+        (
+            to_json_rows(df, key_col=key_col)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", brokers)
+            .option("topic", topic)
+            .save()
+        )
+    except Exception as exc:
+        raise RuntimeError(
+            "Kafka integration unavailable: needs the spark-sql-kafka "
+            "package on the classpath and a reachable broker "
+            f"(underlying error: {type(exc).__name__})"
+        ) from exc
+
+
 def kafka_sink(
     sdf: DataFrame, topic: str, brokers: str, mode: str = "update"
 ) -> StreamingQuery:

@@ -68,15 +68,30 @@ def gen_campaigns(
     )
 
 
-def _event_columns(value_col, ad_ids: list[str], deterministic_ts: bool,
-                   base_ts: str = "2024-01-01 00:00:00",
-                   events_per_second: int = 1000,
-                   flink_ts_quirk: bool = False):
-    """Generator expressions shared by batch and rate-source modes
-    (YahooBenchmarkRunner.scala:90-97: fixed user/page UUID, modulo ad_id /
-    ad_type / event_type, constant ip)."""
-    n_ads = len(ad_ids)
-    ad_array = F.array(*[F.lit(a) for a in ad_ids])
+def indexed_ads(campaigns: DataFrame) -> tuple[DataFrame, int]:
+    """(ad dim with a dense 0..N-1 ``idx`` keyed by sorted ad_id, N).
+
+    The idx assignment sorts the DIM table (hundreds-to-thousands of
+    rows) — a one-time single-partition window that is fine for a dim and
+    never touches the event stream. Returns the count too (one cheap job)
+    so callers avoid a second pass.
+    """
+    from pyspark.sql import Window
+
+    n = campaigns.count()
+    w = Window.orderBy("ad_id")
+    return campaigns.withColumn("idx", F.row_number().over(w) - 1), n
+
+
+def _derived_columns(value_col, deterministic_ts: bool,
+                     base_ts: str = "2024-01-01 00:00:00",
+                     events_per_second: int = 1000,
+                     flink_ts_quirk: bool = False):
+    """Row-index-derived generator expressions shared by batch and
+    rate-source modes (YahooBenchmarkRunner.scala:90-97: fixed user/page
+    UUID, modulo ad_type / event_type, constant ip). The ad_id itself
+    comes from the broadcast dim join (see gen_events_batch) — never a
+    driver-side collect into a literal array."""
     ad_type_array = F.array(*[F.lit(a) for a in AD_TYPES])
     event_type_array = F.array(*[F.lit(e) for e in EVENT_TYPES])
     if deterministic_ts:
@@ -89,12 +104,23 @@ def _event_columns(value_col, ad_ids: list[str], deterministic_ts: bool,
     return [
         F.lit("3a50d4a1-1b40-4fbb-bc18-2c3c3fb0d1a6").alias("user_id"),
         F.lit("8d0c5e52-9b57-4c54-97b2-1a53bfc0f0cf").alias("page_id"),
-        F.element_at(ad_array, (F.pmod(value_col, n_ads) + 1).cast("int")).alias("ad_id"),
         F.element_at(ad_type_array, (F.pmod(value_col, len(AD_TYPES)) + 1).cast("int")).alias("ad_type"),
         F.element_at(event_type_array, (F.pmod(value_col, len(EVENT_TYPES)) + 1).cast("int")).alias("event_type"),
         ts.alias("event_time"),
         F.lit("255.255.255.255").alias("ip_address"),
     ]
+
+
+def _attach_ads(keyed: DataFrame, campaigns: DataFrame, value_col: str) -> DataFrame:
+    """value → ad_id via pmod index + broadcast dim join (the same
+    shuffle-free pattern as replay.paced_replay); replaces the literal
+    ad-array closure capture of the reference generator, which at large
+    dim cardinalities is a driver bottleneck and a giant expression tree."""
+    ads, n = indexed_ads(campaigns)
+    keyed = keyed.withColumn("idx", F.pmod(F.col(value_col), F.lit(n)))
+    return keyed.join(
+        F.broadcast(ads.select("idx", "ad_id")), "idx"
+    ).drop("idx")
 
 
 def gen_events_batch(
@@ -105,13 +131,18 @@ def gen_events_batch(
     num_partitions: int | None = None,
     flink_ts_quirk: bool = False,
 ) -> DataFrame:
-    """Deterministic bounded event table (test mode of S1/S6)."""
-    ad_ids = [r.ad_id for r in campaigns.select("ad_id").collect()]
+    """Deterministic bounded event table (test mode of S1/S6); carries
+    ``event_idx`` (the generating row index) for oracle joins."""
     rng = spark.range(0, num_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    return rng.select(
-        *_event_columns(F.col("id"), ad_ids, True,
-                        events_per_second=events_per_second,
-                        flink_ts_quirk=flink_ts_quirk)
+    keyed = rng.select(
+        F.col("id").alias("event_idx"),
+        *_derived_columns(F.col("id"), True,
+                          events_per_second=events_per_second,
+                          flink_ts_quirk=flink_ts_quirk),
+    )
+    return _attach_ads(keyed, campaigns, "event_idx").select(
+        "event_idx", "user_id", "page_id", "ad_id", "ad_type", "event_type",
+        "event_time", "ip_address",
     )
 
 
@@ -126,8 +157,8 @@ def gen_events_stream(
     """S1: rate-limited streaming generator with ramp-up
     (YahooBenchmarkRunner.scala:84-97). Unbounded; event_time is
     current_timestamp() exactly like the reference (bench mode), or
-    value-derived in deterministic mode."""
-    ad_ids = [r.ad_id for r in campaigns.select("ad_id").collect()]
+    value-derived in deterministic mode. ad_id via broadcast dim join —
+    no shuffle on the stream side."""
     stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
@@ -135,4 +166,7 @@ def gen_events_stream(
         .option("numPartitions", num_partitions)
         .load()
     )
-    return stream.select(*_event_columns(F.col("value"), ad_ids, deterministic_ts))
+    keyed = stream.select(
+        F.col("value"), *_derived_columns(F.col("value"), deterministic_ts)
+    )
+    return _attach_ads(keyed, campaigns, "value").drop("value")

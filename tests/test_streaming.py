@@ -166,7 +166,8 @@ def test_event_generator_deterministic(spark):
     e2 = gen.gen_events_batch(spark, c, 3000)
     assert _rows(e1) == _rows(e2)
     assert e1.columns == [
-        "user_id", "page_id", "ad_id", "ad_type", "event_type", "event_time", "ip_address",
+        "event_idx", "user_id", "page_id", "ad_id", "ad_type", "event_type",
+        "event_time", "ip_address",
     ]
     # round-robin event_type → exactly 1/3 views
     views = e1.filter(F.col("event_type") == "view").count()
@@ -194,3 +195,18 @@ def test_ysb_on_generated_data_matches_manual(spark):
     )
     total = joined.agg(F.sum("count")).collect()[0][0]
     assert total == 2000  # 1/3 of 6000, all ads resolve
+
+
+def test_kafka_paths_raise_clear_error_without_broker(spark):
+    """S3/S4 gating: no broker/package here — the builders must fail with
+    an actionable RuntimeError, not a raw py4j stack."""
+    import pytest as _pytest
+
+    from streambench_spark.sinks.sinks import kafka_batch_sink
+    from streambench_spark.sources.kafka import kafka_batch_source
+
+    with _pytest.raises(RuntimeError, match="Kafka integration unavailable"):
+        kafka_batch_source(spark, "t", "localhost:9")
+    df = spark.range(1).select(F.col("id").alias("x"))
+    with _pytest.raises(RuntimeError, match="Kafka integration unavailable"):
+        kafka_batch_sink(df, "t", "localhost:9")
