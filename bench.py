@@ -39,10 +39,18 @@ def main() -> None:
 
     from streambench_spark.plans.queries import REGISTRY
 
-    # Warm the JVM + parquet footers once so per-query timings measure the
-    # query, not session start (the reference similarly ramps up 10 s,
+    # Warm the JVM + parquet footers + Python/Arrow workers once so
+    # per-query timings measure the query, not session start or the
+    # one-time worker spawn (the reference similarly ramps up 10 s,
     # StreamBenchMain.scala:33).
     spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+
+    def _noop_batch(batches):
+        yield from batches
+
+    spark.range(0, 64, 1, cpus).mapInPandas(
+        _noop_batch, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, qdef in REGISTRY.items():

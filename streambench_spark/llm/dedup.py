@@ -57,6 +57,54 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
+def with_hashed_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Attach `hsh`: the distinct 32-bit hashes of the shingles.
+
+    Hash collisions merge shingles identically in the SQL oracle (same
+    hash), so downstream set operations stay bit-exact across engines.
+    NOTE: row-local array shape — do not ``explode`` this column (see
+    shingle_postings for why); it exists for per-row signature-style
+    consumers and tests."""
+    h = spark_hash32("s")
+    return with_shingles(docs, text_col, n).withColumn(
+        "hsh", F.expr(f"array_distinct(transform(shingles, s -> {h} % {MERSENNE_P}L))")
+    )
+
+
+def shingle_postings(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, h) inverted-index postings: one row per distinct shingle
+    hash per document — the shared substrate of the set-based dedup ops.
+
+    Explode-FIRST shape, deliberately: explode the cheap token-index
+    sequence, then derive the shingle string + hash per posting row.
+    Everything stays in whole-stage codegen (no higher-order lambdas),
+    and — measured, ~20× — it avoids an optimizer trap: ``explode`` over
+    an expensive computed array makes InferFiltersFromGenerate add a
+    ``size(expr) > 0`` guard that predicate pushdown re-inlines below the
+    repartition exchange, re-evaluating the whole shingle pipeline on the
+    unparallelized scan side. The ``distinct`` here is the set semantics
+    (one posting per distinct shingle hash), shuffled by (doc_id, h).
+    """
+    h = spark_hash32("shingle")
+    tk = TOKENS_EXPR.format(col=text_col)
+    gram = F.concat_ws(
+        " ", F.expr("tk[i]"), F.expr("tk[i + 1]"), F.expr("tk[i + 2]")
+    ) if n == 3 else F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
+    return (
+        docs.select("doc_id", F.expr(tk).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {n}"))  # guard: sequence(0, k<0) descends
+        .select("doc_id", "tk", F.explode(F.expr(f"sequence(0, size(tk) - {n})")).alias("i"))
+        .select("doc_id", gram.alias("shingle"))
+        .select("doc_id", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
+        .distinct()
+    )
+
+
+def shingle_set_sizes(posts: DataFrame) -> DataFrame:
+    """|distinct shingle set| per doc, from the postings (one groupBy)."""
+    return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -95,29 +143,33 @@ def ngram_jaccard_pairs(
     J = |A∩B| / (|A| + |B| - |A∩B|).
 
     Any pair with J > 0 shares >= 1 shingle, so recall is exact. The join
-    shuffles on the shingle string; very common shingles create hot keys —
-    at 100 TB one adds a document-frequency cap on shingles (drop shingles
-    appearing in > f·N docs, standard in corpus dedup) which bounds the
-    per-key bucket; kept exact here because the oracle must match.
+    shuffles on the 8-byte shingle hash; very common shingles create hot
+    keys — at 100 TB one adds a document-frequency cap on shingles (drop
+    shingles appearing in > f·N docs, standard in corpus dedup) which
+    bounds the per-key bucket; kept exact here because the oracle must
+    match. Set sizes are broadcast back onto the pair aggregate (the
+    sizes table is one row per doc — small relative to the pair space).
     """
-    sh = with_shingles(docs, text_col, n).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
-    )
-    inv = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
-    a, b = inv.alias("a"), inv.alias("b")
+    posts = shingle_postings(docs, n, text_col)
+    sizes = shingle_set_sizes(posts)
+    a, b = posts.alias("a"), posts.alias("b")
     pairs = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sized = (
+        pairs.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+                               .withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+                          .withColumnRenamed("n_sh", "nb")), "id_b")
+    )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.withColumn("jaccard", F.round(jac, 6))
+        sized.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -136,22 +188,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """Attach a `sig` array<long> MinHash signature per document.
 
-    sig[j] = min over shingles s of (a_j * (H(s) mod P) + b_j) mod P with
-    the portable md5-based H (hashing.py). Entirely within-row — computed
-    by nested ``transform``/``array_min`` in codegen. Zero shuffle, scales
-    linearly with corpus size; docs with no shingles are dropped (their
-    signature is undefined).
+    sig[j] = min over hashed shingles h of (a_j * h + b_j) mod P with the
+    portable md5-based hash computed ONCE per shingle. Distributed shape:
+    one hash aggregate over the postings (map-side partial mins, so each
+    partition contributes 16 longs per doc to the shuffle) — the classic
+    scalable minhash; all integer codegen, no interpreted lambdas. Docs
+    with no shingles have no postings and thus no signature (undefined).
     """
     coeffs = minhash_coefficients(num_hashes)
-    h = spark_hash32("s")
-    per_hash = ", ".join(
-        f"array_min(transform(shingles, s -> ({a}L * ({h} % {MERSENNE_P}L) + {b}L) % {MERSENNE_P}L))"
-        for a, b in coeffs
-    )
+    posts = shingle_postings(docs, n, text_col)
+    mins = [
+        F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"_s{j}")
+        for j, (a, b) in enumerate(coeffs)
+    ]
+    sig_cols = ", ".join(f"_s{j}" for j in range(num_hashes))
     return (
-        with_shingles(docs, text_col, n)
-        .filter(F.size("shingles") > 0)
-        .withColumn("sig", F.expr(f"array({per_hash})"))
+        posts.groupBy("doc_id")
+        .agg(*mins)
+        .withColumn("sig", F.expr(f"array({sig_cols})"))
+        .select("doc_id", "sig")
     )
 
 
@@ -195,26 +250,40 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash-LSH candidates + exact verify.
 
     Candidates come from banded LSH (bands × rows = num_hashes); each
-    candidate pair is then verified with the exact shingle-set Jaccard
-    (array_intersect on the two shingle arrays — candidates only, a tiny
+    candidate pair is then verified with the exact shingle-set Jaccard,
+    computed on the postings restricted to candidates (broadcast the
+    candidate pair list into the postings join — candidates are a tiny
     fraction of the pair space). With 8 bands × 2 rows a J=0.9 pair is
     missed with probability (1 - 0.9^2)^8 ≈ 2e-6; the exact verify removes
     all false positives, so output ⊆ ngram_jaccard_pairs with near-1
     recall at high J.
     """
     rows = num_hashes // bands
+    posts = shingle_postings(docs, n, text_col)
+    sizes = shingle_set_sizes(posts)
     sig = minhash_signatures(docs, num_hashes, n, text_col)
     cand = lsh_candidate_pairs(sig, bands, rows)
-    sh = sig.select("doc_id", "shingles")
-    joined = (
-        cand.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    # exact intersection counts for candidate pairs only: candidates ⋈
+    # postings(id_a) ⋈ postings(id_b, same hash) → count per pair
+    posts_b = posts.withColumnRenamed("doc_id", "_docb").withColumnRenamed("h", "_hb")
+    inter = (
+        cand.join(posts.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(
+            posts_b,
+            (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
+    sized = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+                               .withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+                          .withColumnRenamed("n_sh", "nb")), "id_b")
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        joined.withColumn("jaccard", F.round(jac, 6))
+        sized.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -230,23 +299,29 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, text_col: str = "text"
     sum ±1 over token occurrences according to bit i of the token hash;
     bit i of the fingerprint is set iff the sum is > 0.
 
-    Per-row nested higher-order expressions: hash each token once
-    (transform), then for each bit fold the hash array — all codegen, zero
-    shuffle, linear scan. Near-dup detection then groups by fingerprint
-    (or by rotated prefixes for hamming-distance blocking).
+    Per-row higher-order expressions: hash each token ONCE into a long
+    array (a separate column so codegen shares it across all bit
+    positions — inlining it re-evaluates md5 per bit, a measured ~10×
+    slowdown), then fold that array per bit — all codegen, zero shuffle,
+    linear scan. Near-dup detection then groups by fingerprint (or by
+    rotated prefixes for hamming-distance blocking).
     """
     h = spark_hash32("t")
     tk = TOKENS_EXPR.format(col=text_col)
-    return docs.withColumn(
-        "simhash",
-        F.expr(
-            f"""
-            aggregate(
-                transform(sequence(0, {bits - 1}), i ->
-                    IF(aggregate(transform({tk}, t -> {h}), 0L,
-                         (acc, hv) -> acc + IF(((hv >> i) & 1) = 1, 1, -1)) > 0,
-                       shiftleft(1L, i), 0L)),
-                0L, (acc, v) -> acc + v)
-            """
-        ),
+    return (
+        docs.withColumn("_th", F.expr(f"transform({tk}, t -> {h})"))
+        .withColumn(
+            "simhash",
+            F.expr(
+                f"""
+                aggregate(
+                    transform(sequence(0, {bits - 1}), i ->
+                        IF(aggregate(_th, 0L,
+                             (acc, hv) -> acc + IF(((hv >> i) & 1) = 1, 1, -1)) > 0,
+                           shiftleft(1L, i), 0L)),
+                    0L, (acc, v) -> acc + v)
+                """
+            ),
+        )
+        .drop("_th")
     )

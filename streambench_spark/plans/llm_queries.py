@@ -13,6 +13,29 @@ from streambench_spark.llm import dedup, multimodal, similarity, text
 from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
 from streambench_spark.plans.queries import register
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, repartitioned to the session's core count.
+
+    The testdata ships one small parquet file per table, so the scan
+    yields ONE partition and every compute-bound operator (md5 shingle
+    hashing, higher-order folds — interpreted, not codegen) runs
+    single-threaded. A round-robin repartition of the raw text is a
+    negligible shuffle here and a no-op decision at 100 TB, where the
+    source itself has thousands of splits; what matters is that the
+    expensive stage downstream of the scan has ~core-count partitions."""
+    return load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, repartitioned (same single-file rationale)."""
+    return load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # DuckDB fragments mirroring the Spark expressions -------------------------
 
 _D_H32 = "CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
@@ -25,15 +48,23 @@ _D_SHINGLES = (
 
 
 def _oracle_shingle_cte() -> str:
+    """Tokens → distinct shingles → distinct shingle HASHES (mirrors
+    dedup.with_hashed_shingles: downstream set ops run on the 32-bit
+    hashes, so any collision merges identically in both engines)."""
+    h = _D_H32.format(s="s")
     return f"""
     toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
-    sh AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM toks)
+    sh0 AS (SELECT doc_id, {_D_SHINGLES} AS shingles FROM toks),
+    sh AS (SELECT doc_id, shingles,
+                  list_distinct(list_transform(shingles, s -> {h} % {MERSENNE_P}))
+                      AS hsh
+           FROM sh0)
     """
 
 
 _JACCARD_ORACLE = f"""
 WITH {_oracle_shingle_cte()},
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM sh),
+ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
@@ -51,9 +82,8 @@ WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
 def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     rows = num_hashes // bands
     coeffs = minhash_coefficients(num_hashes)
-    h = _D_H32.format(s="s")
     sig = ", ".join(
-        f"list_min([({a} * ({h} % {MERSENNE_P}) + {b}) % {MERSENNE_P} for s in shingles])"
+        f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in hsh])"
         for a, b in coeffs
     )
     band_keys = ", ".join(
@@ -63,8 +93,8 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
     return f"""
 WITH {_oracle_shingle_cte()},
 sigs AS (
-    SELECT doc_id, shingles, [{sig}] AS sig
-    FROM sh WHERE len(shingles) > 0
+    SELECT doc_id, hsh AS shingles, [{sig}] AS sig
+    FROM sh WHERE len(hsh) > 0
 ),
 banded AS (
     SELECT doc_id, unnest(generate_series(1, {bands})) AS band_idx,
@@ -225,14 +255,14 @@ FROM documents
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: normalized-content sha256 group-by (one skew-free
     shuffle on the hash)."""
-    return dedup.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
 
 
 @register("neardup_ngram_jaccard", _JACCARD_ORACLE, tags=["llm", "dedup"])
 def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with exact word-3-gram Jaccard >= 0.5 via shingle
     inverted-index join (no all-pairs product)."""
-    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
 
 @register("minhash_lsh_neardup", _minhash_oracle(), tags=["llm", "dedup"])
@@ -240,14 +270,14 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH (8 bands × 2 rows) candidates, exact
     Jaccard >= 0.5 verify on candidates only. Oracle replicates the full
     minhash pipeline with identical coefficients."""
-    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), 0.5)
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.5)
 
 
 @register("simhash_fingerprint", _SIMHASH_ORACLE, tags=["llm", "dedup"])
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints, per-row codegen fold (zero shuffle)."""
     return dedup.simhash_fingerprints(
-        load_table(spark, sf_dir, "documents")
+        _docs(spark, sf_dir)
     ).select("doc_id", "simhash")
 
 
@@ -255,25 +285,25 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint of the token sequence
     (train/test contamination checks)."""
-    return text.doc_fingerprints(load_table(spark, sf_dir, "documents"))
+    return text.doc_fingerprints(_docs(spark, sf_dir))
 
 
 @register("doc_stats", _DOC_STATS_ORACLE, tags=["llm", "text"])
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats (length/stopword/distinct ratios)."""
-    return text.doc_stats(load_table(spark, sf_dir, "documents"))
+    return text.doc_stats(_docs(spark, sf_dir))
 
 
 @register("token_counts", _TOKEN_COUNTS_ORACLE, tags=["llm", "text"])
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
-    return text.token_counts(load_table(spark, sf_dir, "documents"))
+    return text.token_counts(_docs(spark, sf_dir))
 
 
 @register("lang_id", _lang_id_oracle(), tags=["llm", "text"])
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-profile marker-n-gram language ID with deterministic argmax."""
-    return text.lang_id(load_table(spark, sf_dir, "documents"))
+    return text.lang_id(_docs(spark, sf_dir))
 
 
 @register(
@@ -283,7 +313,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine nearest neighbor per vector (brute-force baseline)."""
-    return similarity.brute_force_top1(load_table(spark, sf_dir, "embeddings"))
+    return similarity.brute_force_top1(_embs(spark, sf_dir))
 
 
 @register(
@@ -294,7 +324,7 @@ def q_embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe-1 nearest neighbor: candidates share the coarse cell
     (label column = precomputed quantizer assignment)."""
-    return similarity.ivf_top1(load_table(spark, sf_dir, "embeddings"))
+    return similarity.ivf_top1(_embs(spark, sf_dir))
 
 
 @register(
@@ -307,7 +337,7 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed nearest neighbor (8-bit sign bucket)."""
-    return similarity.lsh_top1(load_table(spark, sf_dir, "embeddings"))
+    return similarity.lsh_top1(_embs(spark, sf_dir))
 
 
 @register("binary_features", _BINARY_FEATURES_ORACLE, tags=["llm", "multimodal"])
@@ -315,7 +345,7 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing, driver-verified: documents → binary
     payloads → Arrow-batched mapInPandas feature extraction (byte length +
     sha256). Exercises the real binary/Arrow path end-to-end."""
-    assets = multimodal.documents_as_binary_assets(load_table(spark, sf_dir, "documents"))
+    assets = multimodal.documents_as_binary_assets(_docs(spark, sf_dir))
     return multimodal.extract_features(assets).select(
         "doc_id", "n_bytes", "payload_sha256"
     )
