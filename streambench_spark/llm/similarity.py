@@ -14,57 +14,18 @@ Three strategies, from exact baseline to the 100 TB scale path:
   coordinates — deterministic and oracle-replicable; a real deployment
   uses random projections, same plan shape).
 
-All vector math is higher-order array expressions (``zip_with`` +
-``aggregate``) — JVM codegen, no Python. Elements are cast FLOAT→DOUBLE
-before multiplying and the fold is left-to-right, which is exactly what
-the DuckDB oracle's list comprehension + list_reduce does, so cosine
-values are bit-identical across engines.
+All vector math runs as BLAS matmuls inside Arrow-batched Python
+(mapInPandas / applyInPandas) — the FLOAT→DOUBLE casts are exact, the
+float32 products are exactly representable in float64, and rounding is
+half-away-from-zero on the 6th decimal, matching Spark/DuckDB ``round``;
+the oracle comparisons are hash-exact. Ties after rounding break toward
+the smaller neighbor id in both engines.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-DOT_EXPR = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
-    " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
-
-
-def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Attach the L2 norm (double) — computed once per row, reused by
-    every pair the row participates in."""
-    return emb.withColumn(
-        "norm", F.expr(f"sqrt({DOT_EXPR.format(a=vec_col, b=vec_col)})")
-    )
-
-
-def _top1(pairs: DataFrame) -> DataFrame:
-    """Rank candidate neighbors: rounded cosine desc, neighbor id asc.
-
-    Rounding BEFORE ranking makes the winner well-defined under float
-    noise (ties broken by id), so Spark and the oracle agree exactly.
-    """
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "neighbor_id", "sim")
-    )
-
-
-def _cosine_pairs(a: DataFrame, b: DataFrame, on, vec_col: str) -> DataFrame:
-    dot = F.expr(DOT_EXPR.format(a=f"a.{vec_col}", b=f"b.{vec_col}"))
-    return (
-        a.alias("a")
-        .join(b.alias("b"), on)
-        .select(
-            F.col("a.vec_id").alias("vec_id"),
-            F.col("b.vec_id").alias("neighbor_id"),
-            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("sim"),
-        )
-    )
 
 
 def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -122,18 +83,46 @@ def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def ivf_top1(emb: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
-    """IVF (probe-1) nearest neighbor: candidates share the coarse cell.
+def _per_cell_top1(emb: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
+    """Shared engine for the bucketed ANN variants: shuffle by cell id,
+    then one BLAS matmul per cell inside applyInPandas.
 
-    Equi-join on the cell id — Spark co-partitions both sides by cell, so
-    every executor computes only its cells' micro-products; with C
-    balanced cells the pair count drops by ~C× vs brute force.
-    """
-    e = with_norm(emb, vec_col).select("vec_id", cell_col, vec_col, "norm")
-    on = (F.col(f"a.{cell_col}") == F.col(f"b.{cell_col}")) & (
-        F.col("a.vec_id") != F.col("b.vec_id")
+    One shuffle (groupBy cell), then each cell's micro-product runs
+    vectorized in C — the distributed IVF search shape: with C balanced
+    cells the pair count drops ~C× vs brute force AND each cell's
+    quadratic work is a small dense matmul. Same rounding/tie-break
+    contract as brute_force_top1, so results equal the pair-join
+    formulation bit-for-bit (oracle-checked)."""
+
+    def _cell(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame(
+                {"vec_id": _pd.Series(dtype="int64"),
+                 "neighbor_id": _pd.Series(dtype="int64"),
+                 "sim": _pd.Series(dtype="float64")}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        a = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+        norms = _np.sqrt((a * a).sum(axis=1))
+        sims = (a @ a.T) / (norms[:, None] * norms[None, :])
+        sims = _np.sign(sims) * _np.floor(_np.abs(sims) * 1e6 + 0.5) / 1e6
+        _np.fill_diagonal(sims, -_np.inf)
+        best = sims.max(axis=1)
+        neighbors = [int(ids[sims[i] == best[i]].min()) for i in range(len(ids))]
+        return _pd.DataFrame({"vec_id": ids, "neighbor_id": neighbors, "sim": best})
+
+    return emb.select("vec_id", cell_col, vec_col).groupBy(cell_col).applyInPandas(
+        _cell, schema="vec_id long, neighbor_id long, sim double"
     )
-    return _top1(_cosine_pairs(e, e, on, vec_col))
+
+
+def ivf_top1(emb: DataFrame, cell_col: str = "label", vec_col: str = "embedding") -> DataFrame:
+    """IVF (probe-1) nearest neighbor: candidates share the coarse cell
+    (the cell id column stands in for a precomputed k-means assignment)."""
+    return _per_cell_top1(emb, cell_col, vec_col)
 
 
 def lsh_bucket_expr(vec_col: str = "embedding", n_bits: int = 8) -> str:
@@ -156,10 +145,5 @@ def lsh_top1(emb: DataFrame, n_bits: int = 8, vec_col: str = "embedding") -> Dat
     Same plan shape as IVF but the cell id is computed, not stored. 2^n_bits
     buckets; vectors alone in their bucket produce no row (documented —
     real ANN multi-probes neighboring buckets to fix this)."""
-    e = (
-        with_norm(emb, vec_col)
-        .withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_bits)))
-        .select("vec_id", "bucket", vec_col, "norm")
-    )
-    on = (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") != F.col("b.vec_id"))
-    return _top1(_cosine_pairs(e, e, on, vec_col))
+    e = emb.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_bits)))
+    return _per_cell_top1(e, "bucket", vec_col)

@@ -54,3 +54,34 @@ class ThroughputListener(StreamingQueryListener):
         end = self.end_ms or (time.time() * 1000)
         dur = max(end - self.start_ms, 1.0)
         return self.rows * 1000.0 / dur
+
+
+def progress_stats(query) -> list[dict]:
+    """M6 analog: per-micro-batch, per-operator stats from the query's
+    recentProgress — the Spark-native equivalent of StreamBox's periodic
+    ``ReportStatistics`` table (sbx/EvaluationBundleContext.h:331-379).
+
+    Returns one dict per (batch, state operator): rows in/out, rate,
+    state rows, memory, and watermark-dropped rows.
+    """
+    out = []
+    for p in query.recentProgress:
+        base = {
+            "batch_id": p["batchId"],
+            "input_rows": p["numInputRows"],
+            "rows_per_s": p.get("processedRowsPerSecond"),
+            "batch_duration_ms": p.get("batchDuration"),
+            "watermark": p.get("eventTime", {}).get("watermark"),
+        }
+        ops = p.get("stateOperators") or [{}]
+        for op in ops:
+            out.append(
+                {
+                    **base,
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_mem_bytes": op.get("memoryUsedBytes"),
+                    "rows_dropped_by_watermark": op.get("numRowsDroppedByWatermark"),
+                }
+            )
+    return out

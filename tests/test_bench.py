@@ -55,3 +55,15 @@ def test_params_from_env(monkeypatch):
     p = BenchParams.from_env()
     assert p.trials == 7
     assert p.window == "30 seconds"
+
+
+def test_progress_stats_shape(spark):
+    """M6 analog: per-batch per-operator stats from recentProgress."""
+    from streambench_spark.streaming.listeners import progress_stats
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    q, _ = run_to_memory(_bounded_source(spark), mode="complete")
+    stats = progress_stats(q)
+    assert len(stats) >= 1
+    assert {"batch_id", "input_rows", "operator", "state_rows"} <= set(stats[0])
+    assert any(s["input_rows"] > 0 for s in stats)
