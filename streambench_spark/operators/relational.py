@@ -88,6 +88,67 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def asof_join(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    probe_ts: str,
+    quote_ts: str,
+    quote_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each probe row, the latest quote row with the same
+    key and quote_ts <= probe_ts (inner: probes with no earlier quote are
+    dropped).
+
+    Spark has no ASOF JOIN primitive; the scalable composition is the
+    sorted-union carry-forward: tag both sides, union, and run one window
+    pass per key ordered by (ts, side) with ``last_value(..., ignoreNulls)``
+    carrying the most recent quote onto each probe row. One shuffle+sort
+    on the key — linear in |probes|+|quotes|, never the quadratic
+    equi-join-then-filter-then-rank shape, and no per-key blowup beyond
+    the sort. Quotes order before probes at equal ts (ties inclusive,
+    matching DuckDB ASOF semantics used by the oracle).
+
+    ``quotes`` must be unique per (key, quote_ts) — pre-aggregate upstream
+    to make the match deterministic.
+    """
+    from pyspark.sql import Window
+
+    q = quotes.select(
+        F.col(key).alias("_k"),
+        F.col(quote_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in quote_cols],
+        *[F.lit(None).alias(f"_p_{c}") for c in probes.columns],
+    )
+    p = probes.select(
+        F.col(key).alias("_k"),
+        F.col(probe_ts).cast(dict(quotes.dtypes)[quote_ts]).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(quotes.dtypes)[c]).alias(c) for c in quote_cols],
+        *[F.col(c).alias(f"_p_{c}") for c in probes.columns],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = q.unionByName(p).select(
+        "_k",
+        "_t",
+        "_side",
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in quote_cols],
+        *[F.col(f"_p_{c}") for c in probes.columns],
+    )
+    out = carried.filter(F.col("_side") == 1).filter(
+        F.col(quote_cols[0]).isNotNull()
+    )
+    return out.select(
+        *[F.col(f"_p_{c}").alias(c) for c in probes.columns],
+        *[F.col(c) for c in quote_cols],
+    )
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     return left.join(right, on, "left_semi")
 

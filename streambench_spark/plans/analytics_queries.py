@@ -1,0 +1,141 @@
+"""Analytic-function and temporal-join registry entries: OVER-clause
+ranking/lag, as-of join, and streaming dedup — capabilities a user of a
+general analytics engine expects beyond the reference's own surface
+(SURVEY.md §2.5 notes the reference never uses OVER-clause functions;
+§2.3 notes as-of joins are absent — both are table stakes for the
+"complete analytics engine" framing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streambench_spark.catalog import load_table
+from streambench_spark.operators.relational import asof_join
+from streambench_spark.plans.queries import register
+
+
+@register(
+    "rank_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rnk, total_cents
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    tags=["analytics", "batch"],
+)
+def q_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-clause ranking: top-3 orders per customer. One shuffle on the
+    partition key; per-partition sort only (no global sort)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "lag_event_deltas",
+    """
+    SELECT user_id, event_id,
+           coalesce(epoch_ms(ts) - epoch_ms(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)), -1) AS delta_ms
+    FROM events
+    """,
+    tags=["analytics", "batch"],
+)
+def q_lag_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-clause lag: inter-event gap per user (-1 for each user's
+    first event — no NULLs so the value hash is unambiguous).
+    Deterministic under ts ties via the event_id secondary sort key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(
+            F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w)), F.lit(-1)
+        ).alias("delta_ms"),
+    )
+
+
+@register(
+    "asof_join_attribution",
+    """
+    WITH views AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    purchases AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           v.view_id AS view_id,
+           epoch_ms(v.ts) AS view_ts_ms
+    FROM purchases p
+    ASOF JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=["analytics", "joins"],
+)
+def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution): each purchase matched to the same user's
+    latest view at or before it (operators/relational.py:asof_join —
+    sorted-union carry-forward, one shuffle, linear per key; never the
+    quadratic join-then-rank shape). Oracle uses DuckDB's native ASOF
+    JOIN; views are pre-aggregated per (user, ts) so the match is
+    well-defined in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.unix_millis("ts").alias("view_ts_ms"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        probe_ts="ts",
+        quote_ts="ts",
+        quote_cols=["view_id", "view_ts_ms"],
+    )
+    return out.select("purchase_id", "user_id", "view_id", "view_ts_ms")
+
+
+@register(
+    "streaming_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=["streaming", "dedup"],
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates: first arrival per (user_id, event_type)
+    through the state store, drained with availableNow — the streaming
+    half of exact dedup (emitted key set == batch DISTINCT)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    q, table = run_to_memory(deduped, mode="append", available_now=True)
+    return spark.table(table)

@@ -528,6 +528,7 @@ REGISTRY["generator_events_flink"] = QueryDef(
 
 # LLM-data-pipeline + TPC-H-style entries register themselves on import
 # (bottom of file so `register` exists; the partial-module cycle is benign).
+from streambench_spark.plans import analytics_queries  # noqa: E402, F401
 from streambench_spark.plans import llm_queries  # noqa: E402, F401
 from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 
