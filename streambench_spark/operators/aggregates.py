@@ -21,6 +21,34 @@ def grouped_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame
     return df.groupBy(*keys).agg(*aggs)
 
 
+def salted_grouped_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant two-phase aggregate: group by (keys, salt) first —
+    spreading a hot key over ``salt_buckets`` reducers — then re-aggregate
+    the partials by the true keys.
+
+    Semantically identical to a plain groupBy for any decomposable
+    aggregate (sum/count/min/max: pass the partial as ``partial_aggs``
+    and its combiner as ``final_aggs`` over the partial's column name).
+    Catalyst's map-side partial aggregation already handles *moderate*
+    skew; explicit salting is for the pathological case where one key's
+    partials alone overwhelm a single reducer — the standard 100 TB
+    mitigation alongside AQE's skew-join splitting (which only covers
+    joins, not aggregations).
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(),
+                        F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
 def global_percentiles(
     df: DataFrame, col: str, exact: bool = False
 ) -> DataFrame:

@@ -122,6 +122,36 @@ def q_asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_running_counts",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    tags=["streaming", "stateful"],
+)
+def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-key running
+    count through GroupState, drained with availableNow. The emitted
+    totals are cumulative and monotonic, so max(n) per key == the batch
+    count regardless of how many micro-batches the replay used."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.stateful import running_counts
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counted = running_counts(
+        stream, ["user_id", "event_type"],
+        "user_id long, event_type string, n long",
+    )
+    q, table = run_to_memory(counted, mode="update", available_now=True)
+    return (
+        spark.table(table)
+        .groupBy("user_id", "event_type")
+        .agg(F.max("n").alias("n"))
+    )
+
+
+@register(
     "streaming_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events

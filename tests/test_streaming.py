@@ -210,3 +210,66 @@ def test_kafka_paths_raise_clear_error_without_broker(spark):
     df = spark.range(1).select(F.col("id").alias("x"))
     with _pytest.raises(RuntimeError, match="Kafka integration unavailable"):
         kafka_batch_sink(df, "t", "localhost:9")
+
+
+def test_salted_grouped_agg_equals_plain(spark):
+    """Skew mitigation: two-phase salted aggregate == plain groupBy."""
+    from streambench_spark.operators.aggregates import salted_grouped_agg
+
+    ev = load_table(spark, SF_DIR, "events")
+    plain = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    salted = salted_grouped_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=[
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("pcents"),
+        ],
+        final_aggs=[
+            F.sum("pn").alias("n"),
+            F.sum("pcents").alias("cents"),
+        ],
+        salt_buckets=8,
+    )
+    assert _rows(plain) == _rows(salted)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """J3 through Structured Streaming: watermarked stream-stream join of
+    views→purchases within 1h equals the batch interval join."""
+    from streambench_spark.operators.relational import interval_join
+
+    def side(event_type):
+        return (
+            stream_table(spark, SF_DIR, "events")
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 second")
+        )
+
+    joined = interval_join(
+        side("view"), side("purchase"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    _, table = run_to_memory(joined, mode="append", available_now=True)
+    got = {(r.view_id, r.purchase_id) for r in spark.table(table).collect()}
+
+    ev = load_table(spark, SF_DIR, "events")
+    batch = interval_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    want = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
