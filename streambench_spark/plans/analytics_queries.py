@@ -152,6 +152,65 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=["analytics", "batch"],
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) — the
+    grouping-sets surface the reference never exercises (SURVEY.md §2.4
+    'not present'). One shuffle; Catalyst expands the grouping sets into
+    a single aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue_cents",
+            "n",
+        )
+    )
+
+
+@register(
+    "setops_viewers_not_buyers",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+    """,
+    tags=["analytics", "batch"],
+)
+def q_setops_viewers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (EXCEPT): users who viewed but had not purchased in
+    the first two days — §2.6 coverage beyond the reference ('no
+    union/intersect/except anywhere'). Spark plans a left-anti hash
+    aggregate; the window keeps the result non-vacuous on this corpus."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.subtract(buyers)  # EXCEPT (distinct semantics)
+
+
+@register(
     "streaming_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events
