@@ -125,6 +125,50 @@ def ivf_top1(emb: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
     return _per_cell_top1(emb, cell_col, vec_col)
 
 
+def cosine_neardup_pairs(
+    emb: DataFrame, threshold: float, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with rounded
+    cosine >= threshold — the embedding leg of the dedup family.
+
+    Exact baseline, same broadcast-matmul execution as brute_force_top1:
+    the candidate matrix is shipped once, each corpus partition emits its
+    rows' qualifying pairs. At 100 TB the scale path swaps the candidate
+    matrix for the sign-LSH / IVF bucket join (lsh_top1 plan shape) —
+    same output contract, bounded candidates.
+    """
+    rows = emb.select("vec_id", vec_col).collect()
+    import numpy as np
+
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
+
+    def _pairs(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
+            a_norms = _np.sqrt((a * a).sum(axis=1))
+            sims = (a @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+            sims = _np.sign(sims) * _np.floor(_np.abs(sims) * 1e6 + 0.5) / 1e6
+            out_a, out_b, out_s = [], [], []
+            for i, vid in enumerate(pdf["vec_id"]):
+                mask = (b_ids > int(vid)) & (sims[i] >= threshold)
+                for j in _np.nonzero(mask)[0]:
+                    out_a.append(int(vid))
+                    out_b.append(int(b_ids[j]))
+                    out_s.append(float(sims[i][j]))
+            yield _pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+
+    return emb.select("vec_id", vec_col).mapInPandas(
+        _pairs, schema="id_a long, id_b long, sim double"
+    )
+
+
 def lsh_bucket_expr(vec_col: str = "embedding", n_bits: int = 8) -> str:
     """Sign-bucket id: bit i set iff coordinate i is >= 0.
 

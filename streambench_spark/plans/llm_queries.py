@@ -340,6 +340,28 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_top1(_embs(spark, sf_dir))
 
 
+_COSINE_NEARDUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS norm
+    FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_D_DOT.format(a='a.embedding', b='b.embedding')}
+             / (a.norm * b.norm), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_D_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.norm * b.norm), 6) >= 0.45
+"""
+
+
+@register("neardup_embedding_cosine", _COSINE_NEARDUP_ORACLE, tags=["llm", "dedup"])
+def q_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (>= 0.45), exact broadcast-matmul
+    baseline; the LSH/IVF bucketed variants are the scale path."""
+    return similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45)
+
+
 @register("binary_features", _BINARY_FEATURES_ORACLE, tags=["llm", "multimodal"])
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing, driver-verified: documents → binary
