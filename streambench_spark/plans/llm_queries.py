@@ -7,6 +7,7 @@ left-fold float accumulation — so value hashes match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from streambench_spark.catalog import load_table
 from streambench_spark.llm import dedup, multimodal, similarity, text
@@ -298,6 +299,71 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace + BPE-ish regex token counting."""
     return text.token_counts(_docs(spark, sf_dir))
+
+
+_QUALITY_FILTER_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, length(text) AS n_chars,
+           {_D_TOKENS.format(col='text')} AS tk
+    FROM documents
+)
+SELECT doc_id, lang, source
+FROM toks
+WHERE n_chars >= 100
+  AND len(tk) BETWEEN 20 AND 1000
+  AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.2
+"""
+
+
+@register("quality_filter", _QUALITY_FILTER_ORACLE, tags=["llm", "text"])
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical corpus-cleaning step: keep documents passing length
+    and lexical-diversity thresholds (chars >= 100, 20 <= tokens <= 1000,
+    distinct-token ratio >= 0.2). Pure scan + filter — at 100 TB this is
+    one pass with the predicates evaluated in codegen; the ratio uses an
+    exact integer comparison (a*1 >= 0.2*b avoided via multiplication
+    ordering identical in the oracle)."""
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.withColumn("_n_tok", F.expr(f"size({tk})"))
+        .withColumn("_n_dis", F.expr(f"size(array_distinct({tk}))"))
+        .filter(
+            (F.length("text") >= 100)
+            & (F.col("_n_tok") >= 20) & (F.col("_n_tok") <= 1000)
+            & (F.col("_n_dis") * 1.0 / F.col("_n_tok") >= 0.2)
+        )
+        .select("doc_id", "lang", "source")
+    )
+
+
+_CORPUS_STATS_ORACLE = f"""
+WITH toks AS (
+    SELECT lang, source, {_D_TOKENS.format(col='text')} AS tk FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(len(tk)) AS BIGINT) AS total_tokens,
+       CAST(max(len(tk)) AS BIGINT) AS max_tokens
+FROM toks GROUP BY 1, 2
+"""
+
+
+@register("corpus_stats", _CORPUS_STATS_ORACLE, tags=["llm", "text"])
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus reporting: docs / token totals per (lang, source) — the
+    summary a data pipeline emits after each processing stage. One
+    grouped aggregate on a low-cardinality key."""
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    return (
+        _docs(spark, sf_dir)
+        .select("lang", "source", F.expr(f"size({tk})").alias("_n"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.max("_n").cast("long").alias("max_tokens"),
+        )
+    )
 
 
 @register("lang_id", _lang_id_oracle(), tags=["llm", "text"])

@@ -83,6 +83,18 @@ def latency_marking_sink(
     return writer.start()
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Data-lake batch sink: write partitioned by the given columns
+    (`path/col=value/...` layout) so downstream scans get partition
+    pruning for free. The standard output shape of a corpus pipeline
+    stage (e.g. partition by lang/source); at 100 TB pair with a
+    repartition on the partition columns upstream to avoid
+    small-files-per-partition blowup."""
+    df.write.partitionBy(*partition_cols).format(fmt).mode("overwrite").save(path)
+
+
 def to_json_rows(df: DataFrame, key_col: str | None = None) -> DataFrame:
     """S2/S3 serialization: to_json(struct("*")) as value (+ optional key),
     the exact Kafka wire shape of the reference

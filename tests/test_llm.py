@@ -151,3 +151,22 @@ def test_frame_sample_indices(spark):
         F.lit(10).alias("n_frames")
     ).select(multimodal.frame_sample_indices("n_frames", 3).alias("idx"))
     assert df.first()["idx"] == [0, 3, 6, 9]
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """Partitioned data-lake write: hive layout + partition pruning scan."""
+    from streambench_spark.sinks.sinks import write_partitioned
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    write_partitioned(docs, out, ["lang"])
+    import os
+
+    assert any(d.startswith("lang=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    one = back.filter(F.col("lang") == "en")
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
+    # partition pruning: the predicate appears as a PartitionFilter
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:100]
