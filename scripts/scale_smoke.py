@@ -1,0 +1,83 @@
+"""Scale smoke: run the core plans on generator-produced volume far above
+the sf0.1 testdata (default 20M events, ~33x sf0.1) to catch designs that
+only work small — driver collects, single-partition sorts, unbounded
+state. Not part of the driver contract; run manually:
+
+    python scripts/scale_smoke.py [num_events]
+
+Prints one timing line per stage. Every stage executes end-to-end with a
+noop write (nothing returns to the driver).
+
+Measured 2026-08-13 on local[32] (single JVM):
+    n=20M : generate 14.0M rows/s, ysb 10.8M rows/s,
+            windowed_global_sum 24.2M rows/s, salted hot-key agg 20.2M rows/s
+    n=100M: generate 58.9M rows/s, ysb 17.1M rows/s,
+            windowed_global_sum 78.3M rows/s, salted hot-key agg 90.6M rows/s
+(The reference's published target configuration is 2M events/s —
+BASELINE.md; the YSB plan here sustains ~8x that on one node.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
+    from pyspark.sql import functions as F
+
+    from streambench_spark.plans.ysb import ysb_query
+    from streambench_spark.operators import windows as win
+    from streambench_spark.operators.aggregates import salted_grouped_agg
+    from streambench_spark.session import get_spark
+    from streambench_spark.sources import generators as gen
+
+    spark = get_spark(app_name="scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    campaigns = gen.gen_campaigns(spark, 100, 10)
+    events = gen.gen_events_batch(spark, campaigns, n, events_per_second=200_000)
+    # adapt generator schema to the YSB plan contract
+    ev = events.select(
+        F.col("ad_id").alias("user_id"),
+        F.col("event_time").alias("ts"),
+        "event_type",
+    )
+    dim = campaigns.select(
+        F.col("ad_id").alias("c_custkey"), F.col("campaign_id").alias("c_mktsegment")
+    )
+
+    def stage(label, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(f"{label}: {dt:.1f}s ({n / dt / 1e6:.1f}M rows/s)", flush=True)
+
+    stage("generate-only", ev)
+    stage("ysb", ysb_query(ev, dim, window="10 seconds"))
+    stage(
+        "windowed_global_sum",
+        win.windowed_global_agg(
+            ev, "ts", "1 minute", [F.count(F.lit(1)).alias("n")]
+        ),
+    )
+    stage(
+        "salted_hot_key_agg",
+        salted_grouped_agg(
+            # worst-case skew: constant key
+            ev.withColumn("k", F.lit("hot")),
+            keys=["k"],
+            partial_aggs=[F.count(F.lit(1)).alias("pn")],
+            final_aggs=[F.sum("pn").alias("n")],
+        ),
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -273,3 +273,29 @@ def test_stream_stream_interval_join_equals_batch(spark):
     want = {(r.view_id, r.purchase_id) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_paced_replay_streams_rows(spark):
+    """S7 unbounded looping replay: rows flow at the paced rate with the
+    lookup columns attached and timestamps rewritten to the replay clock."""
+    from streambench_spark.sources.replay import paced_replay, with_index
+
+    lookup = with_index(
+        load_table(spark, SF_DIR, "events").select("event_id", "user_id").limit(100),
+        "event_id",
+    )
+    stream = paced_replay(spark, lookup, rows_per_second=500, num_partitions=2, ts_col="ts")
+    _, table = run_to_memory(stream, mode="append", available_now=False)
+    import time
+
+    got = 0
+    for _ in range(40):
+        time.sleep(0.5)
+        got = spark.table(table).count()
+        if got >= 200:
+            break
+    for q in spark.streams.active:
+        q.stop()
+    assert got >= 200
+    row = spark.table(table).first()
+    assert row["user_id"] is not None and row["ts"] is not None
