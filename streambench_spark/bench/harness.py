@@ -31,6 +31,32 @@ from streambench_spark.streaming.listeners import ThroughputListener
 from streambench_spark.streaming.ysb import start_query, ysb_streaming
 
 
+def latency_analysis(captured: DataFrame, group_keys: list[str],
+                     arrival_col: str, event_col: str) -> DataFrame:
+    """M3, the reference's exact composition (SparkYahooRunner.scala:
+    119-145): per group take max(arrival) and max(event last-update),
+    diff them, then the one-row min/avg/p95/p99/max report.
+
+    ``captured`` is the output capture (Kafka read-back in the reference,
+    any sink capture here) with an arrival-clock column and the event-time
+    column, both epoch millis. Runs fully distributed: grouped max →
+    projection → global aggregate; only the 1-row report reaches the
+    driver."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.operators.aggregates import global_percentiles
+
+    diffs = (
+        captured.groupBy(*group_keys)
+        .agg(
+            F.max(arrival_col).alias("_arr"),
+            F.max(event_col).alias("_ev"),
+        )
+        .select((F.col("_arr") - F.col("_ev")).alias("diff"))
+    )
+    return global_percentiles(diffs, "diff", exact=False)
+
+
 def latency_report(samples_ms: list[float]) -> dict[str, float]:
     """min/avg/p95/p99/max over latency samples — the exact aggregate the
     reference computes driver-side (SparkYahooRunner.scala:139-144).

@@ -67,3 +67,50 @@ def test_progress_stats_shape(spark):
     assert len(stats) >= 1
     assert {"batch_id", "input_rows", "operator", "state_rows"} <= set(stats[0])
     assert any(s["input_rows"] > 0 for s in stats)
+
+
+def test_latency_analysis_reference_composition(spark):
+    """M3: grouped max -> diff -> percentile report, the reference's
+    SparkYahooRunner.scala:119-145 chain, on a synthetic capture."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.bench.harness import latency_analysis
+
+    captured = spark.createDataFrame(
+        [
+            # (window, key, arrival_ms, last_update_ms)
+            (0, "a", 1100, 1000),
+            (0, "a", 1150, 1050),  # same group: maxes 1150/1050 -> diff 100
+            (0, "b", 1300, 1100),  # diff 200
+            (1, "a", 2400, 2100),  # diff 300
+        ],
+        "w long, k string, arrival_ms long, last_update_ms long",
+    )
+    r = latency_analysis(captured, ["w", "k"], "arrival_ms", "last_update_ms").first()
+    assert r["min_v"] == 100 and r["max_v"] == 300
+    assert abs(r["avg_v"] - 200.0) < 1e-9
+
+
+def test_gen_events_stream_flows(spark):
+    """S1 rate-limited streaming generator: rows flow with the generated
+    schema and dim-joined ad ids."""
+    from streambench_spark.sources import generators as gen
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    c = gen.gen_campaigns(spark, 10, 2)
+    stream = gen.gen_events_stream(spark, c, rows_per_second=2000,
+                                   num_partitions=2, ramp_up_seconds=0)
+    _, table = run_to_memory(stream, mode="append", available_now=False)
+    import time
+
+    got = 0
+    for _ in range(40):
+        time.sleep(0.5)
+        got = spark.table(table).count()
+        if got >= 500:
+            break
+    for q in spark.streams.active:
+        q.stop()
+    assert got >= 500
+    row = spark.table(table).first()
+    assert row["ad_id"] is not None and row["event_type"] in ("view", "click", "purchase")
