@@ -152,6 +152,86 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wordcount_top20",
+    """
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+    )
+    SELECT word, count(*) AS n
+    FROM tok GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT 20
+    """,
+    tags=["analytics", "text"],
+)
+def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical tokenizing-UDTF shape (reference WordCountMapper,
+    sbx/CMakeLists.txt:148-155 / SURVEY.md §2.8): explode tokens →
+    grouped count → top-k. Explode emits cheap split output (not a
+    computed expensive array — see dedup.shingle_postings note); the
+    count is one map-side-combined shuffle; top-k is a heap reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(r"split(lower(text), '\\s+')")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "grep_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE text LIKE '%window%' AND text LIKE '%join%'
+    """,
+    tags=["analytics", "text"],
+)
+def q_grep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GrepMapper semantics (reference SimpleMapper/GrepMapper, SURVEY.md
+    §2.8): substring-predicate filter + projection, evaluated in the
+    scan stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").contains("window") & F.col("text").contains("join")
+    ).select("doc_id", "lang")
+
+
+@register(
+    "pivot_user_event_matrix",
+    """
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_click,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+    tags=["analytics", "batch"],
+)
+def q_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user activity matrix (one column per event type).
+    Explicit pivot values keep the schema static — required for a
+    deterministic contract and the scalable form (no extra distinct-values
+    job)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+
+
+@register(
     "rollup_revenue",
     """
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
