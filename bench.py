@@ -69,11 +69,46 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+
+    # The reference's metric tuple (M1 throughput + M3 latency
+    # min/avg/p95/p99/max — BASELINE.md obligations) from one bounded
+    # streaming YSB trial over the frozen events table.
+    streaming = {}
+    try:
+        from streambench_spark.bench import BenchParams
+        from streambench_spark.bench.harness import (
+            run_latency_trial,
+            run_throughput_trial,
+        )
+        from streambench_spark.catalog import load_table
+        from streambench_spark.sources.replay import stream_table
+        from streambench_spark.streaming.ysb import ysb_streaming
+
+        def bounded():
+            return ysb_streaming(
+                stream_table(spark, sf_dir, "events"),
+                load_table(spark, sf_dir, "customer"),
+                window="1 hour",
+                watermark=None,
+            )
+
+        params = BenchParams(duration_s=60)
+        streaming.update(run_throughput_trial(spark, params, source=bounded()))
+        # latency needs LIVE event times (the frozen table's 2024 stamps
+        # would measure dataset age): 10 s of the rate-source generator,
+        # arrival clock minus generation clock per micro-batch (M3).
+        live = BenchParams(duration_s=10, rows_per_second=200_000,
+                           ramp_up_seconds=0, watermark="1 second")
+        streaming.update(run_latency_trial(spark, live, source=None))
+    except Exception as exc:
+        print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "registry_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "streaming_ysb": streaming,
         "sf": sf_val,
     }))
 
