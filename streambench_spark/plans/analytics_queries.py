@@ -291,6 +291,94 @@ def q_setops_viewers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_streaming",
+    """
+    WITH offsets AS (SELECT unnest([0, 1]) AS k)
+    SELECT
+        epoch_ms(time_bucket(INTERVAL 12 HOUR, ts) - (k * INTERVAL 12 HOUR))
+            AS window_start,
+        count(*) AS n
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    HAVING window_start > epoch_ms(TIMESTAMP '2023-12-31 12:00:00')
+    """,
+    tags=["streaming", "windows"],
+)
+def q_sliding_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 through Structured Streaming: sliding windows (1 day / 12 h)
+    over the replayed events, complete-mode final state == the batch
+    sliding-window query (same boundary exclusion as the batch entry)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.groupBy(F.window("ts", "1 day", "12 hours").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("window_start"), "n")
+    )
+    _, table = run_to_memory(agg, mode="complete", available_now=True)
+    cutoff_ms = 1704024000000  # 2023-12-31 12:00:00 UTC (partial first window)
+    return spark.table(table).filter(F.col("window_start") > cutoff_ms)
+
+
+@register(
+    "session_windows_streaming",
+    """
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 1000 AS wm_ms FROM events),
+    ordered AS (
+        SELECT user_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start,
+           epoch_ms(max(ts) + INTERVAL 30 MINUTE) AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    HAVING session_end <= (SELECT wm_ms FROM wm)
+    """,
+    tags=["streaming", "windows"],
+)
+def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 through Structured Streaming: session windows (30 min gap) with
+    watermark + append mode — the state-evicting session shape. Emitted
+    sessions are those finalized by the closing watermark (session end =
+    last event + gap <= max(ts) − 1 s); the oracle applies the same
+    cutoff to the gaps-and-islands rewrite."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = stream_table(spark, sf_dir, "events")
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start"),
+            F.unix_millis("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    _, table = run_to_memory(agg, mode="append", available_now=True)
+    return spark.table(table)
+
+
+@register(
     "streaming_dedup",
     """
     SELECT DISTINCT user_id, event_type FROM events
