@@ -77,6 +77,46 @@ def interval_join(
     return l.join(r, cond)
 
 
+def interval_join_banded(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "5 minutes",
+) -> DataFrame:
+    """Skew-safe variant of interval_join for r.ts in [l.ts, l.ts+upper]:
+    the band length is added to the equi-join key as a time bucket, so a
+    hot key's rows spread over (key × bucket) shuffle partitions instead
+    of landing on one reducer.
+
+    Each left row joins buckets b and b+1 (a window of length `upper`
+    spans at most two buckets of size `upper`); the exact range predicate
+    filters the bucket candidates. Same result set as interval_join
+    (lower=0), different physical distribution — per-reducer work is
+    bounded by the per-(key, bucket) density, not the per-key total.
+    """
+    secs = F.expr(f"INTERVAL {upper}")
+    # bucket width in seconds, derived once from the interval literal
+    width = f"(CAST(unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {upper}) AS DOUBLE) / 1e6)"
+    l = left.withColumn(
+        "_b", F.explode(F.expr(
+            f"array(floor(unix_micros({left_ts}) / 1e6 / {width}),"
+            f" floor(unix_micros({left_ts}) / 1e6 / {width}) + 1)"
+        ))
+    ).alias("l")
+    r = right.withColumn(
+        "_b", F.expr(f"floor(unix_micros({right_ts}) / 1e6 / {width})")
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col("l._b") == F.col("r._b"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + secs)
+    )
+    return l.join(r, cond).drop("_b")
+
+
 def cross_join(left: DataFrame, right: DataFrame) -> DataFrame:
     """J4: used by the harness to combine 1x1 metric frames."""
     return left.crossJoin(right)

@@ -79,11 +79,20 @@ def paced_replay(
     return keyed.join(F.broadcast(lookup), "idx").drop("idx")
 
 
-def with_index(df: DataFrame, order_col: str) -> DataFrame:
-    """Attach a dense 0..N-1 idx by order_col (one-time prep of the
-    replay lookup; small table, so the global window is acceptable)."""
+def with_index(df: DataFrame, order_col: str, max_rows: int = 10_000_000) -> DataFrame:
+    """Attach a dense 0..N-1 idx by order_col — one-time prep of the
+    replay LOOKUP table, which is dim-sized by design (it is broadcast by
+    paced_replay). The global single-partition sort is the price of a
+    dense gap-free index; the guard makes the dim-only contract explicit
+    instead of silently degrading on a fact-sized input."""
     from pyspark.sql import Window
 
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"with_index is for broadcastable lookup tables; got {n} rows "
+            f"(> {max_rows}). Replay a table this large from files instead."
+        )
     w = Window.orderBy(order_col)
     return df.withColumn("idx", F.row_number().over(w) - 1)
 

@@ -299,3 +299,29 @@ def test_paced_replay_streams_rows(spark):
     assert got >= 200
     row = spark.table(table).first()
     assert row["user_id"] is not None and row["ts"] is not None
+
+
+def test_banded_interval_join_equals_plain(spark):
+    """Skew-safe banded interval join == plain interval join (lower=0)."""
+    from streambench_spark.operators.relational import interval_join, interval_join_banded
+
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+
+    def pairs(df):
+        return {
+            (r["view_id"], r["purchase_id"])
+            for r in df.select(
+                F.col("l.event_id").alias("view_id"),
+                F.col("r.event_id").alias("purchase_id"),
+            ).collect()
+        }
+
+    plain = pairs(interval_join(views, purchases, key="user_id",
+                                left_ts="ts", right_ts="ts",
+                                lower="0 seconds", upper="1 hour"))
+    banded = pairs(interval_join_banded(views, purchases, key="user_id",
+                                        left_ts="ts", right_ts="ts", upper="1 hour"))
+    assert banded == plain
+    assert len(plain) > 0
