@@ -366,7 +366,64 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id", _lang_id_oracle(), tags=["llm", "text"])
+_PIPELINE_ORACLE = f"""
+WITH kept AS (
+    SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text, length(text) AS n_chars,
+               {_D_TOKENS.format(col='text')} AS tk
+        FROM documents
+    ) WHERE n_chars >= 100
+        AND len(tk) BETWEEN 20 AND 1000
+        AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.2
+),
+toks AS (SELECT doc_id, lang, {_D_TOKENS.format(col='text')} AS tk FROM kept),
+sh0 AS (SELECT doc_id, lang, {_D_SHINGLES} AS shingles FROM toks),
+sh AS (SELECT doc_id, lang,
+              list_distinct(list_transform(shingles,
+                  s -> {_D_H32.format(s='s')} % {MERSENNE_P})) AS hsh
+       FROM sh0),
+ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+removed AS (
+    SELECT DISTINCT id_b AS doc_id FROM pairs
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+)
+SELECT lang, count(*) AS n_docs
+FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+GROUP BY lang
+"""
+
+
+@register("corpus_clean_pipeline", _PIPELINE_ORACLE, tags=["llm", "pipeline"])
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning, composed from the registry operators:
+    quality filter → near-dup removal (drop the higher doc_id of each
+    Jaccard >= 0.5 pair among the kept docs) → per-language survivor
+    counts. The composition is one lazy plan — Catalyst sees the whole
+    pipeline and shares the scan; each stage's shuffles are the ones its
+    operator documents."""
+    # kept docs WITH text (quality_filter's registry entry projects it away)
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    docs = _docs(spark, sf_dir)
+    kept = (
+        docs.withColumn("_n_tok", F.expr(f"size({tk})"))
+        .withColumn("_n_dis", F.expr(f"size(array_distinct({tk}))"))
+        .filter(
+            (F.length("text") >= 100)
+            & (F.col("_n_tok") >= 20) & (F.col("_n_tok") <= 1000)
+            & (F.col("_n_dis") * 1.0 / F.col("_n_tok") >= 0.2)
+        )
+        .select("doc_id", "lang", "text")
+    )
+    pairs = dedup.ngram_jaccard_pairs(kept, 0.5)
+    removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = kept.join(removed, "doc_id", "left_anti")
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-profile marker-n-gram language ID with deterministic argmax."""
     return text.lang_id(_docs(spark, sf_dir))
