@@ -498,8 +498,13 @@ def _generator_oracle(num_events: int, flink_quirk: bool) -> str:
 
 def _generator_query(flink_quirk: bool, num_events: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streambench_spark.catalog import _ensure_session_confs
         from streambench_spark.sources import generators as gen
 
+        # no table load happens here, so apply the session confs (UTC)
+        # explicitly — the base-ts literal must parse as UTC on ANY
+        # caller-provided session for the oracle's epoch math to match
+        _ensure_session_confs(spark)
         c = gen.gen_campaigns(spark, 10, 2)
         e = gen.gen_events_batch(spark, c, num_events, flink_ts_quirk=flink_quirk)
         return e.select(
