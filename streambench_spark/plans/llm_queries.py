@@ -485,6 +485,34 @@ def q_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45)
 
 
+_FRAME_SAMPLING_ORACLE = """
+WITH assets AS (
+    SELECT doc_id, n_chars % 100 AS n_frames FROM documents
+)
+SELECT doc_id, unnest(range(0, n_frames, 10)) AS frame_idx
+FROM assets WHERE n_frames > 0
+"""
+
+
+@register("frame_sampling_plan", _FRAME_SAMPLING_ORACLE, tags=["llm", "multimodal"])
+def q_frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: one row per sampled frame index (every
+    10th frame) per asset — the explode/UDTF side of the multimodal path
+    (multimodal.frame_sample_indices; the decode of each sampled frame is
+    the stubbed codec step). Frame counts are derived deterministically
+    from document metadata since the testdata has no real video column."""
+    docs = load_table(spark, sf_dir, "documents")
+    assets = docs.select(
+        "doc_id", (F.col("n_chars") % 100).cast("int").alias("n_frames")
+    ).filter(F.col("n_frames") > 0)
+    from streambench_spark.llm.multimodal import frame_sample_indices
+
+    return assets.select(
+        "doc_id",
+        F.explode(frame_sample_indices("n_frames", 10)).alias("frame_idx"),
+    ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
 @register("binary_features", _BINARY_FEATURES_ORACLE, tags=["llm", "multimodal"])
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing, driver-verified: documents → binary
