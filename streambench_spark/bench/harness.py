@@ -182,9 +182,11 @@ def run_latency_trial(
         if rows and max_lu is not None
     ]
     report = latency_report(samples)
+    # keys prefixed so t.update() in run_benchmark can't clobber the
+    # throughput trial's totalDurationMillis
     return {
-        "totalDurationMillis": round(total_ms, 1),
-        "batches": len(collector),
+        "latency_total_ms": round(total_ms, 1),
+        "latency_batches": len(collector),
         **{f"latency_{k}_ms": round(v, 1) for k, v in report.items()},
     }
 

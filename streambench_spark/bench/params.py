@@ -44,10 +44,10 @@ class BenchParams:
         for f in fields(cls):
             env = os.environ.get(f"SPARK_GRAFT_BENCH_{f.name.upper()}")
             if env is not None and f.name not in kwargs:
-                if f.type in ("int", "int | None"):
-                    kwargs[f.name] = int(env)
-                elif env.lower() in ("none", ""):
+                if env.lower() in ("none", "") and "None" in str(f.type):
                     kwargs[f.name] = None
+                elif f.type in ("int", "int | None"):
+                    kwargs[f.name] = int(env)
                 else:
                     kwargs[f.name] = env
         return cls(**kwargs)

@@ -63,8 +63,12 @@ def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
                 continue
             a = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
             a_norms = _np.sqrt((a * a).sum(axis=1))
-            sims = round6((a @ b_mat.T) / (a_norms[:, None] * b_norms[None, :]))
-            out_n, out_s = [], []
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                sims = round6((a @ b_mat.T) / (a_norms[:, None] * b_norms[None, :]))
+            # zero-norm vectors have undefined cosine (0/0 → NaN): they are
+            # never a neighbor and get no output row of their own
+            sims = _np.where(_np.isnan(sims), -_np.inf, sims)
+            out_v, out_n, out_s = [], [], []
             for i, vid in enumerate(pdf["vec_id"]):
                 row = sims[i]
                 j_self = pos.get(int(vid))
@@ -72,10 +76,15 @@ def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
                     row = row.copy()
                     row[j_self] = -_np.inf
                 best = row.max()
+                if not _np.isfinite(best):
+                    continue  # zero-norm query or no other candidates
+                out_v.append(int(vid))
                 out_n.append(int(b_ids[row == best].min()))
                 out_s.append(float(best))
             yield _pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "neighbor_id": out_n, "sim": out_s}
+                {"vec_id": _pd.Series(out_v, dtype="int64"),
+                 "neighbor_id": _pd.Series(out_n, dtype="int64"),
+                 "sim": _pd.Series(out_s, dtype="float64")}
             )
 
     return emb.select("vec_id", vec_col).mapInPandas(
@@ -107,12 +116,23 @@ def _per_cell_top1(emb: DataFrame, cell_col: str, vec_col: str) -> DataFrame:
         ids = pdf["vec_id"].to_numpy()
         a = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
         norms = _np.sqrt((a * a).sum(axis=1))
-        sims = (a @ a.T) / (norms[:, None] * norms[None, :])
+        with _np.errstate(invalid="ignore", divide="ignore"):
+            sims = (a @ a.T) / (norms[:, None] * norms[None, :])
         sims = _np.sign(sims) * _np.floor(_np.abs(sims) * 1e6 + 0.5) / 1e6
+        # zero-norm vectors: undefined cosine → excluded as query and candidate
+        sims = _np.where(_np.isnan(sims), -_np.inf, sims)
         _np.fill_diagonal(sims, -_np.inf)
         best = sims.max(axis=1)
-        neighbors = [int(ids[sims[i] == best[i]].min()) for i in range(len(ids))]
-        return _pd.DataFrame({"vec_id": ids, "neighbor_id": neighbors, "sim": best})
+        keep = _np.isfinite(best)
+        ids_k, best_k = ids[keep], best[keep]
+        neighbors = [
+            int(ids[sims[i] == best[i]].min()) for i in _np.nonzero(keep)[0]
+        ]
+        return _pd.DataFrame(
+            {"vec_id": ids_k,
+             "neighbor_id": _pd.Series(neighbors, dtype="int64"),
+             "sim": best_k}
+        )
 
     return emb.select("vec_id", cell_col, vec_col).groupBy(cell_col).applyInPandas(
         _cell, schema="vec_id long, neighbor_id long, sim double"
@@ -153,8 +173,11 @@ def cosine_neardup_pairs(
                 continue
             a = _np.stack(pdf[vec_col].to_numpy()).astype(_np.float64)
             a_norms = _np.sqrt((a * a).sum(axis=1))
-            sims = (a @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
+            with _np.errstate(invalid="ignore", divide="ignore"):
+                sims = (a @ b_mat.T) / (a_norms[:, None] * b_norms[None, :])
             sims = _np.sign(sims) * _np.floor(_np.abs(sims) * 1e6 + 0.5) / 1e6
+            # NaN (zero-norm) → -inf: never crosses a finite threshold
+            sims = _np.where(_np.isnan(sims), -_np.inf, sims)
             out_a, out_b, out_s = [], [], []
             for i, vid in enumerate(pdf["vec_id"]):
                 mask = (b_ids > int(vid)) & (sims[i] >= threshold)
@@ -162,7 +185,11 @@ def cosine_neardup_pairs(
                     out_a.append(int(vid))
                     out_b.append(int(b_ids[j]))
                     out_s.append(float(sims[i][j]))
-            yield _pd.DataFrame({"id_a": out_a, "id_b": out_b, "sim": out_s})
+            yield _pd.DataFrame(
+                {"id_a": _pd.Series(out_a, dtype="int64"),
+                 "id_b": _pd.Series(out_b, dtype="int64"),
+                 "sim": _pd.Series(out_s, dtype="float64")}
+            )
 
     return emb.select("vec_id", vec_col).mapInPandas(
         _pairs, schema="id_a long, id_b long, sim double"

@@ -31,6 +31,34 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
+def quality_kept(
+    docs: DataFrame,
+    *out_cols: str,
+    text_col: str = "text",
+    min_chars: int = 100,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """The canonical corpus-quality filter: keep documents with
+    chars >= min_chars, min_tokens <= tokens <= max_tokens, and
+    distinct-token ratio >= min_distinct_ratio. Pure scan + filter,
+    predicates in codegen; shared by the quality_filter and
+    corpus_clean_pipeline registry queries."""
+    tk = TOKENS_EXPR.format(col=text_col)
+    return (
+        docs.withColumn("_n_tok", F.expr(f"size({tk})"))
+        .withColumn("_n_dis", F.expr(f"size(array_distinct({tk}))"))
+        .filter(
+            (F.length(text_col) >= min_chars)
+            & (F.col("_n_tok") >= min_tokens)
+            & (F.col("_n_tok") <= max_tokens)
+            & (F.col("_n_dis") * 1.0 / F.col("_n_tok") >= min_distinct_ratio)
+        )
+        .select(*out_cols)
+    )
+
+
 def doc_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality stats: char/token counts, distinct-token count,
     stopword count, average token length.

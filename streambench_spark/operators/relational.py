@@ -77,6 +77,36 @@ def interval_join(
     return l.join(r, cond)
 
 
+_INTERVAL_UNIT_SECONDS = {
+    "second": 1.0,
+    "seconds": 1.0,
+    "minute": 60.0,
+    "minutes": 60.0,
+    "hour": 3600.0,
+    "hours": 3600.0,
+    "day": 86400.0,
+    "days": 86400.0,
+}
+
+
+def _interval_seconds(interval: str) -> float:
+    """Parse 'N unit [N unit ...]' (e.g. '5 minutes', '1 hour 30 minutes')
+    into seconds, timezone-free. Mirrors the subset of Spark's multi-unit
+    INTERVAL syntax the engine uses for band widths."""
+    parts = interval.split()
+    if len(parts) % 2 != 0 or not parts:
+        raise ValueError(f"unsupported interval literal: {interval!r}")
+    total = 0.0
+    for value, unit in zip(parts[::2], parts[1::2]):
+        try:
+            total += float(value) * _INTERVAL_UNIT_SECONDS[unit.lower()]
+        except (ValueError, KeyError):
+            raise ValueError(f"unsupported interval literal: {interval!r}") from None
+    if total <= 0:
+        raise ValueError(f"band width must be positive: {interval!r}")
+    return total
+
+
 def interval_join_banded(
     left: DataFrame,
     right: DataFrame,
@@ -97,8 +127,10 @@ def interval_join_banded(
     bounded by the per-(key, bucket) density, not the per-key total.
     """
     secs = F.expr(f"INTERVAL {upper}")
-    # bucket width in seconds, derived once from the interval literal
-    width = f"(CAST(unix_micros(TIMESTAMP '1970-01-01 00:00:00' + INTERVAL {upper}) AS DOUBLE) / 1e6)"
+    # bucket width in seconds, parsed driver-side: a SQL-literal derivation
+    # (unix_micros(TIMESTAMP '1970..' + INTERVAL ...)) would shift by the
+    # session timezone's epoch offset on non-UTC sessions.
+    width = repr(_interval_seconds(upper))
     l = left.withColumn(
         "_b", F.explode(F.expr(
             f"array(floor(unix_micros({left_ts}) / 1e6 / {width}),"
@@ -151,21 +183,28 @@ def asof_join(
 
     ``quotes`` must be unique per (key, quote_ts) — pre-aggregate upstream
     to make the match deterministic.
+
+    The carried quote is one struct column, NULL on probe rows: the row
+    travels atomically, so NULL *fields* inside a quote are preserved
+    (per-column carry would stitch fields from different quote rows) and
+    a probe matching a quote with NULLs is still a match.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    q_struct_type = T.StructType([quotes.schema[c] for c in quote_cols])
     q = quotes.select(
         F.col(key).alias("_k"),
         F.col(quote_ts).alias("_t"),
         F.lit(0).alias("_side"),
-        *[F.col(c) for c in quote_cols],
+        F.struct(*[F.col(c) for c in quote_cols]).alias("_q"),
         *[F.lit(None).alias(f"_p_{c}") for c in probes.columns],
     )
     p = probes.select(
         F.col(key).alias("_k"),
         F.col(probe_ts).cast(dict(quotes.dtypes)[quote_ts]).alias("_t"),
         F.lit(1).alias("_side"),
-        *[F.lit(None).cast(dict(quotes.dtypes)[c]).alias(c) for c in quote_cols],
+        F.lit(None).cast(q_struct_type).alias("_q"),
         *[F.col(c).alias(f"_p_{c}") for c in probes.columns],
     )
     w = (
@@ -174,18 +213,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = q.unionByName(p).select(
-        "_k",
-        "_t",
         "_side",
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in quote_cols],
+        F.last(F.col("_q"), ignorenulls=True).over(w).alias("_q"),
         *[F.col(f"_p_{c}") for c in probes.columns],
     )
-    out = carried.filter(F.col("_side") == 1).filter(
-        F.col(quote_cols[0]).isNotNull()
-    )
+    out = carried.filter((F.col("_side") == 1) & F.col("_q").isNotNull())
     return out.select(
         *[F.col(f"_p_{c}").alias(c) for c in probes.columns],
-        *[F.col(c) for c in quote_cols],
+        *[F.col("_q").getField(c).alias(c) for c in quote_cols],
     )
 
 

@@ -323,18 +323,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     one pass with the predicates evaluated in codegen; the ratio uses an
     exact integer comparison (a*1 >= 0.2*b avoided via multiplication
     ordering identical in the oracle)."""
-    tk = dedup.TOKENS_EXPR.format(col="text")
-    docs = _docs(spark, sf_dir)
-    return (
-        docs.withColumn("_n_tok", F.expr(f"size({tk})"))
-        .withColumn("_n_dis", F.expr(f"size(array_distinct({tk}))"))
-        .filter(
-            (F.length("text") >= 100)
-            & (F.col("_n_tok") >= 20) & (F.col("_n_tok") <= 1000)
-            & (F.col("_n_dis") * 1.0 / F.col("_n_tok") >= 0.2)
-        )
-        .select("doc_id", "lang", "source")
-    )
+    return text.quality_kept(_docs(spark, sf_dir), "doc_id", "lang", "source")
 
 
 _CORPUS_STATS_ORACLE = f"""
@@ -408,22 +397,14 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline and shares the scan; each stage's shuffles are the ones its
     operator documents."""
     # kept docs WITH text (quality_filter's registry entry projects it away)
-    tk = dedup.TOKENS_EXPR.format(col="text")
-    docs = _docs(spark, sf_dir)
-    kept = (
-        docs.withColumn("_n_tok", F.expr(f"size({tk})"))
-        .withColumn("_n_dis", F.expr(f"size(array_distinct({tk}))"))
-        .filter(
-            (F.length("text") >= 100)
-            & (F.col("_n_tok") >= 20) & (F.col("_n_tok") <= 1000)
-            & (F.col("_n_dis") * 1.0 / F.col("_n_tok") >= 0.2)
-        )
-        .select("doc_id", "lang", "text")
-    )
+    kept = text.quality_kept(_docs(spark, sf_dir), "doc_id", "lang", "text")
     pairs = dedup.ngram_jaccard_pairs(kept, 0.5)
     removed = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = kept.join(removed, "doc_id", "left_anti")
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register("lang_id", _lang_id_oracle(), tags=["llm", "text"])
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-profile marker-n-gram language ID with deterministic argmax."""
     return text.lang_id(_docs(spark, sf_dir))

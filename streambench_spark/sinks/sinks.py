@@ -111,20 +111,15 @@ def kafka_batch_sink(
     """S3: one-shot batch write of a (small) table to a topic — the
     reference seeds the campaigns dim this way before the run
     (YahooBenchmarkRunner.scala:40-44). Same gating as the sources."""
-    try:
-        (
-            to_json_rows(df, key_col=key_col)
-            .write.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .save()
-        )
-    except Exception as exc:
-        raise RuntimeError(
-            "Kafka integration unavailable: needs the spark-sql-kafka "
-            "package on the classpath and a reachable broker "
-            f"(underlying error: {type(exc).__name__})"
-        ) from exc
+    from streambench_spark.sources.kafka import kafka_gated
+
+    kafka_gated(
+        to_json_rows(df, key_col=key_col)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .save
+    )
 
 
 def kafka_sink(

@@ -22,15 +22,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
-def _gate(spark: SparkSession, reader):
-    """Materialize reader errors as a clear, actionable RuntimeError."""
+def kafka_gated(action):
+    """Run a Kafka reader/writer action (e.g. ``reader.load`` or
+    ``writer.save``), materializing missing-package / unreachable-broker
+    errors as one clear, actionable RuntimeError. Shared by the sources
+    here and sinks.kafka_batch_sink."""
     try:
-        return reader.load()
+        return action()
     except Exception as exc:  # missing package / unreachable broker
+        detail = str(exc).splitlines()[0][:200] if str(exc) else ""
         raise RuntimeError(
             "Kafka integration unavailable: needs the spark-sql-kafka "
             "package on the classpath and a reachable broker "
-            f"(underlying error: {type(exc).__name__})"
+            f"(underlying error: {type(exc).__name__}: {detail})"
         ) from exc
 
 
@@ -56,13 +60,13 @@ def kafka_batch_source(
     The Kafka ``timestamp`` column is the broker LogAppendTime the
     reference uses as its latency clock; downstream:
     grouped max → diff → percentiles (operators/aggregates.py)."""
-    raw = _gate(
-        spark,
+    raw = kafka_gated(
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
-        .option("endingOffsets", "latest"),
+        .option("endingOffsets", "latest")
+        .load
     )
     return decode_json_rows(raw, schema) if schema is not None else raw
 
@@ -85,4 +89,4 @@ def kafka_stream_source(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return _gate(spark, reader)
+    return kafka_gated(reader.load)

@@ -36,7 +36,8 @@ def test_throughput_trial_bounded(spark):
 def test_latency_trial_bounded(spark):
     params = BenchParams(duration_s=5)
     m = run_latency_trial(spark, params, source=_bounded_source(spark))
-    assert m["batches"] >= 1
+    assert m["latency_batches"] >= 1
+    assert m["latency_total_ms"] > 0
     assert m["latency_max_ms"] >= m["latency_p99_ms"] >= m["latency_min_ms"]
 
 
@@ -47,6 +48,9 @@ def test_benchmark_trial_loop(spark):
     assert sum(1 for t in report["trials"] if t["warmup"]) == 1
     assert report["median_throughput_rows_per_s"] > 0
     assert report["params"]["window"] == "10 seconds"
+    # merged trial tuples keep both clocks (no key collision)
+    for t in report["trials"]:
+        assert "totalDurationMillis" in t and "latency_total_ms" in t
 
 
 def test_params_from_env(monkeypatch):

@@ -82,6 +82,33 @@ def test_brute_force_top1_finds_planted_neighbor(spark):
     assert ivf == top  # planted neighbors share the label cell
 
 
+def test_zero_norm_vectors_excluded_not_crashing(spark):
+    """Zero vectors have undefined cosine: they must produce no output row,
+    never be selected as a neighbor, and never cross a threshold — in all
+    three kernels (brute force, per-cell, pair emitter)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0),
+            (2, [0.99, 0.1, 0.0], 0),
+            (3, [0.0, 0.0, 0.0], 0),  # zero-norm
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    top = {r["vec_id"]: r["neighbor_id"] for r in similarity.brute_force_top1(emb).collect()}
+    assert top == {1: 2, 2: 1}
+    ivf = {r["vec_id"]: r["neighbor_id"] for r in similarity.ivf_top1(emb).collect()}
+    assert ivf == {1: 2, 2: 1}
+    pairs = similarity.cosine_neardup_pairs(emb, 0.9).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    # a cell containing ONLY a zero vector must also be silent
+    solo = spark.createDataFrame(
+        [(7, [0.0, 0.0], 0), (8, [0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert similarity.brute_force_top1(solo).count() == 0
+    assert similarity.ivf_top1(solo).count() == 0
+
+
 def test_lsh_top1_subset_of_brute_force_quality(spark):
     """Bucketed candidates: every reported neighbor must share the sign
     bucket and the similarity must equal the exact pairwise cosine."""

@@ -46,3 +46,26 @@ def test_asof_join_matches_python_model(spark, case):
         if eligible:
             want.add((i, max(eligible)[1]))
     assert got == want
+
+
+def test_asof_join_carries_null_quote_fields_atomically(spark):
+    """A NULL field inside the matched quote row must be carried as-is:
+    per-column carry-forward would stitch it with an older quote's value,
+    and a NULL in the first quote column must not drop the match."""
+    quotes = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 20, None, None), (1, 30, 300, "c")],
+        "k long, t long, px long, tag string",
+    )
+    probes = spark.createDataFrame(
+        [(0, 1, 25), (1, 1, 35), (2, 1, 15)], "pid long, k long, t long"
+    )
+    got = {
+        r["pid"]: (r["px"], r["tag"])
+        for r in asof_join(
+            probes, quotes, key="k", probe_ts="t", quote_ts="t",
+            quote_cols=["px", "tag"],
+        ).collect()
+    }
+    # probe@25 matches quote@20 (all-NULL fields, still a match, not stitched
+    # with quote@10's values); probe@35 → quote@30; probe@15 → quote@10
+    assert got == {0: (None, None), 1: (300, "c"), 2: (100, "a")}

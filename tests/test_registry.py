@@ -25,3 +25,20 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.queries()).issuperset(set(e.oracle_sql()))
+
+
+def test_every_query_function_is_registered():
+    """Every top-level q_* function in the plan modules must be in the
+    REGISTRY — guards against an edit dropping a @register decorator
+    (this happened to lang_id in round 2)."""
+    import inspect
+
+    from streambench_spark.plans import (
+        analytics_queries, llm_queries, queries, tpch_queries, ysb,
+    )
+
+    registered = {q.fn for q in REGISTRY.values()}
+    for mod in (analytics_queries, llm_queries, queries, tpch_queries, ysb):
+        for name, fn in vars(mod).items():
+            if name.startswith("q_") and inspect.isfunction(fn):
+                assert fn in registered, f"{mod.__name__}.{name} not registered"

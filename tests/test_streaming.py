@@ -325,3 +325,28 @@ def test_banded_interval_join_equals_plain(spark):
                                         left_ts="ts", right_ts="ts", upper="1 hour"))
     assert banded == plain
     assert len(plain) > 0
+
+    # band width must be timezone-free: same result on a non-UTC session
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        banded_tz = pairs(interval_join_banded(
+            views, purchases, key="user_id",
+            left_ts="ts", right_ts="ts", upper="1 hour"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert banded_tz == plain
+
+
+def test_interval_seconds_parser():
+    from streambench_spark.operators.relational import _interval_seconds
+
+    assert _interval_seconds("5 minutes") == 300.0
+    assert _interval_seconds("1 hour 30 minutes") == 5400.0
+    assert _interval_seconds("2 days") == 172800.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _interval_seconds("5 fortnights")
+    with _pytest.raises(ValueError):
+        _interval_seconds("")
