@@ -125,6 +125,87 @@ def documents_as_binary_assets(docs: DataFrame, text_col: str = "text") -> DataF
     )
 
 
+_FAKE_AUDIO_MAGIC = b"FAKEAUD:"
+
+
+def decode_audio(payload: bytes) -> tuple[int, int]:
+    """Decode (sample_rate, n_samples). Same stub contract as
+    decode_image: parse the self-describing fake header
+    (b"FAKEAUD:<rate>:<n_samples>:"), refuse real codecs."""
+    if payload.startswith(_FAKE_AUDIO_MAGIC):
+        rate, n, _rest = payload[len(_FAKE_AUDIO_MAGIC) :].split(b":", 2)
+        return int(rate), int(n)
+    raise NotImplementedError(
+        "real audio decoding requires a codec library not present in this "
+        "environment; payloads must carry the FAKEAUD header in tests"
+    )
+
+
+def fit_box(w: int, h: int, target: int) -> tuple[int, int]:
+    """Aspect-preserving integer fit of (w, h) into a target×target box:
+    the longer edge becomes `target`, the shorter scales proportionally
+    (floor, min 1). Pure integer arithmetic so a SQL oracle can replicate
+    it exactly."""
+    m = max(w, h)
+    return max(1, (w * target) // m), max(1, (h * target) // m)
+
+
+def resize_images(assets: DataFrame, target: int = 16) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (binary in, binary
+    out — the same plumbing a real thumbnailing stage uses; only the pixel
+    resample is faked). Output payload: FAKEIMG header with the fitted
+    dimensions + a body of exactly width*height bytes, deterministically
+    tiled from the source body (a real pipeline puts the decoded+resampled
+    pixels here). One narrow stage, no shuffle; non-images pass through
+    with NULL dims."""
+
+    # Self-contained closure (shipped by value — see extract_features).
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        magic = b"FAKEIMG:"
+
+        def _one(row):
+            payload, media = row["payload"], row["media_type"]
+            if media != "image" or not payload.startswith(magic):
+                return (None, None, None, None, payload)
+            head, body = payload[len(magic):].split(b":", 1)
+            w, h = (int(x) for x in head.split(b"x"))
+            m = max(w, h)
+            nw = max(1, (w * target) // m)
+            nh = max(1, (h * target) // m)
+            need = nw * nh
+            src = body if body else b"\x00"
+            tiled = (src * (need // len(src) + 1))[:need]
+            out = magic + f"{nw}x{nh}".encode() + b":" + tiled
+            return (w, h, nw, nh, out)
+
+        for pdf in batches:
+            res = pdf.apply(_one, axis=1)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": _pd.Series([r[0] for r in res], dtype="Int32"),
+                    "src_h": _pd.Series([r[1] for r in res], dtype="Int32"),
+                    "width": _pd.Series([r[2] for r in res], dtype="Int32"),
+                    "height": _pd.Series([r[3] for r in res], dtype="Int32"),
+                    "payload": [r[4] for r in res],
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("src_w", IntegerType()),
+            StructField("src_h", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return assets.mapInPandas(_resize, schema=out_schema)
+
+
 def frame_sample_indices(n_frames_col: str, every_n: int) -> Column:
     """Video frame-sampling plan helper: indices 0, every_n, 2·every_n …
     below n_frames — pure expression (the decode of those frames is the

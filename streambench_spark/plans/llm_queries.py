@@ -503,3 +503,52 @@ def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(assets).select(
         "doc_id", "n_bytes", "payload_sha256"
     )
+
+
+_IMAGE_RESIZE_ORACLE = """
+WITH dims AS (
+    SELECT doc_id,
+           CAST(8 + n_chars % 32 AS INTEGER) AS w,
+           CAST(8 + doc_id % 24 AS INTEGER) AS h
+    FROM documents
+), r AS (
+    SELECT doc_id, w, h,
+           CAST(greatest(1, (w * 16) // greatest(w, h)) AS INTEGER) AS nw,
+           CAST(greatest(1, (h * 16) // greatest(w, h)) AS INTEGER) AS nh
+    FROM dims
+)
+SELECT doc_id, w AS src_w, h AS src_h, nw AS width, nh AS height,
+       CAST(8 + length(CAST(nw AS VARCHAR)) + 1
+              + length(CAST(nh AS VARCHAR)) + 1 + nw * nh AS BIGINT) AS n_bytes
+FROM r
+"""
+
+
+@register("image_resize", _IMAGE_RESIZE_ORACLE, tags=["llm", "multimodal"])
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize stage: fake-image payloads (deterministic dims
+    from document metadata, body = text bytes) → binary-in/binary-out
+    Arrow-batched resize (aspect-preserving fit into 16×16, body tiled to
+    exactly width*height bytes) → size contract. The oracle recomputes the
+    fitted dims and the resized payload's byte length arithmetically, so a
+    wrong output payload (bad header, bad body size) hash-mismatches;
+    pytest checks the tiled bytes themselves. No shuffle: one mapInPandas
+    stage, linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (F.lit(8) + F.col("n_chars") % 32).cast("int")
+    h = (F.lit(8) + F.col("doc_id") % 24).cast("int")
+    header = F.concat_ws(
+        "", F.lit("FAKEIMG:"), w.cast("string"), F.lit("x"), h.cast("string"), F.lit(":")
+    )
+    assets = docs.select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.concat(F.encode(header, "UTF-8"), F.encode(F.col("text"), "UTF-8")).alias(
+            "payload"
+        ),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    resized = multimodal.resize_images(assets, target=16)
+    return resized.select(
+        "doc_id", "src_w", "src_h", "width", "height",
+        F.length("payload").cast("long").alias("n_bytes"),
+    )

@@ -171,6 +171,37 @@ def test_multimodal_feature_extraction_decodes_fake_images(spark):
 def test_decode_image_refuses_real_payloads():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n...")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"RIFF....WAVE")
+
+
+def test_fit_box_aspect_preserving():
+    assert multimodal.fit_box(640, 480, 16) == (16, 12)
+    assert multimodal.fit_box(480, 640, 16) == (12, 16)
+    assert multimodal.fit_box(16, 16, 16) == (16, 16)
+    assert multimodal.fit_box(1000, 1, 16) == (16, 1)  # floor clamps to >= 1
+
+
+def test_resize_images_tiles_body_exactly(spark):
+    assets = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"FAKEIMG:640x480:ab")),
+            (2, "audio", bytearray(b"FAKEAUD:16000:100:x")),
+        ],
+        schema=multimodal.ASSET_SCHEMA,
+    )
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(assets, 16).collect()}
+    r1 = rows[1]
+    assert (r1["src_w"], r1["src_h"], r1["width"], r1["height"]) == (640, 480, 16, 12)
+    assert bytes(r1["payload"]).startswith(b"FAKEIMG:16x12:")
+    body = bytes(r1["payload"])[len(b"FAKEIMG:16x12:"):]
+    assert len(body) == 16 * 12
+    assert body == (b"ab" * (16 * 12 // 2 + 1))[: 16 * 12]
+    # non-image passes through untouched with NULL dims
+    r2 = rows[2]
+    assert r2["width"] is None and bytes(r2["payload"]) == b"FAKEAUD:16000:100:x"
+    # decode_audio round-trips the fake header
+    assert multimodal.decode_audio(bytes(r2["payload"])) == (16000, 100)
 
 
 def test_frame_sample_indices(spark):
