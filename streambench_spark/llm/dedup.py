@@ -175,6 +175,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df_frac: float = 0.05,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The 100 TB scale path for n-gram Jaccard: drop shingles whose
+    document frequency exceeds ``max_df_frac`` of the corpus from
+    CANDIDATE GENERATION (the standard df-cap in web-corpus dedup — common
+    boilerplate shingles pair up everything with everything), then verify
+    candidates with the EXACT full-shingle Jaccard.
+
+    Semantics: a pair is reported iff it shares >= 1 rare shingle AND its
+    exact Jaccard >= threshold — output ⊆ ngram_jaccard_pairs, missing
+    only pairs whose every shared shingle is boilerplate-common. The
+    per-shingle bucket is bounded by max_df_frac·N, so the join's worst
+    key produces a bounded micro-product instead of the unbounded
+    quadratic blowup a hot shingle causes in the exact variant: per-key
+    work drops from O(max_df²) (unbounded) to O((max_df_frac·N)²)
+    (chosen), which is what lets the same plan run at 1000 executors.
+    Two shuffles + one broadcast, like the exact variant.
+    """
+    posts = shingle_postings(docs, n, text_col)
+    sizes = shingle_set_sizes(posts)
+    # cap = max(2, floor(max_df_frac * N)) with N computed INSIDE the plan
+    # (1-row aggregate broadcast onto the df filter) — no eager .count()
+    # action, which at 100 TB would be a full extra scan at plan time
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    rare = (
+        posts.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("_df")
+            <= F.greatest(F.lit(2), F.floor(F.lit(max_df_frac) * F.col("_n")))
+        )
+        .select("h")
+    )
+    rposts = posts.join(rare, "h")
+    a, b = rposts.alias("a"), rposts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify on candidates only (same shape as minhash_lsh_pairs)
+    posts_b = posts.withColumnRenamed("doc_id", "_docb").withColumnRenamed("h", "_hb")
+    inter = (
+        cand.join(posts.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .join(posts_b, (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sized = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
+                               .withColumnRenamed("n_sh", "na")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
+                          .withColumnRenamed("n_sh", "nb")), "id_b")
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        sized.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -128,3 +128,51 @@ def session_windowed_agg(
         .withColumn("session_end", F.unix_millis(F.col("w.end")))
         .drop("w")
     )
+
+
+def hypertable_rollup(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    count_alias: str = "n_events",
+    sum_col: Column | None = None,
+    sum_alias: str = "sum_cents",
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (TimescaleDB continuous
+    aggregates): bucket raw events at the finest granularity once, then
+    derive every coarser level by re-aggregating the NEXT-FINER level —
+    never re-scanning raw data.
+
+    Scale posture: the raw table is touched by exactly one shuffle (the
+    finest groupBy, with map-side partials); each coarser level
+    aggregates the previous rollup, whose cardinality is orders of
+    magnitude smaller (minutes → hours is a 60× reduction), so levels
+    2..k are effectively free. This is the plan shape a continuous
+    aggregate maintains incrementally at 100 TB — the batch expression
+    of it is this cascade. Aggregates must be re-aggregable (counts /
+    integer sums; avg is derivable as sum/count downstream).
+
+    Output: one row per (granularity, bucket, *keys) across all levels.
+    """
+    sum_col = sum_col if sum_col is not None else F.lit(0).cast("long")
+    fine = (
+        df.groupBy(F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias(count_alias),
+            F.sum(sum_col).alias(sum_alias),
+        )
+        .withColumn("granularity", F.lit(levels[0]))
+    )
+    out, prev = fine, fine
+    for lvl in levels[1:]:
+        prev = (
+            prev.groupBy(F.date_trunc(lvl, F.col("bucket")).alias("bucket"), *keys)
+            .agg(
+                F.sum(count_alias).alias(count_alias),
+                F.sum(sum_alias).alias(sum_alias),
+            )
+            .withColumn("granularity", F.lit(lvl))
+        )
+        out = out.unionByName(prev)
+    return out.select("granularity", "bucket", *keys, count_alias, sum_alias)

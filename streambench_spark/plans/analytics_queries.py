@@ -396,3 +396,65 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.dropDuplicates(["user_id", "event_type"])
     q, table = run_to_memory(deduped, mode="append", available_now=True)
     return spark.table(table)
+
+
+@register(
+    "hypertable_rollup",
+    """
+    WITH ev AS (
+        SELECT ts, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT date_trunc('minute', ts) AS bucket, event_type,
+               count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM ev GROUP BY 1, 2
+    ),
+    h AS (
+        SELECT date_trunc('hour', bucket) AS bucket, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+        FROM m GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT date_trunc('day', bucket) AS bucket, event_type,
+               CAST(sum(n_events) AS BIGINT) AS n_events,
+               CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+        FROM h GROUP BY 1, 2
+    )
+    SELECT 'minute' AS granularity, epoch_ms(bucket) AS bucket_ms,
+           event_type, n_events, sum_cents FROM m
+    UNION ALL
+    SELECT 'hour', epoch_ms(bucket), event_type, n_events, sum_cents FROM h
+    UNION ALL
+    SELECT 'day', epoch_ms(bucket), event_type, n_events, sum_cents FROM d
+    """,
+    tags=["analytics", "rollup"],
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: raw events bucketed
+    per minute (the ONLY shuffle over raw data), then hour and day levels
+    re-aggregated from the next-finer rollup — the multi-resolution
+    materialization a time-series store maintains. Counts + integer-cent
+    sums are exactly re-aggregable, so every level is bit-identical to
+    grouping the raw table directly (which is what the oracle's cascade
+    proves)."""
+    from streambench_spark.operators.windows import hypertable_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    out = hypertable_rollup(
+        ev,
+        "ts",
+        keys=["event_type"],
+        count_alias="n_events",
+        sum_col=F.round(F.col("value") * 100).cast("long"),
+        sum_alias="sum_cents",
+    )
+    return out.select(
+        "granularity",
+        F.unix_millis(F.col("bucket")).alias("bucket_ms"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )

@@ -266,6 +266,41 @@ def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
 
+_JACCARD_CAPPED_ORACLE = f"""
+WITH {_oracle_shingle_cte()},
+ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),
+nd AS (SELECT greatest(2, CAST(floor(0.05 * count(*)) AS BIGINT)) AS cap
+       FROM documents),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= (SELECT cap FROM nd)),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    WHERE a.s IN (SELECT s FROM rare)
+),
+pairs AS (
+    SELECT cand.id_a, cand.id_b,
+           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb, count(*) AS inter
+    FROM cand
+    JOIN ex a ON a.doc_id = cand.id_a
+    JOIN ex b ON b.doc_id = cand.id_b AND b.s = a.s
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+"""
+
+
+@register("neardup_ngram_jaccard_capped", _JACCARD_CAPPED_ORACLE, tags=["llm", "dedup"])
+def q_neardup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB posture for exact Jaccard dedup: shingles above a 5%
+    document-frequency cap are dropped from candidate generation (bounding
+    every join bucket), then candidates are verified with the exact
+    full-shingle Jaccard. Output ⊆ neardup_ngram_jaccard."""
+    return dedup.ngram_jaccard_pairs_capped(_docs(spark, sf_dir), 0.5, max_df_frac=0.05)
+
+
 @register("minhash_lsh_neardup", _minhash_oracle(), tags=["llm", "dedup"])
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH (8 bands × 2 rows) candidates, exact

@@ -43,6 +43,19 @@ def test_minhash_lsh_matches_exact_jaccard_on_corpus(spark):
     assert lsh == exact
 
 
+def test_capped_jaccard_subset_of_exact(spark):
+    """The df-capped scale path reports a subset of the exact pairs, and
+    every reported jaccard equals the exact value (verify is exact)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs_capped(docs, 0.5).collect()}
+    assert set(capped) <= set(exact)
+    assert all(exact[k] == v for k, v in capped.items())
+    assert len(capped) > 0
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pair = dedup.ngram_jaccard_pairs(docs, 0.9).orderBy("id_a", "id_b").first()
