@@ -72,3 +72,51 @@ def global_percentiles(
         p99.alias("p99_v"),
         F.max(c).alias("max_v"),
     )
+
+
+def kmv_distinct(
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+) -> DataFrame:
+    """K-minimum-values distinct-count sketch per group — a mergeable
+    sketch with a DETERMINISTIC, oracle-replicable construction (portable
+    md5-based hash, llm/hashing.py): keep the k smallest distinct hash
+    values; estimate = (k-1) · P / kth_smallest, exact count when fewer
+    than k distinct hashes exist.
+
+    Why a sketch when Spark has approx_count_distinct: HLL registers are
+    engine-internal (not checkable against another engine, not readable
+    downstream); KMV retained sets are plain integers — mergeable across
+    groups/windows by unioning retained sets and re-taking the k smallest
+    (see merge test), which is what a rollup over sketches needs.
+
+    Plan shape: distinct on (group, hash) → per-group k-smallest via a
+    row_number window (one shuffle on the group key). At 100 TB the
+    per-partition partial (each partition keeps its own k smallest, merge
+    unions) replaces the window with a custom TypedImperativeAggregate /
+    pandas UDAF; the retained-set semantics and estimator stay identical.
+    """
+    from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
+
+    from pyspark.sql import Window
+
+    h = spark_hash32(f"CAST({col} AS STRING)")
+    hashed = df.select(
+        *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_keys).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return (
+        topk.groupBy(*group_keys)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
+        .select(
+            *group_keys,
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1)) * F.lit(float(MERSENNE_P)) / F.col("_kth"), 6
+                )
+            )
+            .alias("estimate"),
+        )
+    )

@@ -458,3 +458,38 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_cents",
     )
+
+
+@register(
+    "kmv_distinct_users",
+    """
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 2147483647 AS h
+        FROM events
+    ),
+    rn AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ),
+    k AS (
+        SELECT event_type, count(*) AS n_kept, max(h) AS kth
+        FROM rn WHERE rn <= 32 GROUP BY 1
+    )
+    SELECT event_type, n_kept,
+           CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+                ELSE round(31.0 * 2147483647.0 / kth, 6) END AS estimate
+    FROM k
+    """,
+    tags=["analytics", "sketch"],
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-32 distinct-user sketch per event type: a deterministic,
+    mergeable distinct-count sketch whose exact construction the oracle
+    replicates (unlike HLL registers, which are engine-internal)."""
+    from streambench_spark.operators.aggregates import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=32)

@@ -266,6 +266,46 @@ def q_neardup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
 
 
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_oracle_shingle_cte().lstrip()},
+ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),
+p0 AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+           count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT id_a, id_b FROM p0
+    WHERE round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) >= 0.5
+),
+e AS (SELECT id_a AS a, id_b AS b FROM jac
+      UNION ALL SELECT id_b, id_a FROM jac),
+reach(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+@register("neardup_clusters", _CLUSTERS_ORACLE, tags=["llm", "dedup", "graph"])
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups = connected components of the near-dup pair graph
+    (exact Jaccard >= 0.5 edges); component label = min doc_id — the
+    canonical survivor each group keeps. Iterative min-label propagation
+    (operators/graph.py) with per-round localCheckpoint; the oracle
+    computes the same components with a recursive closure."""
+    from streambench_spark.operators.graph import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+
+
 _JACCARD_CAPPED_ORACLE = f"""
 WITH {_oracle_shingle_cte()},
 ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),

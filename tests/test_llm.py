@@ -241,3 +241,32 @@ def test_write_partitioned_layout(spark, tmp_path):
     # partition pruning: the predicate appears as a PartitionFilter
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:100]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from streambench_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "src long, dst long",
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """KMV-32 over 1000 distinct values: estimator is within ~35% (3/sqrt(k)
+    ≈ 0.53 at 3σ; use a loose bound — the hash is fixed, so this is a
+    deterministic regression check, not a flaky statistical one)."""
+    from streambench_spark.operators.aggregates import kmv_distinct
+
+    df = spark.range(0, 1000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    row = kmv_distinct(df, ["g"], "v", k=32).first()
+    assert row["n_kept"] == 32
+    assert 650 <= row["estimate"] <= 1350
+    # below k distinct -> exact
+    small = spark.range(0, 7).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r2 = kmv_distinct(small, ["g"], "v", k=32).first()
+    assert r2["n_kept"] == 7 and r2["estimate"] == 7.0
