@@ -105,6 +105,38 @@ def shingle_set_sizes(posts: DataFrame) -> DataFrame:
     return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
 
+def sized_shingle_postings(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_sh, h) postings with the document's set size carried on
+    every row, in ONE shuffle: raw (non-distinct) postings → groupBy
+    doc_id collect_set (map-side partial sets, so the shuffle carries one
+    set per doc per partition, not one row per posting) → explode.
+
+    Carrying n_sh on the posting row lets the pair aggregate read sizes
+    with min() instead of re-deriving them from two more postings scans —
+    the Jaccard plan drops from four evaluations of the shingle pipeline
+    (join a-side, b-side, two size aggregates) to one. Per-doc set size
+    is bounded by document length, so collect_set state is safe at any
+    corpus scale.
+    """
+    h = spark_hash32("shingle")
+    tk = TOKENS_EXPR.format(col=text_col)
+    gram = F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
+    raw = (
+        docs.select("doc_id", F.expr(tk).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {n}"))
+        .select("doc_id", "tk", F.explode(F.expr(f"sequence(0, size(tk) - {n})")).alias("i"))
+        .select("doc_id", gram.alias("shingle"))
+        .select("doc_id", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
+    )
+    return (
+        raw.groupBy("doc_id")
+        .agg(F.collect_set("h").alias("_hs"))
+        .select("doc_id", F.size("_hs").alias("n_sh"), F.explode("_hs").alias("h"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -144,28 +176,61 @@ def ngram_jaccard_pairs(
 
     Any pair with J > 0 shares >= 1 shingle, so recall is exact. The join
     shuffles on the 8-byte shingle hash; very common shingles create hot
-    keys — at 100 TB one adds a document-frequency cap on shingles (drop
-    shingles appearing in > f·N docs, standard in corpus dedup) which
-    bounds the per-key bucket; kept exact here because the oracle must
-    match. Set sizes are broadcast back onto the pair aggregate (the
-    sizes table is one row per doc — small relative to the pair space).
+    keys — at 100 TB use ngram_jaccard_pairs_capped (df cap bounds every
+    bucket); kept exact here because the oracle must match.
+
+    Plan shape: sized postings (set size carried on each row) computed
+    ONCE; the self-join is forced to sort-merge so both sides share one
+    shuffle-on-h via ReusedExchange (a broadcast side would re-execute
+    the whole postings pipeline), and the pair aggregate reads the sizes
+    with min() — no second pass over the corpus anywhere.
     """
-    posts = shingle_postings(docs, n, text_col)
-    sizes = shingle_set_sizes(posts)
-    a, b = posts.alias("a"), posts.alias("b")
-    pairs = (
+    posts = sized_shingle_postings(docs, n, text_col)
+    a, b = posts.alias("a"), posts.hint("merge").alias("b")
+    sized = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
+    )
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        sized.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _verify_pairs_exact(
+    cand: DataFrame, posts: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    sized postings: candidates ⋈ postings(id_a) ⋈ postings(id_b, same h)
+    → shared-shingle count per pair; set sizes come from the carried n_sh
+    (min over the group — constant per doc), so no extra postings pass.
+    Shared by the capped-Jaccard and MinHash-LSH verify stages."""
+    pa = posts.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"), "h"
+    )
+    pb = posts.select(
+        F.col("doc_id").alias("_docb"), F.col("n_sh").alias("_nb"),
+        F.col("h").alias("_hb"),
     )
     sized = (
-        pairs.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-                               .withColumnRenamed("n_sh", "na")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-                          .withColumnRenamed("n_sh", "nb")), "id_b")
+        cand.join(pa, "id_a")
+        .join(pb, (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("_na").alias("na"),
+            F.min("_nb").alias("nb"),
+        )
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
@@ -178,69 +243,46 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_pairs_capped(
     docs: DataFrame,
     threshold: float = 0.5,
-    max_df_frac: float = 0.05,
+    max_df: int = 10,
     n: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
     """The 100 TB scale path for n-gram Jaccard: drop shingles whose
-    document frequency exceeds ``max_df_frac`` of the corpus from
-    CANDIDATE GENERATION (the standard df-cap in web-corpus dedup — common
-    boilerplate shingles pair up everything with everything), then verify
-    candidates with the EXACT full-shingle Jaccard.
+    document frequency exceeds ``max_df`` from CANDIDATE GENERATION (the
+    standard df-cap in web-corpus dedup — boilerplate shingles pair up
+    everything with everything), then verify candidates with the EXACT
+    full-shingle Jaccard.
+
+    The cap is ABSOLUTE, not a corpus fraction: a shingle that identifies
+    a near-dup group appears in roughly group-size documents regardless
+    of corpus size, while boilerplate df grows with the corpus — so the
+    discriminating threshold is a constant, and an absolute cap keeps
+    candidate quality stable as the corpus scales (a fractional cap
+    loosens as N grows, admitting ever-hotter shingles).
 
     Semantics: a pair is reported iff it shares >= 1 rare shingle AND its
     exact Jaccard >= threshold — output ⊆ ngram_jaccard_pairs, missing
-    only pairs whose every shared shingle is boilerplate-common. The
-    per-shingle bucket is bounded by max_df_frac·N, so the join's worst
-    key produces a bounded micro-product instead of the unbounded
-    quadratic blowup a hot shingle causes in the exact variant: per-key
-    work drops from O(max_df²) (unbounded) to O((max_df_frac·N)²)
-    (chosen), which is what lets the same plan run at 1000 executors.
-    Two shuffles + one broadcast, like the exact variant.
+    only pairs whose every shared shingle is above the cap. The per-
+    shingle join bucket is bounded by max_df, so the worst key produces a
+    bounded micro-product instead of the unbounded quadratic blowup a hot
+    shingle causes in the exact variant — which is what lets the same
+    plan run at 1000 executors.
     """
-    posts = shingle_postings(docs, n, text_col)
-    sizes = shingle_set_sizes(posts)
-    # cap = max(2, floor(max_df_frac * N)) with N computed INSIDE the plan
-    # (1-row aggregate broadcast onto the df filter) — no eager .count()
-    # action, which at 100 TB would be a full extra scan at plan time
-    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    posts = sized_shingle_postings(docs, n, text_col)
     rare = (
         posts.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
-        .crossJoin(F.broadcast(n_docs))
-        .filter(
-            F.col("_df")
-            <= F.greatest(F.lit(2), F.floor(F.lit(max_df_frac) * F.col("_n")))
-        )
+        .filter(F.col("_df") <= max_df)
         .select("h")
     )
     rposts = posts.join(rare, "h")
-    a, b = rposts.alias("a"), rposts.alias("b")
+    a, b = rposts.alias("a"), rposts.hint("merge").alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    # exact verify on candidates only (same shape as minhash_lsh_pairs)
-    posts_b = posts.withColumnRenamed("doc_id", "_docb").withColumnRenamed("h", "_hb")
-    inter = (
-        cand.join(posts.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .join(posts_b, (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sized = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-                               .withColumnRenamed("n_sh", "na")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-                          .withColumnRenamed("n_sh", "nb")), "id_b")
-    )
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        sized.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_pairs_exact(cand, posts, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +295,7 @@ def minhash_signatures(
     num_hashes: int = 16,
     n: int = 3,
     text_col: str = "text",
+    posts: DataFrame | None = None,
 ) -> DataFrame:
     """Attach a `sig` array<long> MinHash signature per document.
 
@@ -264,7 +307,8 @@ def minhash_signatures(
     with no shingles have no postings and thus no signature (undefined).
     """
     coeffs = minhash_coefficients(num_hashes)
-    posts = shingle_postings(docs, n, text_col)
+    if posts is None:
+        posts = shingle_postings(docs, n, text_col)
     mins = [
         F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"_s{j}")
         for j, (a, b) in enumerate(coeffs)
@@ -327,34 +371,12 @@ def minhash_lsh_pairs(
     recall at high J.
     """
     rows = num_hashes // bands
-    posts = shingle_postings(docs, n, text_col)
-    sizes = shingle_set_sizes(posts)
-    sig = minhash_signatures(docs, num_hashes, n, text_col)
+    posts = sized_shingle_postings(docs, n, text_col)
+    sig = minhash_signatures(docs, num_hashes, n, text_col, posts=posts)
     cand = lsh_candidate_pairs(sig, bands, rows)
-    # exact intersection counts for candidate pairs only: candidates ⋈
-    # postings(id_a) ⋈ postings(id_b, same hash) → count per pair
-    posts_b = posts.withColumnRenamed("doc_id", "_docb").withColumnRenamed("h", "_hb")
-    inter = (
-        cand.join(posts.withColumnRenamed("doc_id", "id_a"), "id_a")
-        .join(
-            posts_b,
-            (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sized = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_a")
-                               .withColumnRenamed("n_sh", "na")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "id_b")
-                          .withColumnRenamed("n_sh", "nb")), "id_b")
-    )
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return (
-        sized.withColumn("jaccard", F.round(jac, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    # exact intersection counts for candidate pairs only; sizes carried
+    # on the sized postings (no separate sizes pass)
+    return _verify_pairs_exact(cand, posts, threshold)
 
 
 # ---------------------------------------------------------------------------
