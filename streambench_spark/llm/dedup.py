@@ -105,21 +105,19 @@ def shingle_set_sizes(posts: DataFrame) -> DataFrame:
     return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
 
-def sized_shingle_postings(
+def doc_shingle_sets(
     docs: DataFrame, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, n_sh, h) postings with the document's set size carried on
-    every row, in ONE shuffle: raw (non-distinct) postings → groupBy
-    doc_id collect_set (map-side partial sets, so the shuffle carries one
-    set per doc per partition, not one row per posting) → explode.
+    """(doc_id, hsh array<long>, n_sh): each document's distinct shingle-
+    hash SET as one array row, built with the explode-first postings
+    pipeline + one groupBy collect_set (map-side partial sets — the
+    shuffle carries one set per doc per partition, not one row per
+    posting). Per-doc set size is bounded by document length, so the
+    collect_set state is safe at any corpus scale.
 
-    Carrying n_sh on the posting row lets the pair aggregate read sizes
-    with min() instead of re-deriving them from two more postings scans —
-    the Jaccard plan drops from four evaluations of the shingle pipeline
-    (join a-side, b-side, two size aggregates) to one. Per-doc set size
-    is bounded by document length, so collect_set state is safe at any
-    corpus scale.
-    """
+    The one-row-per-doc shape is what verification stages want: a
+    candidate pair's exact intersection is a row-local array_intersect of
+    two bounded arrays — no posting-level join explosion."""
     h = spark_hash32("shingle")
     tk = TOKENS_EXPR.format(col=text_col)
     gram = F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
@@ -132,8 +130,24 @@ def sized_shingle_postings(
     )
     return (
         raw.groupBy("doc_id")
-        .agg(F.collect_set("h").alias("_hs"))
-        .select("doc_id", F.size("_hs").alias("n_sh"), F.explode("_hs").alias("h"))
+        .agg(F.collect_set("h").alias("hsh"))
+        .select("doc_id", "hsh", F.size("hsh").alias("n_sh"))
+    )
+
+
+def sized_shingle_postings(
+    docs: DataFrame, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_sh, h) postings with the document's set size carried on
+    every row, in ONE shuffle (explode of doc_shingle_sets).
+
+    Carrying n_sh on the posting row lets the pair aggregate read sizes
+    with min() instead of re-deriving them from two more postings scans —
+    the Jaccard plan drops from four evaluations of the shingle pipeline
+    (join a-side, b-side, two size aggregates) to one.
+    """
+    return doc_shingle_sets(docs, n, text_col).select(
+        "doc_id", "n_sh", F.explode("hsh").alias("h")
     )
 
 
@@ -208,29 +222,27 @@ def ngram_jaccard_pairs(
 
 
 def _verify_pairs_exact(
-    cand: DataFrame, posts: DataFrame, threshold: float
+    cand: DataFrame, doc_sets: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
-    sized postings: candidates ⋈ postings(id_a) ⋈ postings(id_b, same h)
-    → shared-shingle count per pair; set sizes come from the carried n_sh
-    (min over the group — constant per doc), so no extra postings pass.
-    Shared by the capped-Jaccard and MinHash-LSH verify stages."""
-    pa = posts.select(
-        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("_na"), "h"
+    per-doc shingle-set arrays: two equi-joins on the doc id attach each
+    side's array, then the intersection is a ROW-LOCAL array_intersect of
+    two bounded arrays in codegen. Never joins at posting granularity —
+    a candidate set of C pairs costs C rows, not C × postings-per-doc
+    (measured 5× on the capped variant at sf0.1). Shared by the capped-
+    Jaccard and MinHash-LSH verify stages."""
+    a = doc_sets.select(
+        F.col("doc_id").alias("id_a"), F.col("hsh").alias("_ha"),
+        F.col("n_sh").alias("na"),
     )
-    pb = posts.select(
-        F.col("doc_id").alias("_docb"), F.col("n_sh").alias("_nb"),
-        F.col("h").alias("_hb"),
+    b = doc_sets.select(
+        F.col("doc_id").alias("id_b"), F.col("hsh").alias("_hb"),
+        F.col("n_sh").alias("nb"),
     )
     sized = (
-        cand.join(pa, "id_a")
-        .join(pb, (F.col("id_b") == F.col("_docb")) & (F.col("h") == F.col("_hb")))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.min("_na").alias("na"),
-            F.min("_nb").alias("nb"),
-        )
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_ha", "_hb")))
     )
     jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
@@ -268,7 +280,8 @@ def ngram_jaccard_pairs_capped(
     shingle causes in the exact variant — which is what lets the same
     plan run at 1000 executors.
     """
-    posts = sized_shingle_postings(docs, n, text_col)
+    sets = doc_shingle_sets(docs, n, text_col)
+    posts = sets.select("doc_id", F.explode("hsh").alias("h"))
     rare = (
         posts.groupBy("h")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -282,7 +295,7 @@ def ngram_jaccard_pairs_capped(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    return _verify_pairs_exact(cand, posts, threshold)
+    return _verify_pairs_exact(cand, sets, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -371,12 +384,13 @@ def minhash_lsh_pairs(
     recall at high J.
     """
     rows = num_hashes // bands
-    posts = sized_shingle_postings(docs, n, text_col)
+    sets = doc_shingle_sets(docs, n, text_col)
+    posts = sets.select("doc_id", F.explode("hsh").alias("h"))
     sig = minhash_signatures(docs, num_hashes, n, text_col, posts=posts)
     cand = lsh_candidate_pairs(sig, bands, rows)
-    # exact intersection counts for candidate pairs only; sizes carried
-    # on the sized postings (no separate sizes pass)
-    return _verify_pairs_exact(cand, posts, threshold)
+    # row-local array_intersect verify against the per-doc sets (no
+    # posting-level join, no separate sizes pass)
+    return _verify_pairs_exact(cand, sets, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -35,9 +35,12 @@ def connected_components(
     action per round, which is what makes the loop driver-paced; the
     per-round dataset is one row per node, NOT per edge).
     """
+    # materialize the edge list once — without this, every round's join
+    # AND convergence count re-executes the upstream edge computation
+    # (for neardup_clusters that is the whole Jaccard pipeline per round)
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()
