@@ -270,3 +270,31 @@ def test_kmv_estimate_within_tolerance(spark):
     small = spark.range(0, 7).select(F.lit("g").alias("g"), F.col("id").alias("v"))
     r2 = kmv_distinct(small, ["g"], "v", k=32).first()
     assert r2["n_kept"] == 7 and r2["estimate"] == 7.0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Bucketed-by-key tables join without ANY shuffle: the one-time
+    bucketing at write replaces the per-query Exchange on both sides."""
+    from streambench_spark.sinks.sinks import write_bucketed
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    write_bucketed(ev, "ev_bucketed", ["user_id"], num_buckets=4)
+    write_bucketed(cust, "cust_bucketed", ["user_id"], num_buckets=4)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast: at test scale the planner would rather
+        # broadcast than use the buckets (right call for a small dim; the
+        # bucketed path is for two LARGE tables, which we simulate here)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("ev_bucketed").join(spark.table("cust_bucketed"), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
