@@ -143,7 +143,8 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, ["user_id", "event_type"],
         "user_id long, event_type string, n long",
     )
-    q, table = run_to_memory(counted, mode="update", available_now=True)
+    q, table = run_to_memory(counted, mode="update", available_now=True,
+                             state_partitions=8)
     return (
         spark.table(table)
         .groupBy("user_id", "event_type")
@@ -317,7 +318,8 @@ def q_sliding_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.unix_millis("w.start").alias("window_start"), "n")
     )
-    _, table = run_to_memory(agg, mode="complete", available_now=True)
+    _, table = run_to_memory(agg, mode="complete", available_now=True,
+                             state_partitions=8)
     cutoff_ms = 1704024000000  # 2023-12-31 12:00:00 UTC (partial first window)
     return spark.table(table).filter(F.col("window_start") > cutoff_ms)
 
@@ -374,7 +376,8 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _, table = run_to_memory(agg, mode="append", available_now=True)
+    _, table = run_to_memory(agg, mode="append", available_now=True,
+                             state_partitions=8)
     return spark.table(table)
 
 
@@ -394,7 +397,8 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
     deduped = stream.dropDuplicates(["user_id", "event_type"])
-    q, table = run_to_memory(deduped, mode="append", available_now=True)
+    q, table = run_to_memory(deduped, mode="append", available_now=True,
+                             state_partitions=8)
     return spark.table(table)
 
 

@@ -84,7 +84,11 @@ def q_ysb_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_stream = stream_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
     return run_streaming_ysb_to_table(
-        spark, events_stream, customer, window="1 hour", watermark=None, mode="complete"
+        spark, events_stream, customer, window="1 hour", watermark=None,
+        mode="complete",
+        # state stores sized to the key cardinality (~2k window-segment
+        # groups), not the batch shuffle default
+        state_partitions=8,
     )
 
 
@@ -306,6 +310,7 @@ def q_ysb_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         window="1 hour",
         watermark="1 second",
+        state_partitions=8,
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import tempfile
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -75,27 +76,50 @@ def start_query(
     return writer.start()
 
 
+@contextmanager
+def _pinned_state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin spark.sql.shuffle.partitions for a bounded
+    streaming run. A stateful query's state-store count is fixed at the
+    first checkpoint, so it is a per-workload choice (sized to key
+    cardinality and cluster width), not something to inherit from the
+    batch default — the reference exposes the same knob as
+    ``sparkParallelism`` (SparkYahooRunner.scala:69). Restored after the
+    drained run, so surrounding batch queries are unaffected."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def run_to_memory(
     sdf: DataFrame,
     mode: str = "update",
     available_now: bool = True,
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> tuple[StreamingQuery, str]:
     """Run a streaming DataFrame to a memory sink; returns (query, table).
 
     availableNow drains all available input then stops — the deterministic
     replay path used by tests and the driver-facing streaming queries."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = start_query(sdf, fmt="memory", mode=mode, available_now=available_now,
-                    query_name=name)
-    if available_now:
-        # awaitTermination returns False on timeout — an incomplete run
-        # must not masquerade as the final state.
-        if not q.awaitTermination(timeout_s):
-            q.stop()
-            raise TimeoutError(
-                f"availableNow run exceeded {timeout_s}s before draining"
-            )
+    with _pinned_state_partitions(sdf.sparkSession, state_partitions):
+        q = start_query(sdf, fmt="memory", mode=mode, available_now=available_now,
+                        query_name=name)
+        if available_now:
+            # awaitTermination returns False on timeout — an incomplete run
+            # must not masquerade as the final state.
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError(
+                    f"availableNow run exceeded {timeout_s}s before draining"
+                )
     return q, name
 
 
@@ -106,6 +130,7 @@ def run_streaming_ysb_append(
     window: str = "1 hour",
     watermark: str = "1 second",
     timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Append-mode + watermark + parquet file sink — the scale-correct
     streaming shape (T2/T3 through the driver surface): state is evicted
@@ -119,11 +144,12 @@ def run_streaming_ysb_append(
     result minus unfinalized windows."""
     out = ysb_streaming(events_stream, customer, window=window, watermark=watermark)
     path = tempfile.mkdtemp(prefix="sb_append_out_")
-    q = start_query(out, fmt="parquet", mode="append", available_now=True,
-                    options={"path": path})
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"append-mode run exceeded {timeout_s}s")
+    with _pinned_state_partitions(spark, state_partitions):
+        q = start_query(out, fmt="parquet", mode="append", available_now=True,
+                        options={"path": path})
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"append-mode run exceeded {timeout_s}s")
     return spark.read.schema(out.schema).parquet(path)
 
 
@@ -134,6 +160,7 @@ def run_streaming_ysb_to_table(
     window: str = "1 hour",
     watermark: str | None = None,
     mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Bounded streaming run, final state returned as a batch DataFrame.
 
@@ -141,5 +168,6 @@ def run_streaming_ysb_to_table(
     state, equal to the batch query over the same input (streaming ≡ batch
     equivalence, SURVEY.md §5.2 step 2)."""
     out = ysb_streaming(events_stream, customer, window=window, watermark=watermark)
-    _, table = run_to_memory(out, mode=mode, available_now=True)
+    _, table = run_to_memory(out, mode=mode, available_now=True,
+                             state_partitions=state_partitions)
     return spark.table(table)
