@@ -71,7 +71,9 @@ def with_hashed_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) ->
     )
 
 
-def shingle_postings(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+def shingle_postings(
+    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+) -> DataFrame:
     """(doc_id, h) inverted-index postings: one row per distinct shingle
     hash per document — the shared substrate of the set-based dedup ops.
 
@@ -82,22 +84,26 @@ def shingle_postings(docs: DataFrame, n: int = 3, text_col: str = "text") -> Dat
     an expensive computed array makes InferFiltersFromGenerate add a
     ``size(expr) > 0`` guard that predicate pushdown re-inlines below the
     repartition exchange, re-evaluating the whole shingle pipeline on the
-    unparallelized scan side. The ``distinct`` here is the set semantics
-    (one posting per distinct shingle hash), shuffled by (doc_id, h).
+    unparallelized scan side. ``distinct=True`` (the default) applies the
+    set semantics — one posting per distinct shingle hash — at the cost of
+    a (doc_id, h) shuffle of the whole postings stream. Pass
+    ``distinct=False`` when the consumer filters the postings first (e.g.
+    a semi-join against a small gram set) and deduplicates only the
+    survivors — that keeps the full corpus shuffle-free.
     """
     h = spark_hash32("shingle")
     tk = TOKENS_EXPR.format(col=text_col)
     gram = F.concat_ws(
         " ", F.expr("tk[i]"), F.expr("tk[i + 1]"), F.expr("tk[i + 2]")
     ) if n == 3 else F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
-    return (
+    posts = (
         docs.select("doc_id", F.expr(tk).alias("tk"))
         .filter(F.expr(f"size(tk) >= {n}"))  # guard: sequence(0, k<0) descends
         .select("doc_id", "tk", F.explode(F.expr(f"sequence(0, size(tk) - {n})")).alias("i"))
         .select("doc_id", gram.alias("shingle"))
         .select("doc_id", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
-        .distinct()
     )
+    return posts.distinct() if distinct else posts
 
 
 def shingle_set_sizes(posts: DataFrame) -> DataFrame:

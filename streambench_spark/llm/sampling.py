@@ -1,0 +1,163 @@
+"""Dataset assembly operators: deterministic splits, stratified sampling,
+and benchmark decontamination.
+
+The last mile of a training-data pipeline (after cleaning + dedup) is
+assembling the actual dataset: carve train/val/test, enforce per-language
+or per-source mixture quotas, and remove documents that leak evaluation
+benchmarks. All three are corpus-scale operations that must be
+DETERMINISTIC — re-running the pipeline on the same corpus must produce
+the same dataset (no ``rand()``, no partition-order dependence), or
+training runs are not reproducible.
+
+Spark-first shapes:
+
+- hash split         : pure projection (zero shuffle) — the split of a
+                       document is a function of its key alone, so it is
+                       stable under re-partitioning, incremental ingest,
+                       and corpus growth.
+- rate sample        : pure filter (zero shuffle), per-stratum rates via
+                       a broadcast-joined quota dim — the 100 TB path.
+- exact-quota sample : per-stratum deterministic top-n (one shuffle on
+                       the stratum key). Exact counts, but a hot stratum
+                       concentrates on one partition — use the rate
+                       variant when strata are huge.
+- decontamination    : n-gram postings semi-join — flags training docs
+                       sharing any length-n word n-gram with a benchmark
+                       set. Never a pairwise product: the join is an
+                       equi-join on the 8-byte n-gram hash, and only the
+                       (tiny) benchmark side is collected into distinct
+                       hashes.
+
+Hashing is the portable md5-based H32 (llm/hashing.py) so the DuckDB
+oracles reproduce every assignment bit-for-bit; swap xxhash64 at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streambench_spark.llm.dedup import shingle_postings
+from streambench_spark.llm.hashing import spark_hash32
+
+
+def with_split(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    train_pct: int = 90,
+    val_pct: int = 5,
+    buckets: int = 100,
+) -> DataFrame:
+    """Attach `bucket` (H32(key) mod buckets) and `split`
+    ('train' | 'val' | 'test') columns.
+
+    The assignment depends only on the key's hash — documents keep their
+    split when the corpus is re-partitioned, re-ordered, or appended to,
+    which is the property that makes incremental dataset builds safe
+    (a doc can never migrate from test into train between runs). Zero
+    shuffle: evaluated in codegen during the scan's projection.
+    """
+    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    bucket = F.expr(f"{h} % {buckets}")
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return docs.withColumn("bucket", bucket).withColumn("split", split)
+
+
+def stratified_rate_sample(
+    docs: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    buckets: int = 100,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli-style sampling: keep a document
+    iff H32(key) mod buckets < rate[stratum]. ``rates`` maps stratum value
+    to a per-cent keep rate (0..buckets).
+
+    This is the 100 TB mixture-weighting path: the rates table is a tiny
+    broadcast dim (one row per language/source), the decision is a
+    row-local hash compare, and the plan is scan → broadcast join →
+    filter with NO shuffle of the corpus. Expected counts only (exact to
+    ±binomial noise); use stratified_topn_sample for exact quotas.
+    """
+    spark = docs.sparkSession
+    rates_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in rates.items()],
+            f"{stratum_col} string, _rate int",
+        )
+    )
+    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    return (
+        docs.join(rates_df, stratum_col)
+        .filter(F.expr(f"{h} % {buckets}") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def stratified_topn_sample(
+    docs: DataFrame,
+    n_per_stratum: int,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-quota stratified sample: the n_per_stratum documents with the
+    smallest (H32(key), key) per stratum. Hash-ordering makes the quota a
+    uniform random-but-deterministic draw; the key tie-break makes it
+    total (H32 collisions cannot make the result ambiguous).
+
+    One shuffle on the stratum key + a per-stratum sort. Strata are
+    processed in parallel, but a single stratum lands on one partition —
+    exact quotas fundamentally need a per-stratum global order. For
+    quotas where n is small relative to stratum size, rank via
+    row_number is the right tool; Spark's window TopK pushes a partial
+    limit below the exchange (WindowGroupLimit), so the shuffle carries
+    ~n rows per stratum per map partition, not the whole stratum.
+    """
+    from pyspark.sql.window import Window
+
+    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.expr(h).asc(), F.col(key_col).asc())
+    )
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def contaminated_docs(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_shared) for every training
+    document sharing >= 1 word n-gram with the benchmark set, with the
+    count of distinct shared n-gram hashes.
+
+    The standard eval-leakage check (n = 8..13 word n-grams). Shape:
+    benchmark n-gram hashes are deduplicated (distinct over the bench
+    postings — benchmarks are small, but this stays distributed, nothing
+    collects to the driver) and broadcast; the training postings stream
+    RAW (distinct=False) into the broadcast hash join, so the corpus side
+    is scan → explode → hash → broadcast-probe with NO shuffle. Per-doc
+    n-gram multiplicity is collapsed AFTER the join — count(DISTINCT h)
+    over only the matched rows, which are benchmark-overlap-sized, a
+    vanishingly small fraction of the corpus.
+    """
+    train_posts = shingle_postings(train_docs, n, text_col, distinct=False)
+    bench_grams = F.broadcast(
+        shingle_postings(bench_docs, n, text_col).select("h").distinct()
+    )
+    return (
+        train_posts.join(bench_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct(F.col("h")).alias("n_shared"))
+    )

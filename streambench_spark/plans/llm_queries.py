@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streambench_spark.catalog import load_table
-from streambench_spark.llm import dedup, multimodal, similarity, text
+from streambench_spark.llm import dedup, multimodal, sampling, similarity, text
 from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
 from streambench_spark.plans.queries import register
 
@@ -538,6 +538,102 @@ def q_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.45), exact broadcast-matmul
     baseline; the LSH/IVF bucketed variants are the scale path."""
     return similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45)
+
+
+# Dataset assembly: splits, sampling quotas, decontamination ---------------
+
+_D_KEYHASH = _D_H32.format(s="CAST(doc_id AS VARCHAR)")
+
+_DATASET_SPLIT_ORACLE = f"""
+WITH b AS (SELECT doc_id, {_D_KEYHASH} % 100 AS bucket FROM documents)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@register("dataset_split", _DATASET_SPLIT_ORACLE, tags=["llm", "sampling"])
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test split: bucket = H32(doc_id) mod
+    100, assignment a pure function of the key — stable under
+    re-partitioning and incremental corpus growth, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.with_split(docs).select("doc_id", "bucket", "split")
+
+
+_STRATIFIED_SAMPLE_ORACLE = f"""
+WITH r AS (
+    SELECT doc_id, lang, row_number() OVER (
+        PARTITION BY lang ORDER BY {_D_KEYHASH}, doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""
+
+
+@register("stratified_sample", _STRATIFIED_SAMPLE_ORACLE, tags=["llm", "sampling"])
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sample: the 20 hash-smallest docs per
+    language — a deterministic uniform draw with exact per-stratum counts
+    (window TopK; partial limit below the exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_topn_sample(docs, 20, "lang").select("doc_id", "lang")
+
+
+_MIXTURE_RATES = {"en": 50, "de": 30, "es": 20, "fr": 20, "zh": 10}
+
+_RATE_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_D_KEYHASH} % 100 < CASE lang {' '.join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_RATES.items())} END
+"""
+
+
+@register("mixture_rate_sample", _RATE_SAMPLE_ORACLE, tags=["llm", "sampling"])
+def q_mixture_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture weighting via deterministic rate sampling:
+    keep iff H32(doc_id) mod 100 < rate[lang]. Broadcast quota dim +
+    row-local hash compare — the corpus never shuffles (the 100 TB
+    mixture path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_rate_sample(docs, _MIXTURE_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def _decontaminate_oracle(n: int = 8) -> str:
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    h = _D_H32.format(s="s")
+    return f"""
+WITH toks AS (SELECT doc_id, source,
+                     {_D_TOKENS.format(col='text')} AS tk FROM documents),
+sh AS (SELECT doc_id, source,
+              list_distinct(list_transform(
+                  [{grams} for i in range(1, len(tk) - {n - 2})],
+                  s -> {h} % {MERSENNE_P})) AS hsh
+       FROM toks),
+tr AS (SELECT doc_id, unnest(hsh) AS h FROM sh WHERE source <> 'src0'),
+be AS (SELECT DISTINCT unnest(hsh) AS h FROM sh WHERE source = 'src0')
+SELECT tr.doc_id, count(*) AS n_shared
+FROM tr JOIN be USING (h) GROUP BY 1
+"""
+
+
+@register("decontaminate", _decontaminate_oracle(8), tags=["llm", "sampling"])
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (source <> 'src0') sharing
+    any word 8-gram with the benchmark set (source = 'src0'), with the
+    count of distinct shared 8-gram hashes. Postings equi-join on the
+    hash; the benchmark side is broadcast-sized, the corpus never
+    shuffles."""
+    docs = _docs(spark, sf_dir)
+    return sampling.contaminated_docs(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
 
 
 _FRAME_SAMPLING_ORACLE = """
