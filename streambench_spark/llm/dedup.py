@@ -435,3 +435,65 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, text_col: str = "text"
         )
         .drop("_th")
     )
+
+
+def span_dedup_counts(
+    docs: DataFrame, span: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document span dedup: (doc_id, n_spans, n_dup_spans) where a
+    span is a fixed-size non-overlapping run of ``span`` tokens and a span
+    is a DUPLICATE iff the same span hash occurred at a smaller
+    (doc_id, span_idx) anywhere in the corpus.
+
+    This is the C4/CCNet line-level dedup shape (drop repeated
+    lines/paragraphs corpus-wide, keep the first occurrence) adapted to
+    newline-less text via deterministic fixed-size chunking. Scale shape:
+    explode to one row per span (corpus token count / span rows), hash,
+    then ONE groupBy(h) partial-aggregated min to find each hash's first
+    occurrence and ONE equi-join back on h — never a pairwise product.
+    min(struct(doc_id, idx)) does map-side combine, so a viral span that
+    appears a million times contributes one row per map partition to the
+    shuffle, not a million (the skew-safe property the window-function
+    formulation row_number() OVER (PARTITION BY h) lacks).
+    """
+    h = spark_hash32("span_text")
+    tk = TOKENS_EXPR.format(col=text_col)
+    posts = (
+        docs.select("doc_id", F.expr(tk).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {span}"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.expr(f"sequence(0, size(tk) DIV {span} - 1)")
+            ).alias("idx"),
+        )
+        .select(
+            "doc_id",
+            "idx",
+            F.expr(
+                f"concat_ws(' ', slice(tk, idx * {span} + 1, {span}))"
+            ).alias("span_text"),
+        )
+        .select("doc_id", "idx", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
+    )
+    firsts = posts.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("first")
+    )
+    return (
+        posts.join(firsts, "h")
+        .select(
+            "doc_id",
+            (
+                ~(
+                    (F.col("first.doc_id") == F.col("doc_id"))
+                    & (F.col("first.idx") == F.col("idx"))
+                )
+            ).cast("long").alias("is_dup"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("is_dup").alias("n_dup_spans"),
+        )
+    )

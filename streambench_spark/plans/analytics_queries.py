@@ -43,7 +43,7 @@ def q_rank_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents"),
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w).cast("long").alias("rnk"),
         )
         .filter(F.col("rnk") <= 3)
     )

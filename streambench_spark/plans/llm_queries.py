@@ -636,6 +636,81 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus hygiene: span dedup, repetition, distinctive terms ----------------
+
+_SPAN = 10
+
+_SPAN_DEDUP_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
+sp AS (SELECT doc_id,
+              [{{'idx': (i - 1) // {_SPAN},
+                 'h': {_D_H32.format(s="array_to_string(tk[i:i+" + str(_SPAN - 1) + "], ' ')")} % {MERSENNE_P}}}
+               for i in range(1, len(tk) - {_SPAN - 2}, {_SPAN})] AS spans
+       FROM toks WHERE len(tk) >= {_SPAN}),
+posts AS (SELECT doc_id, unnest(spans, recursive := true) FROM sp),
+rn AS (SELECT doc_id, idx, h,
+              row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+       FROM posts)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+FROM rn GROUP BY 1
+"""
+
+
+@register("span_dedup", _SPAN_DEDUP_ORACLE, tags=["llm", "dedup"])
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document span dedup (C4/CCNet line-dedup shape): per doc, how
+    many fixed 10-token spans duplicate an earlier (doc_id, idx)
+    occurrence corpus-wide. Postings → skew-safe min-struct first-
+    occurrence agg → equi-join on the span hash; never pairwise."""
+    return dedup.span_dedup_counts(_docs(spark, sf_dir), span=_SPAN)
+
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
+g AS (SELECT doc_id, len(tk) - 2 AS n_grams,
+             len(list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                for i in range(1, len(tk) - 1)])) AS n_distinct
+      FROM toks WHERE len(tk) >= 3)
+SELECT doc_id, n_grams, n_distinct,
+       round((n_grams - n_distinct) / CAST(n_grams AS DOUBLE), 6) AS dup_ratio
+FROM g
+"""
+
+
+@register("repetition_stats", _REPETITION_ORACLE, tags=["llm", "text"])
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition metric: duplicate trigram
+    fraction per document. Pure map over the scan — zero shuffle."""
+    return text.repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    FROM documents
+),
+tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+r AS (
+    SELECT tfc.doc_id, tfc.term, tfc.tf, dfc.df,
+           row_number() OVER (
+               PARTITION BY tfc.doc_id
+               ORDER BY tfc.tf DESC, dfc.df ASC, tfc.term ASC) AS rn
+    FROM tfc JOIN dfc USING (term)
+)
+SELECT doc_id, term, tf, df, rn FROM r WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_ORACLE, tags=["llm", "text"])
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per doc: integer-exact TF-IDF ordering
+    (tf DESC, df ASC, term ASC), top-3. One tf shuffle; the df dim joins
+    back broadcast; WindowGroupLimit bounds the final top-k exchange."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 _FRAME_SAMPLING_ORACLE = """
 WITH assets AS (
     SELECT doc_id, n_chars % 100 AS n_frames FROM documents
