@@ -96,7 +96,7 @@ def main() -> None:
         # rate-source target, listener-counted lower bound,
         # StreamBenchMain.scala:32 + SparkYahooRunner.scala:91-113) over
         # the full filter→project→broadcast-join→windowed-agg pipeline.
-        live_tput = BenchParams(duration_s=10, rows_per_second=2_000_000,
+        live_tput = BenchParams(duration_s=15, rows_per_second=2_000_000,
                                 ramp_up_seconds=0, watermark="1 second")
         streaming.update(run_throughput_trial(spark, live_tput, source=None))
         # Secondary: bounded file-replay drain of the frozen sf events

@@ -27,6 +27,12 @@ Spark-first shapes:
                        equi-join on the 8-byte n-gram hash, and only the
                        (tiny) benchmark side is collected into distinct
                        hashes.
+- sequence packing   : per-partition exclusive prefix sum over a total
+                       key order (one shuffle on the partition column,
+                       local sort only — no global order).
+- epoch upsampling   : broadcast copies dim + sequence explode (repeat
+                       rare strata; the corpus is read once, zero
+                       shuffle).
 
 Hashing is the portable md5-based H32 (llm/hashing.py) so the DuckDB
 oracles reproduce every assignment bit-for-bit; swap xxhash64 at 100 TB.
@@ -37,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streambench_spark.llm.dedup import shingle_postings
+from streambench_spark.llm.dedup import TOKENS_EXPR, shingle_postings
 from streambench_spark.llm.hashing import spark_hash32
 
 
@@ -160,4 +166,74 @@ def contaminated_docs(
         train_posts.join(bench_grams, "h")
         .groupBy("doc_id")
         .agg(F.count_distinct(F.col("h")).alias("n_shared"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    part_col: str = "lang",
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy deterministic sequence packing: assign each document a
+    (part, pack_id) so that consecutive documents (in key order, within a
+    partition column) accumulate into packs of ~budget_tokens whitespace
+    tokens. pack_id = floor(exclusive-prefix-sum(n_tokens) / budget).
+
+    The streaming-append shape of LLM training-data packing: documents
+    are packed within their partition (language here; date/shard in
+    production), so the running sum is a per-partition window — each
+    partition sorts locally after one shuffle, no global order. Documents
+    longer than the budget occupy their own pack(s) without blocking the
+    stream. Deterministic: (part, key) totally orders the fold.
+    """
+    from pyspark.sql.window import Window
+
+    tk = TOKENS_EXPR.format(col=text_col)
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            key_col, part_col, F.expr(f"CAST(size({tk}) AS BIGINT)").alias("n_tokens")
+        )
+        .withColumn(
+            "pack_id",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget_tokens)
+            .cast("long"),
+        )
+    )
+
+
+def upsample_by_rate(
+    docs: DataFrame,
+    copies: dict[str, int],
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Epoch-style deterministic upsampling: repeat each document
+    copies[stratum] times, tagging each repeat with an epoch index
+    (0-based). The mixture-weighting step that REPEATS rare data (vs
+    stratified_rate_sample, which THINS common data).
+
+    Broadcast the copies dim, explode a sequence — output grows by the
+    repeat factor but the input is read once and never shuffles; epoch
+    tags keep downstream shuffles well-distributed (the repeats of one
+    doc are distinguishable, so salting-by-epoch is free if needed).
+    """
+    spark = docs.sparkSession
+    copies_df = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in copies.items()],
+            f"{stratum_col} string, _n int",
+        )
+    )
+    return (
+        docs.join(copies_df, stratum_col)
+        .withColumn("epoch", F.explode(F.expr("sequence(0, _n - 1)")))
+        .withColumn("epoch", F.col("epoch").cast("long"))
+        .drop("_n")
     )

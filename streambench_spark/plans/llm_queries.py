@@ -636,6 +636,52 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           len({_D_TOKENS.format(col='text')}) AS n_tokens
+    FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+       AS BIGINT) AS pack_id
+FROM t
+"""
+
+
+@register("sequence_packing", _PACK_ORACLE, tags=["llm", "sampling"])
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic greedy sequence packing into 512-token budgets:
+    pack_id = floor(exclusive-prefix-sum(n_tokens) / budget) per language.
+    One shuffle on the partition column, per-partition local sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, budget_tokens=512).select(
+        "doc_id", "lang", "n_tokens", "pack_id"
+    )
+
+
+_UPSAMPLE_COPIES = {"zh": 4, "fr": 3, "es": 2, "de": 1, "en": 1}
+
+_UPSAMPLE_ORACLE = f"""
+SELECT doc_id, lang, unnest(range(0, CASE lang {' '.join(
+    f"WHEN '{k}' THEN {v}" for k, v in _UPSAMPLE_COPIES.items())} END)) AS epoch
+FROM documents
+"""
+
+
+@register("upsample_epochs", _UPSAMPLE_ORACLE, tags=["llm", "sampling"])
+def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style upsampling: repeat rare-language documents N times with
+    an epoch tag (the repeat-side of mixture weighting). Broadcast copies
+    dim + sequence explode; the corpus is read once, never shuffled."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.upsample_by_rate(docs, _UPSAMPLE_COPIES).select(
+        "doc_id", "lang", "epoch"
+    )
+
+
 # Corpus hygiene: span dedup, repetition, distinctive terms ----------------
 
 _SPAN = 10

@@ -298,3 +298,69 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS ev_bucketed")
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+
+
+def test_split_stable_under_repartition_and_growth(spark):
+    """The hash split is a pure function of the key: shuffling the corpus
+    or appending new documents must not move any existing doc's split."""
+    from streambench_spark.llm.sampling import with_split
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    base = {r["doc_id"]: r["split"] for r in with_split(docs).collect()}
+    shuffled = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs.repartition(17).sortWithinPartitions(
+            F.desc("doc_id"))).collect()
+    }
+    assert base == shuffled
+    half = {
+        r["doc_id"]: r["split"]
+        for r in with_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert all(base[k] == v for k, v in half.items())
+
+
+def test_pack_sequences_respects_budget_prefix(spark):
+    """pack_id is the floor of the exclusive token prefix sum / budget:
+    packs are contiguous in key order and boundaries never split a doc."""
+    from streambench_spark.llm.sampling import pack_sequences
+
+    rows = (
+        pack_sequences(load_table(spark, SF_DIR, "documents"), budget_tokens=100)
+        .filter(F.col("lang") == "en")
+        .orderBy("doc_id")
+        .collect()
+    )
+    run = 0
+    for r in rows:
+        assert r["pack_id"] == run // 100
+        run += r["n_tokens"]
+
+
+def test_decontaminate_flags_exact_planted_overlap(spark):
+    """A training doc sharing an 8-gram with a benchmark doc is flagged
+    with the exact distinct-shared-gram count; disjoint docs are not."""
+    from streambench_spark.llm.sampling import contaminated_docs
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel".split()
+    bench_text = " ".join(words)  # exactly one 8-gram
+    clean_text = " ".join(f"x{i}" for i in range(10))
+    train = spark.createDataFrame(
+        [(1, bench_text + " indigo"), (2, clean_text)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(90, bench_text)], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_shared"] for r in contaminated_docs(train, bench).collect()}
+    assert got == {1: 1}
+
+
+def test_upsample_epoch_multiplicity(spark):
+    """Every doc appears exactly copies[lang] times with epochs 0..n-1."""
+    from streambench_spark.llm.sampling import upsample_by_rate
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = upsample_by_rate(docs, {"zh": 3, "en": 1}).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n"), F.collect_set("epoch").alias("eps")
+    )
+    for r in out.collect():
+        want = 3 if r["lang"] == "zh" else 1
+        assert r["n"] == want and sorted(r["eps"]) == list(range(want))
