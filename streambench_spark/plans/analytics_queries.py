@@ -153,6 +153,44 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_value_stats",
+    """
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           count(*) AS n,
+           max(CAST(round(value * 100) AS BIGINT)) AS max_cents
+    FROM events GROUP BY 1
+    """,
+    tags=["streaming", "stateful"],
+)
+def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-accumulator custom stateful operator: per-user running
+    (sum_cents, count, max_cents) held in one GroupState tuple, drained
+    availableNow. Emissions are cumulative+monotonic → final answer is
+    max() per key, independent of micro-batch boundaries. A gated
+    transformWithStateInPandas twin exists
+    (streaming/stateful.py:running_value_stats_tws) for environments with
+    the TWS protobuf client."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.stateful import running_value_stats
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = stream_table(spark, sf_dir, "events").select("user_id", "value")
+    stats = running_value_stats(stream)
+    q, table = run_to_memory(stats, mode="update", available_now=True,
+                             state_partitions=8)
+    return (
+        spark.table(table)
+        .groupBy("user_id")
+        .agg(
+            F.max("sum_cents").alias("sum_cents"),
+            F.max("n").alias("n"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+
+
+@register(
     "wordcount_top20",
     """
     WITH tok AS (

@@ -11,6 +11,7 @@ touches only the keys present in that batch, Arrow-batched per group.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 
 
@@ -44,4 +45,98 @@ def running_counts(
         stateStructType="n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_value_stats(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Per-key running (sum_cents, n, max_cents) over a value column —
+    the multi-accumulator GroupState shape (running sum + count + max in
+    one state tuple). Cents are derived JVM-side before the Arrow
+    boundary (CAST(round(value*100))), so float rounding is identical to
+    the batch/oracle path; emissions are cumulative and monotonic, so a
+    batch-boundary-insensitive final answer is max() per key.
+    """
+
+    def _agg(key, pdfs, state):
+        import pandas as _pd
+
+        s, n, mx = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            c = pdf["_cents"]
+            s += int(c.sum())
+            n += len(c)
+            if len(c):
+                mx = max(mx, int(c.max()))
+        state.update((s, n, mx))
+        yield _pd.DataFrame(
+            [{key_col: key[0], "sum_cents": s, "n": n, "max_cents": mx}]
+        )
+
+    pre = stream.select(
+        key_col,
+        F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("_cents"),
+    )
+    return pre.groupBy(key_col).applyInPandasWithState(
+        _agg,
+        outputStructType=f"{key_col} long, sum_cents long, n long, max_cents long",
+        stateStructType="sum_cents long, n long, max_cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_value_stats_tws(
+    stream: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """Spark 4 ``transformWithStateInPandas`` version of
+    running_value_stats — the successor API (typed ValueState handles,
+    TTL support, timers, RocksDB-backed). Semantics identical.
+
+    Gated: the TWS Python state client needs ``google.protobuf`` and the
+    RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``...state.RocksDBStateStoreProvider``); raises ImportError where
+    protobuf is unavailable (this container) — callers fall back to
+    running_value_stats.
+    """
+    from google.protobuf import descriptor  # noqa: F401 — availability gate
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Agg(StatefulProcessor):
+        def init(self, handle):
+            self._st = handle.getValueState(
+                "agg", "sum_cents long, n long, max_cents long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            cur = self._st.get()
+            s, n, mx = cur if cur is not None else (0, 0, 0)
+            for pdf in rows:
+                c = pdf["_cents"]
+                s += int(c.sum())
+                n += len(c)
+                if len(c):
+                    mx = max(mx, int(c.max()))
+            self._st.update((s, n, mx))
+            yield _pd.DataFrame(
+                [{key_col: key[0], "sum_cents": s, "n": n, "max_cents": mx}]
+            )
+
+        def close(self):
+            pass
+
+    pre = stream.select(
+        key_col,
+        F.expr(f"CAST(round({value_col} * 100) AS BIGINT)").alias("_cents"),
+    )
+    return pre.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_Agg(),
+        outputStructType=f"{key_col} long, sum_cents long, n long, max_cents long",
+        outputMode="Update",
+        timeMode="None",
     )

@@ -350,3 +350,55 @@ def test_interval_seconds_parser():
         _interval_seconds("5 fortnights")
     with _pytest.raises(ValueError):
         _interval_seconds("")
+
+
+def test_running_value_stats_matches_batch(spark):
+    """Cumulative (sum, n, max) state drained availableNow must equal the
+    plain batch aggregate regardless of batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.stateful import running_value_stats
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    sf = SF_DIR
+    stream = stream_table(spark, sf, "events").select("user_id", "value")
+    q, table = run_to_memory(running_value_stats(stream), mode="update",
+                             available_now=True, state_partitions=4)
+    got = {
+        r["user_id"]: (r["sum_cents"], r["n"], r["max_cents"])
+        for r in spark.table(table).groupBy("user_id").agg(
+            F.max("sum_cents").alias("sum_cents"), F.max("n").alias("n"),
+            F.max("max_cents").alias("max_cents")).collect()
+    }
+    want = {
+        r["user_id"]: (r["sum_cents"], r["n"], r["max_cents"])
+        for r in load_table(spark, sf, "events")
+        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("sum_cents"), F.count(F.lit(1)).alias("n"),
+             F.max("c").alias("max_cents")).collect()
+    }
+    assert got == want
+
+
+def test_tws_variant_gated_on_protobuf(spark):
+    """The transformWithStateInPandas twin requires google.protobuf; in
+    its absence the function must fail fast with ImportError (callers
+    fall back to the applyInPandasWithState path)."""
+    import pytest
+
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.stateful import running_value_stats_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    stream = stream_table(spark, SF_DIR, "events").select("user_id", "value")
+    if has_protobuf:
+        pytest.skip("protobuf present; TWS covered by the full runtime")
+    with pytest.raises(ImportError):
+        running_value_stats_tws(stream)
