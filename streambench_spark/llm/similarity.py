@@ -218,3 +218,80 @@ def lsh_top1(emb: DataFrame, n_bits: int = 8, vec_col: str = "embedding") -> Dat
     real ANN multi-probes neighboring buckets to fix this)."""
     e = emb.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_bits)))
     return _per_cell_top1(e, "bucket", vec_col)
+
+
+def _dot_expr(a: str, b: str) -> str:
+    """Left-fold dot product over array<float>, all-double accumulation —
+    same element order and FP operation sequence as the DuckDB oracle's
+    list_reduce, so results are bit-identical."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_neardup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    n_bands: int = 4,
+    band_bits: int = 2,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs — the 100 TB scale path
+    for cosine_neardup_pairs (same banding construction as the MinHash
+    path in dedup.py:lsh_candidate_pairs).
+
+    The n_bands*band_bits sign bits are split into n_bands independent
+    hash tables; a pair is a candidate iff it collides in ANY band
+    (recall amplification: p_pair = 1-(1-p^band_bits)^n_bands). Each
+    vector explodes into n_bands (band, bucket) keys; candidates come
+    from an equi-join on that key, so the shuffle partitions by
+    (band, bucket) and work is intra-bucket only — never the all-pairs
+    product the exact variant broadcasts. Cross-band duplicate
+    candidates produce bit-identical sims (same fold), so the final
+    distinct — applied AFTER the threshold filter, on three scalar
+    columns — dedups them cheaply. All math is built-in higher-order
+    array expressions (JVM codegen, zero Python in the hot path);
+    rounding is half-away-from-zero on the 6th decimal, matching the
+    exact variant and the DuckDB oracle. Skew note: a hot bucket
+    concentrates pairs on one task — AQE skew-join splits it; raising
+    band_bits shrinks buckets geometrically (and lowers recall —
+    tune to the target threshold)."""
+    mask = (1 << band_bits) - 1
+    e = (
+        emb.select("vec_id", vec_col)
+        .withColumn(
+            "_full", F.expr(lsh_bucket_expr(vec_col, n_bands * band_bits))
+        )
+        .withColumn("_norm", F.expr(f"sqrt({_dot_expr(vec_col, vec_col)})"))
+        .select(
+            "vec_id", vec_col, "_norm",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands - 1}), j -> "
+                    f"shiftright(_full, j * {band_bits}) & {mask}L)"
+                )
+            ).alias("band", "bucket"),
+        )
+    )
+    left = e.select(
+        F.col("vec_id").alias("id_a"), F.col(vec_col).alias("_va"),
+        F.col("_norm").alias("_na"), "band", "bucket",
+    )
+    right = e.select(
+        F.col("vec_id").alias("id_b"), F.col(vec_col).alias("_vb"),
+        F.col("_norm").alias("_nb"), "band", "bucket",
+    )
+    return (
+        left.join(right, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where((F.col("_na") > 0) & (F.col("_nb") > 0))
+        .withColumn("_raw", F.expr(f"{_dot_expr('_va', '_vb')} / (_na * _nb)"))
+        .withColumn(
+            "sim", F.expr("sign(_raw) * floor(abs(_raw) * 1e6 + 0.5) / 1e6")
+        )
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+        .distinct()
+    )

@@ -540,6 +540,41 @@ def q_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45)
 
 
+_COSINE_LSH_NEARDUP_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding,
+           sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS norm,
+           {_D_LSH_BUCKET} AS fullb
+    FROM embeddings
+),
+bands AS (
+    SELECT vec_id, embedding, norm, j,
+           (fullb >> (CAST(j AS INTEGER) * 2)) & 3 AS bucket
+    FROM e, range(0, 4) AS t(j)
+)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_D_DOT.format(a='a.embedding', b='b.embedding')}
+             / (a.norm * b.norm), 6) AS sim
+FROM bands a JOIN bands b
+  ON a.j = b.j AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE a.norm > 0 AND b.norm > 0
+  AND round({_D_DOT.format(a='a.embedding', b='b.embedding')}
+            / (a.norm * b.norm), 6) >= 0.45
+"""
+
+
+@register(
+    "neardup_embedding_lsh", _COSINE_LSH_NEARDUP_ORACLE, tags=["llm", "dedup"]
+)
+def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH embedding near-dup pairs (>= 0.45): 4 bands x 2
+    sign bits, candidates = pairs colliding in any band — equi-join
+    shuffle on (band, bucket), intra-bucket pairs only, never all-pairs.
+    The scale path twin of neardup_embedding_cosine (recall amplified by
+    banding; documented in llm/similarity.py:cosine_neardup_pairs_lsh)."""
+    return similarity.cosine_neardup_pairs_lsh(_embs(spark, sf_dir), 0.45)
+
+
 # Dataset assembly: splits, sampling quotas, decontamination ---------------
 
 _D_KEYHASH = _D_H32.format(s="CAST(doc_id AS VARCHAR)")

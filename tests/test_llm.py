@@ -135,6 +135,33 @@ def test_lsh_top1_subset_of_brute_force_quality(spark):
         assert bmap[r["vec_id"]] == bmap[r["neighbor_id"]]
 
 
+def test_banded_lsh_neardup_subset_of_exact(spark):
+    """Banded-LSH near-dup pairs must be a subset of the exact all-pairs
+    result with bit-identical sims (candidates pruned, values exact), and
+    banding must find at least the pairs a single band_bits-wide table
+    finds (recall amplification never loses pairs)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_neardup_pairs(emb, 0.45).collect()
+    }
+    banded = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.cosine_neardup_pairs_lsh(emb, 0.45).collect()
+    }
+    assert set(banded) <= set(exact)
+    assert len(banded) > 0
+    for k, v in banded.items():
+        assert abs(exact[k] - v) < 1e-12
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs_lsh(
+            emb, 0.45, n_bands=1, band_bits=2
+        ).collect()
+    }
+    assert single <= set(banded)
+
+
 def test_doc_stats_values(spark):
     docs = spark.createDataFrame(
         [(1, "the cat sat on the mat")], "doc_id long, text string"
