@@ -191,6 +191,51 @@ def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_mv",
+    """
+    SELECT user_id, count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY 1
+    """,
+    tags=["streaming", "lakehouse"],
+)
+def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view, merge-on-read: the stream's every
+    micro-batch is reduced to per-user PARTIAL aggregates (count,
+    sum_cents) appended to a parquet MV directory; the final answer
+    re-aggregates the partials (sum of counts, sum of sums). Zero state
+    store — bounded memory at any key cardinality, no watermark needed —
+    the lakehouse alternative to update-mode stateful aggregation
+    (contrast stateful_value_stats, which holds state per key). Cents
+    derived JVM-side so the sum is integer-exact and batch-boundary
+    insensitive."""
+    import tempfile
+
+    from streambench_spark.sinks.sinks import incremental_mv_sink
+    from streambench_spark.sources.replay import stream_table
+
+    stream = stream_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents")
+    )
+    mv_path = tempfile.mkdtemp(prefix="sb_mv_")
+
+    def partialize(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_cents").alias("sum_cents")
+        )
+
+    incremental_mv_sink(stream, mv_path, partialize)
+    return (
+        spark.read.parquet(mv_path)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
     "wordcount_top20",
     """
     WITH tok AS (

@@ -83,6 +83,46 @@ def latency_marking_sink(
     return writer.start()
 
 
+def incremental_mv_sink(
+    sdf: DataFrame,
+    path: str,
+    partialize,
+    timeout_s: int = 300,
+) -> StreamingQuery:
+    """Merge-on-read incremental materialized view: every micro-batch is
+    reduced to PARTIAL aggregates by ``partialize`` (a batch→batch
+    DataFrame function, e.g. groupBy(key).agg(count, sum)) and APPENDED
+    to a parquet directory. The reader merges partials with a final
+    re-aggregation (sum of counts, sum of sums — any commutative monoid).
+
+    This is the zero-state-store alternative to update-mode streaming
+    aggregation: no watermark, no state eviction problem, bounded memory
+    regardless of key cardinality (each batch holds only its own keys),
+    and the MV directory compacts on read — the classic lakehouse
+    incremental-aggregate pattern. At 100 TB, pair with periodic
+    compaction of the partials directory (re-aggregate + overwrite) so
+    read-side merge cost stays O(keys), not O(batches x keys).
+
+    availableNow drains all input then stops; raises on timeout so a
+    partial run never masquerades as the final MV.
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        partialize(batch_df).write.mode("append").parquet(path)
+
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .outputMode("append")
+        .option("checkpointLocation", _ckpt())
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"availableNow run exceeded {timeout_s}s before draining")
+    return q
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
 ) -> None:

@@ -383,6 +383,51 @@ def test_running_value_stats_matches_batch(spark):
     assert got == want
 
 
+def test_incremental_mv_merges_across_batches(spark, tmp_path):
+    """Merge-on-read MV: partial aggregates appended per micro-batch must
+    re-aggregate to the exact batch answer even when a key spans many
+    batches — forced here by splitting events into 4 files streamed one
+    per trigger."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sinks.sinks import incremental_mv_sink
+    from streambench_spark.sources.replay import stream_table
+
+    src = str(tmp_path / "events.parquet")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+    stream = stream_table(spark, str(tmp_path), "events",
+                          max_files_per_trigger=1).select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents")
+    )
+    mv = str(tmp_path / "mv")
+
+    def partialize(b):
+        return b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_cents").alias("sum_cents"))
+
+    incremental_mv_sink(stream, mv, partialize)
+    partials = spark.read.parquet(mv)
+    # a key split across batches must appear in >1 partial row
+    dup_keys = partials.groupBy("user_id").count().filter("count > 1").count()
+    assert dup_keys > 0, "expected per-key partials from multiple batches"
+    got = {
+        r["user_id"]: (r["n"], r["sum_cents"])
+        for r in partials.groupBy("user_id")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["sum_cents"])
+        for r in load_table(spark, SF_DIR, "events")
+        .select("user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("sum_cents"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_tws_variant_gated_on_protobuf(spark):
     """The transformWithStateInPandas twin requires google.protobuf; in
     its absence the function must fail fast with ImportError (callers
