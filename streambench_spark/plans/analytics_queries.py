@@ -191,6 +191,55 @@ def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hypertable_rollup_streaming",
+    """
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 1000 AS wm_ms FROM events),
+    ev AS (SELECT ts, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    h AS (SELECT epoch_ms(time_bucket(INTERVAL 3600 SECOND, ts)) AS bucket_ms,
+                 event_type, count(*) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM ev GROUP BY 1, 2)
+    SELECT * FROM h WHERE bucket_ms + 3600000 <= (SELECT wm_ms FROM wm)
+    """,
+    tags=["streaming", "rollup"],
+)
+def q_hypertable_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming continuous-aggregate cascade: TWO chained stateful
+    window aggregations in ONE query (minute pre-aggregate → hour
+    re-aggregate via window-of-window, Spark 3.5+ multi-stateful-operator
+    support), append mode + watermark + parquet sink. The raw stream is
+    shuffled once at minute granularity; the hour level aggregates the
+    ~60x-smaller minute stream — the streaming expression of
+    hypertable_rollup's batch cascade (coarser day+ levels derive batch-
+    side from the materialized output, operators/windows.py). Emitted
+    hours are those finalized by the closing watermark (max ts − 1 s),
+    same cutoff contract as ysb_streaming_append; counts/integer-cent
+    sums re-aggregate exactly, so each emitted hour is bit-identical to
+    grouping raw events directly (which is what the oracle does)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    stream = stream_table(spark, sf_dir, "events").select(
+        "ts", "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    m = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("sum_cents"))
+    )
+    h = m.groupBy(F.window(F.col("window"), "1 hour"), "event_type").agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_cents").alias("sum_cents")
+    )
+    out = h.select(
+        F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+        "event_type", "n_events", "sum_cents",
+    )
+    return run_append_to_parquet(spark, out, state_partitions=8)
+
+
+@register(
     "incremental_mv",
     """
     SELECT user_id, count(*) AS n,

@@ -143,6 +143,21 @@ def run_streaming_ysb_append(
     state and are NOT emitted — bounded-input append mode is the batch
     result minus unfinalized windows."""
     out = ysb_streaming(events_stream, customer, window=window, watermark=watermark)
+    return run_append_to_parquet(spark, out, timeout_s=timeout_s,
+                                 state_partitions=state_partitions)
+
+
+def run_append_to_parquet(
+    spark: SparkSession,
+    out: DataFrame,
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame availableNow in append mode to a
+    parquet file sink and return the files as a batch DataFrame — the
+    scale-correct streaming shape (bounded state, nothing collected to
+    the driver); raises on timeout so a partial drain never masquerades
+    as the final result."""
     path = tempfile.mkdtemp(prefix="sb_append_out_")
     with _pinned_state_partitions(spark, state_partitions):
         q = start_query(out, fmt="parquet", mode="append", available_now=True,
