@@ -218,3 +218,84 @@ def tfidf_top_terms(
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tf", "df", "rn")
     )
+
+
+def chunk_docs(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-window chunking: split each document's token stream into
+    consecutive chunks of <= chunk_tokens whitespace tokens — the
+    document→training-example step of an LLM data pipeline (complement of
+    pack_sequences, which groups whole short docs; chunking splits long
+    ones).
+
+    Plan shape: narrow map only — tokenize once, explode a CHEAP index
+    sequence (0..n_chunks-1), then slice the token array per output row
+    (the explode-cheap-index pattern, see dedup.shingle_postings: never
+    explode an expensive computed array). Zero shuffle, zero Python;
+    embarrassingly parallel at any scale. Deterministic: chunk boundaries
+    are a pure function of the token count.
+    """
+    tk = TOKENS_EXPR.format(col=text_col)
+    return (
+        docs.select(key_col, F.expr(tk).alias("_tk"))
+        .withColumn(
+            "_j",
+            F.explode(
+                F.expr(
+                    f"sequence(0, CAST(ceil(size(_tk) / {chunk_tokens}.0) AS INT) - 1)"
+                )
+            ),
+        )
+        .withColumn("chunk_idx", F.col("_j").cast("long"))
+        .select(
+            key_col,
+            "chunk_idx",
+            F.expr(
+                f"array_join(slice(_tk, chunk_idx * {chunk_tokens} + 1, "
+                f"{chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+            F.expr(
+                f"CAST(size(slice(_tk, chunk_idx * {chunk_tokens} + 1, "
+                f"{chunk_tokens})) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+    )
+
+
+def chunk_docs_udtf(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Python UDTF twin of chunk_docs — the Spark 4 user-defined table
+    function surface (one input row → many output rows from imperative
+    Python), applied LATERAL per document. Semantics identical to
+    chunk_docs (tested); the builtin-expression version is the hot path —
+    this exists to cover the UDTF API for operators whose row-expansion
+    logic outgrows SQL expressions (real tokenizers, format parsers).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
+    class _Chunker:
+        def eval(self, text: str):
+            toks = re.split(r"\s+", text.lower())
+            for j in range(0, max(1, -(-len(toks) // chunk_tokens))):
+                part = toks[j * chunk_tokens:(j + 1) * chunk_tokens]
+                yield j, " ".join(part), len(part)
+
+    spark = docs.sparkSession
+    name = "sb_chunker"
+    spark.udtf.register(name, _Chunker)
+    docs.select(key_col, text_col).createOrReplaceTempView("sb_chunk_in")
+    return spark.sql(
+        f"SELECT i.{key_col}, c.chunk_idx, c.chunk_text, c.n_tokens "
+        f"FROM sb_chunk_in i, LATERAL {name}(i.{text_col}) c"
+    )

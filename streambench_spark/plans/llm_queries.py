@@ -792,6 +792,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+_CHUNK_DOCS_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents
+),
+ch AS (
+    SELECT doc_id, tk,
+           unnest(range(0, CAST(ceil(len(tk) / 64.0) AS BIGINT))) AS j
+    FROM toks
+)
+SELECT doc_id, j AS chunk_idx,
+       array_to_string(list_slice(tk, j * 64 + 1,
+                                  least((j + 1) * 64, len(tk))), ' ')
+           AS chunk_text,
+       CAST(least((j + 1) * 64, len(tk)) - j * 64 AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+
+@register("chunk_docs", _CHUNK_DOCS_ORACLE, tags=["llm", "text"])
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: each document split into consecutive
+    64-token chunks (doc → training-example expansion). Narrow map only —
+    explode a cheap index sequence, slice the token array per row; zero
+    shuffle, zero Python. A Python-UDTF twin (text.chunk_docs_udtf)
+    covers the Spark 4 UDTF surface and is tested equal."""
+    return text.chunk_docs(_docs(spark, sf_dir), chunk_tokens=64)
+
+
 _FRAME_SAMPLING_ORACLE = """
 WITH assets AS (
     SELECT doc_id, n_chars % 100 AS n_frames FROM documents

@@ -391,3 +391,27 @@ def test_upsample_epoch_multiplicity(spark):
     for r in out.collect():
         want = 3 if r["lang"] == "zh" else 1
         assert r["n"] == want and sorted(r["eps"]) == list(range(want))
+
+
+def test_chunk_docs_udtf_twin_equal(spark):
+    """The Python-UDTF chunker must produce exactly the builtin
+    expression version's rows, including edge cases: doc shorter than
+    one chunk, exact-multiple length, and a chunk_tokens=1 degenerate."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # 5 tokens: 2 chunks at size 4
+            (2, "x y z w"),            # exact multiple
+            (3, "single"),             # shorter than a chunk
+        ],
+        "doc_id long, text string",
+    )
+    for cs in (1, 4):
+        a = sorted(map(tuple, text.chunk_docs(docs, chunk_tokens=cs).collect()))
+        b = sorted(map(tuple, text.chunk_docs_udtf(docs, chunk_tokens=cs).collect()))
+        assert a == b, (cs, a, b)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in text.chunk_docs(docs, chunk_tokens=4).collect()}
+    assert got == {
+        (1, 0): ("a b c d", 4), (1, 1): ("e", 1),
+        (2, 0): ("x y z w", 4), (3, 0): ("single", 1),
+    }
