@@ -350,6 +350,49 @@ def q_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_streaming",
+    """
+    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    tags=["joins", "streaming"],
+)
+def q_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 through Structured Streaming, driver-surfaced: watermarked
+    symmetric-hash stream-stream join of views→purchases within 1 h,
+    append mode + parquet sink. Inner-join matches emit as soon as both
+    rows are present (the watermark bounds join STATE — each side's rows
+    are evicted once the other side's watermark passes their band — not
+    emission), so the drained availableNow result equals the batch
+    interval join bit-for-bit, which is what the oracle checks. State at
+    scale: O(rows within the 1 h band per side), never the full stream."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    def side(event_type: str):
+        return (
+            stream_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 second")
+        )
+
+    joined = rel.interval_join(
+        side("view"), side("purchase"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    return run_append_to_parquet(spark, joined, state_partitions=8)
+
+
+@register(
     "cross_join_metrics",
     """
     SELECT t.throughput_rows, l.max_value
