@@ -250,3 +250,179 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY 1
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (order-priority checking, adapted to the slimmed schema: the
+    EXISTS condition is l_shipdate > o_orderdate since commit/receipt
+    dates aren't shipped): date-windowed orders LEFT SEMI joined to
+    lineitem — the semi join dedups matches engine-side, no distinct
+    needed; the extra non-equi conjunct rides the hash join as a residual
+    filter. Fact shuffle only at the tiny priority group-by."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    WITH j AS (
+        SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                   AS cents,
+               p_type
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+          AND l_shipdate <  TIMESTAMP '1997-10-01'
+    )
+    SELECT CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents ELSE 0 END)
+               AS BIGINT) AS promo_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN cents
+                                       ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 6) AS promo_pct
+    FROM j
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (promotion effect): month-windowed lineitem broadcast-joined
+    to part (dim side), conditional aggregation (CASE inside sum) — one
+    global aggregate, no group-by shuffle of the fact. The percentage is
+    derived from two exact integer-cent sums (both emitted), so the
+    float division is one identical IEEE op on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+        "p_type",
+    )
+    promo = F.sum(
+        F.when(F.col("p_type").startswith("PROMO"), F.col("cents")).otherwise(0)
+    )
+    return j.agg(
+        promo.alias("promo_cents"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            100.0 * promo.cast("double") / F.sum("cents").cast("double"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents
+        FROM lineitem GROUP BY 1
+        HAVING sum_qty_cents > 25000
+    )
+    SELECT c.c_custkey, o.o_orderkey, epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           b.sum_qty_cents
+    FROM big b
+    JOIN orders o ON b.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume customers): grouped HAVING filter on the fact
+    (one shuffle on l_orderkey, map-side partials), then the SMALL
+    surviving set drives broadcast joins to orders and customer — the
+    aggregate-then-join ordering keeps both joins off the raw fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"))
+        .filter(F.col("sum_qty_cents") > 25000)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_ms"
+            ),
+            _cents(F.col("o_totalprice")).alias("total_cents"),
+            "sum_qty_cents",
+        )
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (discounted revenue, adapted: shipmode/shipinstruct aren't in
+    the slimmed schema): disjunctive mixed fact/dim predicates — the
+    equi-join on partkey stays a broadcast hash join and the OR-of-ANDs
+    rides it as a residual filter; Catalyst additionally pushes the
+    derivable single-side disjunctions (brand/size to part's scan,
+    quantity range to lineitem's) below the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue_cents"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
