@@ -426,3 +426,77 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    GROUP BY 1
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (customer order distribution): LEFT OUTER join so zero-order
+    customers survive as null rows, count(o_orderkey) skipping nulls,
+    then a second tiny aggregate over the counts. The outer join shuffles
+    both sides on the key once; the histogram aggregate is
+    counts-of-counts-sized."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qc,
+               count(*) AS n
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) * 5 * pa.n < pa.sum_qc
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue): the classic correlated scalar
+    subquery (quantity < 20% of the part's average) decorrelated into an
+    aggregate-then-join, with the float average comparison rewritten as
+    an INTEGER inequality (qty_cents * 5 * n < sum_qty_cents ⇔
+    qty < avg/5) so both engines agree bit-for-bit. The per-part
+    aggregate output is parts-sized → broadcast back against the fact;
+    one fact shuffle total (the aggregate's)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = _cents(F.col("l_quantity"))
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(qc).alias("sum_qc"), F.count(F.lit(1)).alias("n")
+    )
+    l = li.select(
+        F.col("l_partkey").alias("lp"), qc.alias("qty_cents"),
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+    )
+    return (
+        l.join(F.broadcast(pa), l["lp"] == pa["l_partkey"])
+        .filter(F.col("qty_cents") * 5 * F.col("n") < F.col("sum_qc"))
+        .agg(
+            F.sum("price_cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
