@@ -481,8 +481,11 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join, with the float average comparison rewritten as
     an INTEGER inequality (qty_cents * 5 * n < sum_qty_cents ⇔
     qty < avg/5) so both engines agree bit-for-bit. The per-part
-    aggregate output is parts-sized → broadcast back against the fact;
-    one fact shuffle total (the aggregate's)."""
+    aggregate output is parts-sized — small enough that AQE converts
+    the join to broadcast at bench SFs, while at 100 TB (billions of
+    parts) it correctly falls back to a sort-merge join that REUSES the
+    aggregate's hash-on-partkey partitioning; no explicit hint, the
+    planner picks by stats."""
     li = load_table(spark, sf_dir, "lineitem")
     qc = _cents(F.col("l_quantity"))
     pa = li.groupBy("l_partkey").agg(
@@ -493,7 +496,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cents(F.col("l_extendedprice")).alias("price_cents"),
     )
     return (
-        l.join(F.broadcast(pa), l["lp"] == pa["l_partkey"])
+        l.join(pa, l["lp"] == pa["l_partkey"])
         .filter(F.col("qty_cents") * 5 * F.col("n") < F.col("sum_qc"))
         .agg(
             F.sum("price_cents").alias("revenue_cents"),
