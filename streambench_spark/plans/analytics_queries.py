@@ -629,3 +629,62 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return kmv_distinct(ev, ["event_type"], "user_id", k=32)
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=["streaming", "dedup"],
+)
+def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark
+    evicts each key's dedup state once the watermark passes its event
+    time + delay — the 100 TB posture for infinite streams, where plain
+    dropDuplicates' state grows forever. The 31-day delay exceeds the
+    testdata's 30-day span, so nothing evicts mid-run and the emitted
+    key set equals batch DISTINCT exactly (the oracle); on a production
+    stream the same plan holds state only for the trailing window."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    stream = (
+        stream_table(spark, sf_dir, "events")
+        .select("ts", "user_id", "event_type")
+        .withWatermark("ts", "31 days")
+    )
+    deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    q, table = run_to_memory(deduped, mode="append", available_now=True,
+                             state_partitions=8)
+    return spark.table(table).select("user_id", "event_type")
+
+
+@register(
+    "user_state_history",
+    """
+    SELECT user_id, event_id, event_type,
+           epoch_ms(ts) AS valid_from_ms,
+           coalesce(epoch_ms(lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)), -1) AS valid_to_ms
+    FROM events
+    """,
+    tags=["analytics", "batch"],
+)
+def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style state history: each user's events become validity
+    intervals [ts, next event's ts) via lead() over (user_id; ts,
+    event_id) — the change-log → type-2 dimension build of a warehouse
+    ETL. One shuffle on user_id, per-partition sort only; open intervals
+    carry -1 instead of NULL (NULL-free outputs compare exactly)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", "event_type",
+        F.unix_millis(F.col("ts")).alias("valid_from_ms"),
+        F.coalesce(
+            F.unix_millis(F.lead("ts").over(w)), F.lit(-1).cast("long")
+        ).alias("valid_to_ms"),
+    )
