@@ -309,3 +309,84 @@ def cosine_neardup_pairs_lsh(
         .applyInPandas(_cell, schema="id_a long, id_b long, sim double")
         .distinct()
     )
+
+
+def lsh_top1_multiprobe(
+    emb: DataFrame, n_bits: int = 8, vec_col: str = "embedding"
+) -> DataFrame:
+    """Multi-probe sign-LSH nearest neighbor: each query vector probes its
+    own bucket AND every bucket at Hamming distance 1 (flip one sign
+    bit), fixing lsh_top1's documented gap — a vector alone in its
+    bucket still finds neighbors one flipped hyperplane away.
+
+    Plan: the query side explodes into n_bits+1 probe cells (bounded
+    fan-out, bucket ids are computed not stored), the corpus side keeps
+    its exact cell; ONE shuffle co-partitions both by cell; each cell is
+    a dense query x corpus BLAS matmul emitting its local best per query
+    (ties toward the smaller neighbor id); a final tiny aggregate takes
+    the global best via min over (-sim, neighbor_id) structs — exactly
+    row_number ORDER BY sim DESC, neighbor_id ASC. Probe fan-out
+    multiplies query-side shuffle volume by n_bits+1, the standard
+    multi-probe trade: recall of many hash tables for the state of one.
+    """
+    e = emb.withColumn("bucket", F.expr(lsh_bucket_expr(vec_col, n_bits)))
+    probes = F.expr(
+        f"array_union(array(bucket), transform(sequence(0, {n_bits - 1}), "
+        f"i -> bucket ^ shiftleft(1L, i)))"
+    )
+    qx = (
+        e.select("vec_id", F.col(vec_col).alias("v"), F.explode(probes).alias("cell"))
+        .withColumn("is_q", F.lit(True))
+    )
+    cx = e.select(
+        "vec_id", F.col(vec_col).alias("v"), F.col("bucket").alias("cell")
+    ).withColumn("is_q", F.lit(False))
+
+    def _cell(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        empty = _pd.DataFrame(
+            {"vec_id": _pd.Series([], dtype="int64"),
+             "neg_sim": _pd.Series([], dtype="float64"),
+             "neighbor_id": _pd.Series([], dtype="int64")}
+        )
+        qs = pdf[pdf["is_q"]]
+        cs = pdf[~pdf["is_q"]]
+        if not len(qs) or not len(cs):
+            return empty
+        Q = _np.stack(qs["v"].to_numpy()).astype(_np.float64)
+        C = _np.stack(cs["v"].to_numpy()).astype(_np.float64)
+        qn = _np.sqrt((Q * Q).sum(axis=1))
+        cn = _np.sqrt((C * C).sum(axis=1))
+        qid = qs["vec_id"].to_numpy()
+        cid = cs["vec_id"].to_numpy()
+        with _np.errstate(invalid="ignore", divide="ignore"):
+            sims = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        sims = _np.sign(sims) * _np.floor(_np.abs(sims) * 1e6 + 0.5) / 1e6
+        sims = _np.where(_np.isnan(sims), -_np.inf, sims)   # zero-norm
+        sims[qid[:, None] == cid[None, :]] = -_np.inf        # self-match
+        # local best per query: sim DESC then neighbor id ASC
+        order = _np.lexsort((cid[None, :].repeat(len(qid), 0), -sims), axis=1)
+        best = order[:, 0]
+        bs = sims[_np.arange(len(qid)), best]
+        ok = _np.isfinite(bs) & (qn > 0)
+        return _pd.DataFrame(
+            {"vec_id": qid[ok].astype("int64"),
+             "neg_sim": -bs[ok],
+             "neighbor_id": cid[best][ok].astype("int64")}
+        )
+
+    local = (
+        qx.unionByName(cx)
+        .groupBy("cell")
+        .applyInPandas(_cell, schema="vec_id long, neg_sim double, neighbor_id long")
+    )
+    best = local.groupBy("vec_id").agg(
+        F.min(F.struct("neg_sim", "neighbor_id")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("b.neighbor_id").alias("neighbor_id"),
+        (-F.col("b.neg_sim")).alias("sim"),
+    )

@@ -533,6 +533,23 @@ WHERE round({_D_DOT.format(a='a.embedding', b='b.embedding')}
 """
 
 
+@register(
+    "embedding_lsh_multiprobe_topk",
+    _topk_oracle(
+        "bit_count(xor(a.bucket, b.bucket)) <= 1 AND a.vec_id != b.vec_id",
+        extra_col=f", {_D_LSH_BUCKET} AS bucket",
+    ),
+    tags=["llm", "similarity"],
+)
+def q_embedding_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH nearest neighbor: each query probes its own
+    bucket plus all Hamming-1 neighbors (one flipped sign bit), so
+    vectors alone in their bucket still find neighbors — the candidate
+    set is exactly pairs with bit_count(xor(buckets)) <= 1, which is
+    what the oracle ranks."""
+    return similarity.lsh_top1_multiprobe(_embs(spark, sf_dir))
+
+
 @register("neardup_embedding_cosine", _COSINE_NEARDUP_ORACLE, tags=["llm", "dedup"])
 def q_neardup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (>= 0.45), exact broadcast-matmul
