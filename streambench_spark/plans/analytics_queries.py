@@ -688,3 +688,76 @@ def q_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_millis(F.lead("ts").over(w)), F.lit(-1).cast("long")
         ).alias("valid_to_ms"),
     )
+
+
+@register(
+    "cube_order_priority_status",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=["analytics", "rollup"],
+)
+def q_cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping-set combinations
+    in one pass, disambiguated by grouping_id (real NULL-valued keys
+    would otherwise collide with subtotal rows; here keys are coalesced
+    to a sentinel for NULL-free output). Spark expands the cube BEFORE
+    the single hash aggregate, so the fact is still shuffled once with
+    map-side partials — same cost shape as a plain group-by times the
+    grouping-set count."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid", "n", "total_cents",
+        )
+    )
+
+
+@register(
+    "grouped_percentiles",
+    """
+    SELECT event_type,
+           min(value) AS min_v,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 / count(*) AS avg_v,
+           round(quantile_cont(value, 0.50), 4) AS p50_v,
+           round(quantile_cont(value, 0.95), 4) AS p95_v,
+           max(value) AS max_v
+    FROM events GROUP BY 1
+    """,
+    tags=["aggregates"],
+)
+def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact percentiles (the latency-report aggregate shape,
+    keyed): one shuffle on the low-cardinality group key; exact
+    percentile needs the group's sorted values so partial aggregation
+    collects per-partition buffers — at 100 TB swap in percentile_approx
+    (mergeable sketch, map-side partials) as the bench harness does; the
+    exact version here keeps the oracle hash-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy("event_type").agg(
+        F.min("value").alias("min_v"),
+        (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_v"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50_v"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_v"),
+        F.max("value").alias("max_v"),
+    )
