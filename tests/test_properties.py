@@ -69,3 +69,40 @@ def test_asof_join_carries_null_quote_fields_atomically(spark):
     # probe@25 matches quote@20 (all-NULL fields, still a match, not stitched
     # with quote@10's values); probe@35 → quote@30; probe@15 → quote@10
     assert got == {0: (None, None), 1: (300, "c"), 2: (100, "a")}
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc xyz", min_size=1, max_size=40).filter(
+            lambda s: s.strip()
+        ),
+        min_size=1, max_size=6,
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_docs_roundtrip_preserves_tokens(spark, texts, chunk_tokens):
+    """Chunking must partition each document's token stream exactly:
+    concatenating a doc's chunks in chunk_idx order reproduces the full
+    lowercased token sequence, every chunk but the last is full, and
+    n_tokens sums to the doc's token count."""
+    import re
+
+    from streambench_spark.llm.text import chunk_docs
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    out = chunk_docs(docs, chunk_tokens=chunk_tokens).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = re.split(r"\s+", text.lower())
+        rows = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        joined = " ".join(r["chunk_text"] for r in rows).split(" ")
+        assert joined == toks
+        assert sum(r["n_tokens"] for r in rows) == len(toks)
+        for r in rows[:-1]:
+            assert r["n_tokens"] == chunk_tokens
