@@ -761,3 +761,27 @@ def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_v"),
         F.max("value").alias("max_v"),
     )
+
+
+@register(
+    "setops_viewers_and_buyers",
+    """
+    SELECT user_id FROM events
+    WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-03'
+    INTERSECT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03'
+    """,
+    tags=["analytics", "batch"],
+)
+def q_setops_viewers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (INTERSECT): users who both viewed and purchased in
+    the first two days — completes the §2.6 set-op family next to
+    EXCEPT. Spark plans a left-semi hash aggregate over distinct keys;
+    one shuffle per side on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03").cast("timestamp")
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.intersect(buyers)

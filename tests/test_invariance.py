@@ -1,0 +1,37 @@
+"""Partition-invariance: results must be bit-identical across different
+parallelism settings — the property that makes the integer-cents /
+portable-hash / exact-percentile engineering hold on a real cluster,
+where partition counts differ from the test session's."""
+
+from __future__ import annotations
+
+import pytest
+
+from streambench_spark.plans.queries import REGISTRY
+from tests.conftest import SF_DIR
+
+# float- or order-sensitive representatives from each family
+QUERIES = [
+    "global_percentiles",       # exact percentile interpolation
+    "grouped_percentiles",
+    "tfidf_top_terms",          # ranking with tie-breaks
+    "embedding_topk_cosine",    # float matmul + rounding
+    "neardup_embedding_lsh",    # banded candidates + distinct
+    "tpch_q1_pricing_summary",  # integer-cents sums
+    "hypertable_rollup",        # cascade re-aggregation
+    "sequence_packing",         # prefix-sum fold
+]
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_parallelism(spark, name):
+    def run(parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            df = REGISTRY[name].fn(spark, SF_DIR)
+            return sorted(tuple(r) for r in df.collect())
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    assert run(1) == run(32)
