@@ -136,20 +136,15 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     count regardless of how many micro-batches the replay used."""
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.stateful import running_counts
-    from streambench_spark.streaming.ysb import run_to_memory
+    from streambench_spark.streaming.ysb import run_update_to_parquet
 
     stream = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
     counted = running_counts(
         stream, ["user_id", "event_type"],
         "user_id long, event_type string, n long",
     )
-    q, table = run_to_memory(counted, mode="update", available_now=True,
-                             state_partitions=8)
-    return (
-        spark.table(table)
-        .groupBy("user_id", "event_type")
-        .agg(F.max("n").alias("n"))
-    )
+    emitted = run_update_to_parquet(spark, counted, state_partitions=8)
+    return emitted.groupBy("user_id", "event_type").agg(F.max("n").alias("n"))
 
 
 @register(
@@ -173,20 +168,15 @@ def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TWS protobuf client."""
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.stateful import running_value_stats
-    from streambench_spark.streaming.ysb import run_to_memory
+    from streambench_spark.streaming.ysb import run_update_to_parquet
 
     stream = stream_table(spark, sf_dir, "events").select("user_id", "value")
     stats = running_value_stats(stream)
-    q, table = run_to_memory(stats, mode="update", available_now=True,
-                             state_partitions=8)
-    return (
-        spark.table(table)
-        .groupBy("user_id")
-        .agg(
-            F.max("sum_cents").alias("sum_cents"),
-            F.max("n").alias("n"),
-            F.max("max_cents").alias("max_cents"),
-        )
+    emitted = run_update_to_parquet(spark, stats, state_partitions=8)
+    return emitted.groupBy("user_id").agg(
+        F.max("sum_cents").alias("sum_cents"),
+        F.max("n").alias("n"),
+        F.max("max_cents").alias("max_cents"),
     )
 
 
@@ -440,7 +430,11 @@ def q_setops_viewers_not_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 through Structured Streaming: sliding windows (1 day / 12 h)
     over the replayed events, complete-mode final state == the batch
-    sliding-window query (same boundary exclusion as the batch entry)."""
+    sliding-window query (same boundary exclusion as the batch entry).
+    Complete mode + memory sink IS the point of this entry (the
+    streaming≡batch equivalence proof) and is test-scale by nature; the
+    scale-correct production shape is the append+watermark+file-sink
+    family (ysb_streaming_append, hypertable_rollup_streaming)."""
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.ysb import run_to_memory
 
@@ -492,9 +486,10 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark + append mode — the state-evicting session shape. Emitted
     sessions are those finalized by the closing watermark (session end =
     last event + gap <= max(ts) − 1 s); the oracle applies the same
-    cutoff to the gaps-and-islands rewrite."""
+    cutoff to the gaps-and-islands rewrite. Results land in a parquet
+    file sink (bounded state, nothing collected to the driver)."""
     from streambench_spark.sources.replay import stream_table
-    from streambench_spark.streaming.ysb import run_to_memory
+    from streambench_spark.streaming.ysb import run_append_to_parquet
 
     stream = stream_table(spark, sf_dir, "events")
     agg = (
@@ -508,9 +503,7 @@ def q_session_windows_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _, table = run_to_memory(agg, mode="append", available_now=True,
-                             state_partitions=8)
-    return spark.table(table)
+    return run_append_to_parquet(spark, agg, state_partitions=8)
 
 
 @register(
@@ -525,13 +518,12 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the state store, drained with availableNow — the streaming
     half of exact dedup (emitted key set == batch DISTINCT)."""
     from streambench_spark.sources.replay import stream_table
-    from streambench_spark.streaming.ysb import run_to_memory
+    from streambench_spark.streaming.ysb import run_append_to_parquet
 
     stream = stream_table(spark, sf_dir, "events").select("user_id", "event_type")
     deduped = stream.dropDuplicates(["user_id", "event_type"])
-    q, table = run_to_memory(deduped, mode="append", available_now=True,
-                             state_partitions=8)
-    return spark.table(table)
+
+    return run_append_to_parquet(spark, deduped, state_partitions=8)
 
 
 @register(
@@ -647,7 +639,7 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
     key set equals batch DISTINCT exactly (the oracle); on a production
     stream the same plan holds state only for the trailing window."""
     from streambench_spark.sources.replay import stream_table
-    from streambench_spark.streaming.ysb import run_to_memory
+    from streambench_spark.streaming.ysb import run_append_to_parquet
 
     stream = (
         stream_table(spark, sf_dir, "events")
@@ -655,9 +647,10 @@ def q_streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> Data
         .withWatermark("ts", "31 days")
     )
     deduped = stream.dropDuplicatesWithinWatermark(["user_id", "event_type"])
-    q, table = run_to_memory(deduped, mode="append", available_now=True,
-                             state_partitions=8)
-    return spark.table(table).select("user_id", "event_type")
+
+    return run_append_to_parquet(spark, deduped, state_partitions=8).select(
+        "user_id", "event_type"
+    )
 
 
 @register(

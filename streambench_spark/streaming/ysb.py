@@ -168,6 +168,39 @@ def run_append_to_parquet(
     return spark.read.schema(out.schema).parquet(path)
 
 
+def run_update_to_parquet(
+    spark: SparkSession,
+    out: DataFrame,
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain an update-mode streaming DataFrame availableNow through a
+    foreachBatch parquet APPEND and return the accumulated emissions as
+    a batch DataFrame. The file sink alone can't take update mode; the
+    foreachBatch hop can — every micro-batch's emissions land in files,
+    never the driver, so per-key state size doesn't bound the driver
+    (the memory-sink drain does — test-scale only). Downstream reduces
+    the cumulative emissions (e.g. max per key for monotonic counters).
+    Raises on timeout so a partial drain never masquerades as final."""
+    path = tempfile.mkdtemp(prefix="sb_update_out_")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    with _pinned_state_partitions(spark, state_partitions):
+        q = (
+            out.writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sb_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"update-mode drain exceeded {timeout_s}s")
+    return spark.read.schema(out.schema).parquet(path)
+
+
 def run_streaming_ysb_to_table(
     spark: SparkSession,
     events_stream: DataFrame,
