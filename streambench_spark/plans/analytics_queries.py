@@ -778,3 +778,42 @@ def q_setops_viewers_and_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     viewers = ev.filter(F.col("event_type") == "view").select("user_id")
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return viewers.intersect(buyers)
+
+
+@register(
+    "moving_avg_value",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+               AS window_sum_cents,
+           count(*) OVER w AS window_n,
+           round(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                 / 100.0 / count(*) OVER w, 6) AS moving_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    tags=["analytics", "batch"],
+)
+def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-frame window aggregate: trailing-5-event moving average per
+    user — the window FRAME surface (rows between), distinct from the
+    rank/lag whole-partition functions. One shuffle on user_id,
+    per-partition sort; the frame slides locally. The average divides
+    two exact integers (cents sum, row count) in one IEEE op, identical
+    on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    wsum = F.sum(cents).over(w)
+    wn = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "user_id", "event_id",
+        wsum.alias("window_sum_cents"),
+        wn.alias("window_n"),
+        F.round(wsum.cast("double") / 100.0 / wn, 6).alias("moving_avg"),
+    )
