@@ -503,3 +503,415 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (volume shipping between two nations): supplier+nation and
+    customer+nation are broadcast dims; the date+nation filters make both
+    fact sides selective (2/25 of suppliers resp. customers) BEFORE the
+    lineitem-orders equi join, which is left unhinted so AQE picks
+    broadcast at bench SFs and sort-merge at 100 TB. The OR-of-pairs
+    predicate rides after both nation columns are attached."""
+    nations = ("NATION_1", "NATION_2")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)
+    ).select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("o_orderkey", "cust_nation")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate", "supp_nation")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        ((F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1]))
+        | ((F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0]))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("revenue_cents")
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   AS BIGINT) AS cents,
+               n2.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        JOIN region r ON n1.n_regionkey = r.r_regionkey
+        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'AMERICA'
+          AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END)
+               AS BIGINT) AS nation_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END)
+                     AS DOUBLE)
+                 / CAST(sum(cents) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY 1
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (national market share): all five dims (part filtered on type,
+    supplier+nation, customer+nation+region) broadcast onto the lineitem
+    fact; lineitem-orders is the only fact-fact join (unhinted, AQE).
+    The share is one IEEE division of two exact integer-cent sums,
+    rounded to 6dp — bit-identical on both engines."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_nations = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey")
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nations),
+              F.col("c_nationkey") == cust_nations.n_nationkey)
+        .select("c_custkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "supp_nation")
+    )
+    vol = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.year("o_orderdate").alias("o_year"),
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("cents"),
+        "supp_nation",
+    )
+    nation_sum = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("cents")).otherwise(0)
+    )
+    return vol.groupBy("o_year").agg(
+        nation_sum.alias("nation_cents"),
+        F.sum("cents").alias("total_cents"),
+        F.round(
+            nation_sum.cast("double") / F.sum("cents").cast("double"), 6
+        ).alias("mkt_share"),
+    )
+
+
+@register(
+    "tpch_q9_product_type_profit",
+    """
+    SELECT n.n_name AS n_name, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product-type profit, adapted: no partsupp table in the driver
+    schema, so profit omits the ps_supplycost term): part (name-filtered)
+    and supplier+nation broadcast onto lineitem; lineitem-orders unhinted
+    (orders contributes only orderkey + year). Grouped on
+    (nation, year) — 25×7 groups, map-side partials collapse the
+    shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "n_name")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "n_name")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy(
+        "n_name", F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("profit_cents")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                   AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): the view-plus-scalar-subquery shape — one
+    quarter's revenue per supplier (single fact shuffle on suppkey,
+    integer cents so the max is exact and tie-stable), the 1-row global
+    max cross-broadcast back as a filter, survivors broadcast into the
+    supplier dim join."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_revenue_cents == F.col("mx")
+    ).select("l_suppkey", "total_revenue_cents")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@register(
+    "tpch_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#45'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY 1, 2, 3
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (parts/supplier relationship, adapted: lineitem is the
+    part-supplier bridge since partsupp isn't shipped): negated + IN-list
+    dim predicates cut part to ~1/7 before the broadcast join; the
+    count-distinct expands to Spark's two-phase plan (partial distinct on
+    (group, suppkey), then final count) — both shuffles carry only
+    distinct pairs, not raw fact rows."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting, adapted: the
+    commit/receipt-date lateness test becomes the returnflag='R' mark):
+    the classic EXISTS + NOT-EXISTS pair — a left-semi then a left-anti
+    self-join of lineitem on orderkey with a suppkey<>suppkey residual.
+    All three lineitem legs shuffle on l_orderkey, so AQE/exchange reuse
+    co-locates them; the final groupBy(supplier) is dim-cardinality and
+    the top-20 is a TakeOrderedAndProject heap, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.ok2) & (l1.l_suppkey != l2.sk2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.ok3) & (F.col("l_suppkey") != l3.sk3),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(s), waited.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH pool AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    avg_pos AS (
+        SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+               count(*) AS n
+        FROM pool WHERE bal_cents > 0
+    )
+    SELECT p.c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(sum(p.bal_cents) AS BIGINT) AS totacctbal_cents
+    FROM pool p, avg_pos a
+    WHERE p.bal_cents * a.n > a.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = p.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY 1
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity, adapted: nationkey stands in for
+    the phone country code the driver schema doesn't ship): the
+    above-average-balance test is decorrelated into a 1-row
+    (sum, count) broadcast and rewritten as the INTEGER inequality
+    bal_cents · n > sum_cents (⇔ bal > avg) so no float average ever
+    compares; customers-without-recent-orders (the original's "no orders
+    for 7 years") is a left-anti join against date-filtered orders on
+    custkey — the date filter reaches orders' scan and the single
+    projected column keeps the anti join's shuffle narrow."""
+    pool = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    ).select(
+        "c_custkey", "c_nationkey", _cents(F.col("c_acctbal")).alias("bal_cents")
+    )
+    avg_pos = pool.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count(F.lit(1)).alias("n")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    rich = pool.join(F.broadcast(avg_pos)).filter(
+        F.col("bal_cents") * F.col("n") > F.col("sum_cents")
+    )
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return no_orders.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal_cents").alias("totacctbal_cents"),
+    )
