@@ -54,3 +54,35 @@ def test_tpch_q5_all_dims_broadcast(spark):
     assert "SortMergeJoin" not in plan
     # lineitem shuffles only at the final groupBy(n_name)
     assert plan.count("Arguments: hashpartitioning") == 1
+
+
+def test_tpch_q8_dims_broadcast_filters_pushed(spark):
+    plan = _plan(spark, "tpch_q8_market_share")
+    # part/supplier/customer/nation×2/region all ride broadcast joins;
+    # only lineitem-orders may shuffle (fact-fact, planner's choice)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 6
+    joined = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "EqualTo(p_type,ECONOMY)" in joined
+    assert "EqualTo(r_name,AMERICA)" in joined
+    assert "GreaterThanOrEqual(o_orderdate" in joined
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_returnflag_pushed_single_agg_shuffle(spark):
+    plan = _plan(spark, "tpch_q21_waiting_supplier")
+    joined = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    # the R-flag filter reaches BOTH the driving and the NOT-EXISTS scan
+    assert joined.count("EqualTo(l_returnflag,R)") == 2
+    assert "EqualTo(o_orderstatus,F)" in joined
+    # one hash shuffle for the s_name aggregate; top-20 is a heap, not a sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q22_integer_threshold_no_float_avg(spark):
+    plan = _plan(spark, "tpch_q22_global_sales_opportunity")
+    joined = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan))
+    assert "In(c_nationkey" in joined
+    # recent-orders date filter reaches the anti-join's orders scan
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in joined
+    # threshold is the integer bal·n > sum rewrite — no avg() anywhere
+    assert "avg(" not in plan
