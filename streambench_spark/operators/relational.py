@@ -59,6 +59,7 @@ def interval_join(
     right_ts: str,
     lower: str = "0 seconds",
     upper: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """J3: symmetric join with time bounds (StreamBox generic Join).
 
@@ -66,6 +67,11 @@ def interval_join(
     Spark's watermarked stream-stream join; in batch it is an equi+range
     join. Columns of both sides must be disambiguated by the caller
     (aliases 'l' and 'r' are applied here).
+
+    how='left_outer' is supported in streaming too: unmatched left rows
+    emit with NULL right columns once the watermark passes their band
+    (state eviction is the emission trigger), so a bounded drain only
+    flushes left rows whose ts + upper is below the final watermark.
     """
     l = left.alias("l")
     r = right.alias("r")
@@ -74,7 +80,7 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {lower}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)
 
 
 _INTERVAL_UNIT_SECONDS = {
@@ -222,6 +228,36 @@ def asof_join(
         *[F.col(f"_p_{c}").alias(c) for c in probes.columns],
         *[F.col("_q").getField(c).alias(c) for c in quote_cols],
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant fact-dim equi join for dims too big to broadcast:
+    a hot join key no longer lands on one reducer.
+
+    The fact side gets a deterministic salt (xxhash64 of ``salt_on``, a
+    column unique-ish per fact row) in [0, buckets); the dim side is
+    replicated ``buckets`` times with an exploded salt column; the join
+    key becomes (key, salt). Each fact row matches exactly the one dim
+    replica carrying its salt, so the result equals the unsalted join
+    row-for-row while a hot key's fact rows spread over ``buckets``
+    shuffle partitions. Cost: dim shuffle volume × buckets — size
+    ``buckets`` to the observed skew, not higher.
+
+    ``dim`` must be unique per ``key`` (as in any enrichment join).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_fact.join(salted_dim, [key, "_salt"]).drop("_salt")
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:

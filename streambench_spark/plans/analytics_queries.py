@@ -817,3 +817,85 @@ def q_moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         wn.alias("window_n"),
         F.round(wsum.cast("double") / 100.0 / wn, 6).alias("moving_avg"),
     )
+
+
+@register(
+    "analytic_rank_functions",
+    """
+    WITH t AS (
+        SELECT user_id, event_type,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, user_id, total_cents,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdist
+    FROM t
+    WINDOW w AS (PARTITION BY event_type
+                 ORDER BY total_cents DESC, user_id ASC)
+    """,
+    tags=["analytics", "batch"],
+)
+def q_analytic_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank OVER functions (ntile / percent_rank /
+    cume_dist) over per-(type, user) value totals. The order-by key ends
+    with the unique user_id, so every row has a distinct rank position:
+    ntile boundaries, percent_rank's (rank-1)/(n-1) and cume_dist's
+    running fraction are all tie-free and engine-independent (the two
+    divisions are single IEEE ops on identical longs, rounded to 6dp).
+    One shuffle on the partition key; per-partition sort only."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_cents"), F.asc("user_id")
+    )
+    return t.select(
+        "event_type", "user_id", "total_cents",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "skew_salted_enrichment",
+    """
+    WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY 1)
+    SELECT e.event_type, count(*) AS n_events,
+           CAST(sum(d.user_total) AS BIGINT) AS sum_user_total
+    FROM events e JOIN d ON e.user_id = d.user_id
+    WHERE d.user_total >= 10
+    GROUP BY 1
+    """,
+    tags=["analytics", "batch", "skew"],
+)
+def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enrichment through the salted join (operators/relational.py:
+    salted_join): events joined to per-user activity totals on
+    (user_id, salt) — the oracle is the plain unsalted join, proving the
+    salt+replicate rewrite is row-for-row identical. At 100 TB this is
+    the shape for a non-broadcastable dim with hot keys (a power user
+    with 1e8 events spreads over `buckets` reducers instead of one);
+    AQE's skew-join split handles sort-merge skew, but salting also
+    covers the shuffled-hash and aggregate-after-join paths AQE can't
+    re-balance."""
+    from streambench_spark.operators.relational import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    enriched = salted_join(
+        ev.select("event_type", "user_id", "event_id"),
+        dim, key="user_id", salt_on="event_id", buckets=8,
+    )
+    return (
+        enriched.filter(F.col("user_total") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_total").alias("sum_user_total"),
+        )
+    )

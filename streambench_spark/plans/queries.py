@@ -393,6 +393,57 @@ def q_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_join_left_outer_streaming",
+    """
+    WITH v AS (SELECT * FROM events
+               WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-29'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id AS view_id,
+           coalesce(p.event_id, -1) AS purchase_id,
+           v.user_id AS user_id
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=["joins", "streaming"],
+)
+def q_interval_join_left_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: views with their purchase
+    within 1 h, or a -1 sentinel if none came. Outer rows are emitted on
+    state EVICTION — only when the watermark passes view.ts + 1 h does
+    Spark know no match can arrive — so a bounded drain flushes exactly
+    the left rows whose band closed before the final watermark. The
+    left side is clipped to ts < Jan 29 (the frozen table runs through
+    Jan 30 at every SF), leaving ≥1 day of margin, which makes the
+    drained result equal the batch LEFT JOIN the oracle runs. State at
+    scale stays O(rows in the 1 h band per side)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    def side(event_type: str):
+        return (
+            stream_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 second")
+        )
+
+    views = side("view").filter(
+        F.col("ts") < F.lit("2024-01-29").cast("timestamp")
+    )
+    joined = rel.interval_join(
+        views, side("purchase"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour", how="left_outer",
+    ).select(
+        F.col("l.event_id").alias("view_id"),
+        F.coalesce(F.col("r.event_id"), F.lit(-1)).alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+    return run_append_to_parquet(spark, joined, state_partitions=8)
+
+
+@register(
     "cross_join_metrics",
     """
     SELECT t.throughput_rows, l.max_value
