@@ -33,19 +33,34 @@ def _ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of storage flavor.
+
+    The driver has shipped events.ts as parquet TIMESTAMP(NANOS) (reads as
+    raw ns longs under nanosAsLong) and as TIMESTAMP(MICROS) without UTC
+    adjustment (reads as TIMESTAMP_NTZ). Downstream operators (windows,
+    unix_millis, watermarks) expect plain TIMESTAMP; with a UTC session
+    timezone the NTZ→TZ cast leaves the instant unchanged, matching
+    DuckDB's naive-timestamp arithmetic in the oracles.
+    """
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
+        # raw ns longs: truncate to µs with integer division (DIV) —
+        # float division would lose precision on ~1.7e18 ns epoch values
+        # (double mantissa is 53 bits).
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long ns
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to µs —
-        # lossless for this data (µs-resolution values) and consistent
-        # with DuckDB's ms-level epoch arithmetic in the oracles.
-        from pyspark.sql import functions as F
-
-        # integer division (DIV) — float division would lose precision on
-        # ~1.7e18 ns epoch values (double mantissa is 53 bits).
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        df = _normalize_events_ts(df)
     return df
 
 

@@ -31,8 +31,8 @@ def stream_table(
 ) -> DataFrame:
     """Streaming read of a frozen testdata table with its batch schema.
 
-    events.ts arrives as raw ns longs under nanosAsLong, so the same
-    ns→µs conversion as the batch catalog is applied here — batch and
+    events.ts is normalized to TimestampType exactly like the batch
+    catalog (ns-long or TIMESTAMP_NTZ storage flavors) — batch and
     streaming plans see one schema.
     """
     from streambench_spark.catalog import _ensure_session_confs
@@ -47,8 +47,10 @@ def stream_table(
     # non-glob prefix is the directory works for both file- and dir-shaped
     # tables (testdata ships single-file tables)
     df = reader.load(path + "*" if not os.path.isdir(path) else path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        from streambench_spark.catalog import _normalize_events_ts
+
+        df = _normalize_events_ts(df)
     return df
 
 
