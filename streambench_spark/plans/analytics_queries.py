@@ -292,8 +292,14 @@ def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     sbx/CMakeLists.txt:148-155 / SURVEY.md §2.8): explode tokens →
     grouped count → top-k. Explode emits cheap split output (not a
     computed expensive array — see dedup.shingle_postings note); the
-    count is one map-side-combined shuffle; top-k is a heap reduce."""
-    docs = load_table(spark, sf_dir, "documents")
+    count is one map-side-combined shuffle; top-k is a heap reduce.
+
+    The scan is repartitioned first: the testdata ships one file (one
+    split), which would serialize the explode; at 100 TB the source has
+    thousands of splits and the repartition is a no-op decision."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         docs.select(F.explode(F.expr(r"split(lower(text), '\\s+')")).alias("word"))
         .groupBy("word")
