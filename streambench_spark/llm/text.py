@@ -299,3 +299,40 @@ def chunk_docs_udtf(
         f"SELECT i.{key_col}, c.chunk_idx, c.chunk_text, c.n_tokens "
         f"FROM sb_chunk_in i, LATERAL {name}(i.{text_col}) c"
     )
+
+
+# PII scrubbing ------------------------------------------------------------
+
+# Pattern set kept to the Java-regex ∩ RE2 common subset so the DuckDB
+# oracle evaluates the identical automaton: no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+    ("url", r"https?://[a-z0-9./_-]+", "<URL>"),
+    ("phone", r"[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / URLs / phone numbers and report per-doc counts.
+
+    The standard pre-training scrub pass: a fixed chain of regexp
+    redactions evaluated in one codegen stage over the scan — no shuffle,
+    no Python. Patterns apply in declaration order (emails first, so an
+    address is one <EMAIL>, not a <URL> with a dangling local part);
+    counts are taken before redaction from the same pattern, so
+    n_<kind> is exactly the number of replacements made.
+    """
+    counts = [
+        F.expr(
+            f"CAST(size(regexp_extract_all({text_col}, '{pat}', 0)) AS BIGINT)"
+        ).alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

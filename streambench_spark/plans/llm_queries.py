@@ -484,6 +484,70 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(_docs(spark, sf_dir))
 
 
+def _pii_oracle() -> str:
+    """DuckDB twin of the PII injection + scrub. DuckDB regexp_replace
+    needs the 'g' flag to match Spark's replace-all semantics; the
+    patterns are in the Java-regex ∩ RE2 common subset."""
+    email, url, phone = (p for _, p, _ in text.PII_PATTERNS)
+    return f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' mail u' || CAST(doc_id AS VARCHAR)
+                            || '@example.com now' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' see https://docs.example.org/p/'
+                            || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{url}')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(text, '{phone}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{email}', '<EMAIL>', 'g'),
+                   '{url}', '<URL>', 'g'),
+                   '{phone}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM aug
+    """
+
+
+@register("pii_scrub", _pii_oracle(), tags=["llm", "text"])
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: redact emails/URLs/phone numbers, report
+    per-doc replacement counts + an md5 of the scrubbed text.
+
+    The synthetic corpus carries no PII, so a deterministic doc_id-keyed
+    injection runs first — same expression in the oracle — proving the
+    redaction automata on text that actually matches. One codegen stage
+    over the scan; no shuffle, no Python."""
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" see https://docs.example.org/p/"), did.cast("string"), F.lit(" ok")
+            ),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+        ).otherwise(""),
+    )
+    return text.scrub_pii(docs.select("doc_id", injected.alias("text")))
+
+
 @register(
     "embedding_topk_cosine",
     _topk_oracle("a.vec_id != b.vec_id"),

@@ -553,6 +553,63 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ip_pack_pairs",
+    """
+    WITH ip AS (
+        SELECT event_id,
+               '10.' || CAST(event_id % 256 AS VARCHAR)
+               || '.' || CAST((event_id // 256) % 256 AS VARCHAR)
+               || '.' || CAST((event_id // 65536) % 256 AS VARCHAR)
+               || '-172.' || CAST(user_id % 256 AS VARCHAR)
+               || '.' || CAST((user_id // 256) % 256 AS VARCHAR)
+               || '.' || CAST((user_id // 65536) % 256 AS VARCHAR)
+               AS ip_pair
+        FROM events
+    ),
+    halves AS (
+        SELECT event_id, ip_pair,
+               string_split(ip_pair, '-') AS hv
+        FROM ip
+    ),
+    octs AS (
+        SELECT event_id, ip_pair,
+               string_split(hv[1], '.') AS o1,
+               string_split(hv[2], '.') AS o2
+        FROM halves
+    )
+    SELECT event_id, ip_pair,
+           (CAST(o1[1] AS BIGINT) * 16777216 + CAST(o1[2] AS BIGINT) * 65536
+            + CAST(o1[3] AS BIGINT) * 256 + CAST(o1[4] AS BIGINT)) * 4294967296
+           + CAST(o2[1] AS BIGINT) * 16777216 + CAST(o2[2] AS BIGINT) * 65536
+           + CAST(o2[3] AS BIGINT) * 256 + CAST(o2[4] AS BIGINT) AS packed
+    FROM octs
+    """,
+    tags=["scalar"],
+)
+def q_ip_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: "a.b.c.d-e.f.g.h" IP-pair → u64 packing (reference
+    convert_ip_pair, sbx/YahooBenchmarkSource.h:171-202). events carries
+    no IP column, so a deterministic dotted-quad pair is derived from
+    event_id/user_id first — the parse-and-pack under test is the string
+    path, exactly the reference's input shape."""
+    from streambench_spark.operators.scalars import ip_pair_pack
+
+    ev = load_table(spark, sf_dir, "events")
+    did, uid = F.col("event_id"), F.col("user_id")
+    pair = F.concat(
+        F.lit("10."), (did % 256).cast("string"),
+        F.lit("."), F.expr("event_id DIV 256 % 256").cast("string"),
+        F.lit("."), F.expr("event_id DIV 65536 % 256").cast("string"),
+        F.lit("-172."), (uid % 256).cast("string"),
+        F.lit("."), F.expr("user_id DIV 256 % 256").cast("string"),
+        F.lit("."), F.expr("user_id DIV 65536 % 256").cast("string"),
+    )
+    return ev.select("event_id", pair.alias("ip_pair")).select(
+        "event_id", "ip_pair", ip_pair_pack(F.col("ip_pair")).alias("packed")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Generator coverage (S1/S6): driver-checked, not just pytest-checked
 # ---------------------------------------------------------------------------

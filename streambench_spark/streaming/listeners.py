@@ -85,3 +85,95 @@ def progress_stats(query) -> list[dict]:
                 }
             )
     return out
+
+
+class PeriodicStatsReporter:
+    """M6: periodic per-transform stats — the StreamBox ``CallBackTimer``
+    shape (sbx/EvaluationBundleContext.h:331-379,500-501,785-813: every
+    3 s, each transform reports recent + lifetime KRec/s).
+
+    A daemon thread samples the query's ``lastProgress`` every
+    ``interval_s``: recent rate = input rows of batches completed since
+    the previous sample / elapsed; lifetime rate = all rows / total
+    elapsed. Per-state-operator rows/memory come along from the progress
+    payload. Samples accumulate in ``self.samples`` and each one is also
+    handed to ``sink`` (e.g. ``print``) as a formatted line.
+
+    Driver-side and O(1) per sample — it reads progress JSON the
+    executors already ship; nothing touches the data path.
+    """
+
+    def __init__(self, query, interval_s: float = 3.0, sink=None) -> None:
+        import threading
+
+        self.query = query
+        self.interval_s = interval_s
+        self.samples: list[dict] = []
+        self._sink = sink
+        self._seen_batches: set[int] = set()
+        self._rows_lifetime = 0
+        self._rows_prev = 0
+        self._t0 = None
+        self._t_prev = None
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def start(self) -> "PeriodicStatsReporter":
+        import time as _t
+
+        self._t0 = self._t_prev = _t.time()
+        self._thread.start()
+        return self
+
+    def stop(self) -> list[dict]:
+        self._stop.set()
+        self._thread.join(timeout=self.interval_s + 5)
+        return self.samples
+
+    def _run(self) -> None:
+        import time as _t
+
+        while not self._stop.wait(self.interval_s):
+            self._sample(_t.time())
+
+    def _sample(self, now: float) -> None:
+        # recentProgress holds the last ~100 batches; count each batch once
+        new_rows = 0
+        state_ops = []
+        try:
+            progresses = self.query.recentProgress
+        except Exception:
+            return  # query torn down mid-sample
+        for p in progresses:
+            bid = p["batchId"]
+            if bid in self._seen_batches:
+                continue
+            self._seen_batches.add(bid)
+            new_rows += p["numInputRows"]
+            state_ops = [
+                {
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_mem_bytes": op.get("memoryUsedBytes"),
+                }
+                for op in (p.get("stateOperators") or [])
+            ]
+        self._rows_lifetime += new_rows
+        recent_s = max(now - self._t_prev, 1e-3)
+        lifetime_s = max(now - self._t0, 1e-3)
+        sample = {
+            "t_s": round(now - self._t0, 2),
+            "recent_krec_s": round(new_rows / recent_s / 1000.0, 2),
+            "lifetime_krec_s": round(self._rows_lifetime / lifetime_s / 1000.0, 2),
+            "rows_lifetime": self._rows_lifetime,
+            "state_operators": state_ops,
+        }
+        self._rows_prev = self._rows_lifetime
+        self._t_prev = now
+        self.samples.append(sample)
+        if self._sink is not None:
+            self._sink(
+                f"[stats +{sample['t_s']:7.2f}s] recent {sample['recent_krec_s']:9.2f} "
+                f"KRec/s | lifetime {sample['lifetime_krec_s']:9.2f} KRec/s | "
+                f"rows {sample['rows_lifetime']}"
+            )

@@ -489,3 +489,37 @@ def test_compact_incremental_mv_preserves_result(spark, tmp_path):
     # compacted partials are one row per key now
     assert spark.read.parquet(mv).groupBy("user_id").count().filter(
         "count > 1").count() == 0
+
+
+def test_periodic_stats_reporter(spark):
+    """M6: the CallBackTimer-analog reporter samples recent/lifetime rates
+    while a live query runs, and every batch is counted exactly once."""
+    import time
+
+    from streambench_spark.streaming.listeners import PeriodicStatsReporter
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1000)
+        .option("numPartitions", 2)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    lines = []
+    rep = PeriodicStatsReporter(q, interval_s=0.5, sink=lines.append).start()
+    try:
+        time.sleep(4)
+    finally:
+        samples = rep.stop()
+        q.stop()
+    assert len(samples) >= 3
+    assert samples[-1]["rows_lifetime"] > 0
+    # lifetime rows are monotone (each batch counted once)
+    lifetimes = [s["rows_lifetime"] for s in samples]
+    assert lifetimes == sorted(lifetimes)
+    assert any(s["recent_krec_s"] > 0 for s in samples)
+    assert lines and "KRec/s" in lines[-1]
