@@ -286,15 +286,19 @@ def ngram_jaccard_pairs_capped(
     shingle causes in the exact variant — which is what lets the same
     plan run at 1000 executors.
     """
+    from pyspark.sql import Window
+
     sets = doc_shingle_sets(docs, n, text_col)
     posts = sets.select("doc_id", F.explode("hsh").alias("h"))
-    rare = (
-        posts.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # df-cap via a count window over the one shuffle-on-h the self-join
+    # needs anyway (postings are distinct per doc, so count(*) per h IS
+    # the document frequency) — one pass, no separate groupBy + join
+    # re-shuffling the postings stream.
+    rposts = (
+        posts.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("h")))
         .filter(F.col("_df") <= max_df)
-        .select("h")
+        .drop("_df")
     )
-    rposts = posts.join(rare, "h")
     a, b = rposts.alias("a"), rposts.hint("merge").alias("b")
     cand = (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
