@@ -905,3 +905,183 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("user_total").alias("sum_user_total"),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click_after_view,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    tags=["analytics", "funnel"],
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view → click → purchase, strictly later
+    steps only): per stage, users whose first qualifying event follows
+    their previous stage's first event.
+
+    Each stage is one keyed aggregate plus an equi-join on user_id — all
+    three stages shuffle on the SAME key, so Catalyst plans one
+    partitioning chain (no re-shuffle between stages); the final counts
+    are three scalar aggregates cross-joined into one row. Funnels over
+    100 TB keep this exact shape: everything is keyed by user."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CAST(epoch_ms(ts) // 86400000 AS BIGINT)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               CAST(epoch_ms(e.ts) // 86400000 AS BIGINT) - f.cohort_day AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, CAST(count(*) AS BIGINT) AS n_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+    tags=["analytics", "funnel"],
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    counted per day-offset 0..7. Two aggregates and one join, all keyed
+    on user_id, then a distinct + count on the (cohort, offset) pair —
+    the standard growth-analytics rollup, fully shuffle-bounded by the
+    user key and the (cohort_day, day_offset) grid."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    day = (F.unix_millis(F.col("ts")) / F.lit(86400000)).cast("long")
+    with_day = ev.select("user_id", day.alias("day"))
+    firsts = with_day.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        with_day.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy("cohort_day", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY bucket
+    """,
+    tags=["analytics", "stats"],
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of the value column (bucket = floor(v/50)):
+    one map-side-combined aggregate over the scan; sums carried as exact
+    integer cents so the oracle hash-matches bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / 50.0).cast("long").alias("bucket"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+
+
+@register(
+    "value_correlation",
+    """
+    WITH base AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS x,
+               CAST(user_id % 97 AS BIGINT) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+                 6) AS corr_xy
+    FROM sums
+    """,
+    tags=["analytics", "stats"],
+)
+def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per event_type, computed from EXACT integer
+    sums (cents × bounded key residue) with the float division applied
+    once at the end — the standard trick for getting a bit-identical
+    statistic out of two engines whose native corr() accumulates floats
+    in different orders. One aggregate, no shuffle beyond the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        (F.col("user_id") % 97).cast("long").alias("y"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return sums.select("event_type", F.round(corr, 6).alias("corr_xy"))
