@@ -1085,3 +1085,95 @@ def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
     corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return sums.select("event_type", F.round(corr, 6).alias("corr_xy"))
+
+
+@register(
+    "ohlc_hourly_bars",
+    """
+    SELECT epoch_ms(time_bucket(INTERVAL 3600 SECOND, ts)) AS bucket_ms,
+           arg_min(CAST(round(value * 100) AS BIGINT), event_id) AS open_cents,
+           max(CAST(round(value * 100) AS BIGINT)) AS high_cents,
+           min(CAST(round(value * 100) AS BIGINT)) AS low_cents,
+           arg_max(CAST(round(value * 100) AS BIGINT), event_id) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_trades
+    FROM events
+    GROUP BY bucket_ms
+    """,
+    tags=["analytics", "timeseries"],
+)
+def q_ohlc_hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candle bars per hour — the hypertable-style financial rollup:
+    open/close via min_by/max_by on the unique event_id order (DuckDB
+    arg_min/arg_max), high/low/count as plain aggregates. One map-side-
+    combined aggregate on the time bucket; min_by/max_by carry a single
+    (value, order-key) pair per group through the shuffle, so state per
+    group is O(1) at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    bucket = F.unix_millis(F.date_trunc("hour", F.col("ts")))
+    return (
+        ev.select(bucket.alias("bucket_ms"), cents.alias("cents"), "event_id")
+        .groupBy("bucket_ms")
+        .agg(
+            F.min_by("cents", "event_id").alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", "event_id").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    """
+    WITH bounds AS (
+        SELECT CAST(epoch_ms(min(ts)) // 3600000 AS BIGINT) AS h0,
+               CAST(epoch_ms(max(ts)) // 3600000 AS BIGINT) AS h1
+        FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+        SELECT unnest(range(h0, h1 + 1)) * 3600000 AS bucket_ms FROM bounds
+    ),
+    agg AS (
+        SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) * 3600000 AS bucket_ms,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.bucket_ms,
+           coalesce(a.n, 0) AS n,
+           coalesce(a.sum_cents, 0) AS sum_cents
+    FROM spine s LEFT JOIN agg a ON s.bucket_ms = a.bucket_ms
+    """,
+    tags=["analytics", "timeseries"],
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series: a generated hour spine (sequence over
+    the observed min..max bucket) left-joined to the real aggregate, empty
+    hours coalesced to zero — the standard dashboard/feature-store shape.
+    The spine is one row per hour (tiny at any scale) and broadcastable;
+    the aggregate side shuffles only on the hour bucket."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    hour = F.expr("unix_millis(ts) DIV 3600000")
+    agg = (
+        ev.select(
+            (hour * 3600000).alias("bucket_ms"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("bucket_ms")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    )
+    bounds = ev.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("h")
+    ).select((F.col("h") * 3600000).alias("bucket_ms"))
+    return spine.join(agg, "bucket_ms", "left").select(
+        "bucket_ms",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"),
+    )
