@@ -350,6 +350,38 @@ def q_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_self_join_banded",
+    """
+    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+    """,
+    tags=["joins"],
+)
+def q_interval_self_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe twin of interval_self_join: the 1 h band is folded into
+    the equi-join key as a time bucket, so a hot user's pairs spread over
+    (user, bucket) reducers instead of one — same result set (same
+    oracle), the physical distribution that survives a hot key at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = rel.interval_join_banded(
+        views, purchases, key="user_id", left_ts="ts", right_ts="ts",
+        upper="1 hour",
+    )
+    return joined.select(
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("l.user_id").alias("user_id"),
+    )
+
+
+@register(
     "interval_join_streaming",
     """
     SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
