@@ -86,3 +86,32 @@ def test_tpch_q22_integer_threshold_no_float_avg(spark):
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in joined
     # threshold is the integer bal·n > sum rewrite — no avg() anywhere
     assert "avg(" not in plan
+
+
+def test_pii_scrub_zero_shuffles(spark):
+    plan = _plan(spark, "pii_scrub")
+    # pure scan-stage codegen: only the single-file round-robin repartition
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_value_histogram_single_agg_shuffle(spark):
+    plan = _plan(spark, "value_histogram")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "Join" not in plan
+
+
+def test_funnel_single_partitioning_key(spark):
+    plan = _plan(spark, "funnel_conversion")
+    # every exchange in the funnel chain hashes on user_id (one
+    # partitioning chain, no re-keying between stages)
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)#", plan)
+    assert keys and set(keys) == {"user_id"}
+
+
+def test_ohlc_single_agg_shuffle(spark):
+    plan = _plan(spark, "ohlc_hourly_bars")
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "Join" not in plan
