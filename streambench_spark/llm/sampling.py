@@ -237,3 +237,43 @@ def upsample_by_rate(
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("_n")
     )
+
+
+def dataset_shuffle(
+    docs, seed: str = "epoch0", key_col: str = "doc_id"
+):
+    """Deterministic corpus shuffle: a dense training order 0..N-1 from
+    the portable 32-bit hash of (key, seed) — re-seeding gives a fresh
+    independent order per epoch without touching the data.
+
+    Scale shape: ``repartitionByRange`` on the hash is a RANGE exchange
+    (sampled bounds, no single-reducer sort); the per-partition sort +
+    partition-offset arithmetic below it is how a total order is
+    materialized at 100 TB — row_number over an unpartitioned window
+    would serialize on one task. Ties are impossible because the hash is
+    salted with the unique key itself.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streambench_spark.llm.hashing import spark_hash32
+
+    h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{seed}')")
+    hashed = docs.select(
+        key_col, F.expr(h).alias("_h")
+    ).repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism, "_h", key_col)
+    # per-partition dense index
+    part_w = Window.partitionBy(F.spark_partition_id()).orderBy("_h", key_col)
+    local = hashed.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_local", F.row_number().over(part_w).cast("long")
+    )
+    # partition sizes → cumulative offsets (tiny: one row per partition)
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .select(key_col, (F.col("_off") + F.col("_local") - 1).alias("shuffle_pos"))
+    )

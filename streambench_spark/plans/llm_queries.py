@@ -787,6 +787,24 @@ FROM documents
 """
 
 
+_SHUFFLE_ORACLE = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+           ORDER BY {{h}} , doc_id) AS BIGINT) - 1 AS shuffle_pos
+FROM documents
+""".format(h="CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'epoch0'), 1, 8) AS BIGINT)")
+
+
+@register("dataset_shuffle", _SHUFFLE_ORACLE, tags=["llm", "sampling"])
+def q_dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: dense training order 0..N-1 by the
+    portable hash of (doc_id, seed). Range-exchange + per-partition sort
+    + broadcast offset join — the total order WITHOUT a single-reducer
+    sort (the oracle's row_number over a global ORDER BY is the semantic
+    spec, not the physical plan)."""
+    return sampling.dataset_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 @register("upsample_epochs", _UPSAMPLE_ORACLE, tags=["llm", "sampling"])
 def q_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-style upsampling: repeat rare-language documents N times with

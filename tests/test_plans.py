@@ -115,3 +115,11 @@ def test_ohlc_single_agg_shuffle(spark):
     plan = _plan(spark, "ohlc_hourly_bars")
     assert plan.count("Arguments: hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_dataset_shuffle_uses_range_partitioning(spark):
+    plan = _plan(spark, "dataset_shuffle")
+    # the total order comes from a RANGE exchange + per-partition sort,
+    # not a single-reducer global sort of the corpus
+    assert "rangepartitioning" in plan
+    assert "BroadcastHashJoin" in plan  # offsets join stays broadcast
