@@ -390,3 +390,47 @@ def lsh_top1_multiprobe(
         F.col("b.neighbor_id").alias("neighbor_id"),
         (-F.col("b.neg_sim")).alias("sim"),
     )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = round(x_i / scale) clamped to [-127, 127] — the standard
+    storage-compression step for planet-scale embedding stores (4x
+    smaller than float32, distance error bounded by scale/2 per cell).
+
+    Pure higher-order array expressions over the scan — no shuffle, no
+    Python. Zero vectors get scale 0 and an all-zero code (guarded
+    division). The scale is rounded half-away-from-zero at 9 dp and the
+    quantization applied to the ROUNDED scale, so an ANSI-SQL oracle
+    reproduces the codes bit-for-bit. Output keeps a checksum + L1 norm
+    (mod 1e9+7, overflow-free under ANSI mode) of the code array rather than the array itself (bounded row width
+    for the downstream compare; the array expression is the same)."""
+    v = vec_col
+    # round(x, 9) is half-even in some engines: use explicit floor(.. + 0.5)
+    scale_raw = f"aggregate({v}, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"
+    scale = (
+        f"CAST(sign({scale_raw}) * floor(abs({scale_raw}) * 1e9 + 0.5) / 1e9 AS DOUBLE)"
+    )
+    q = (
+        f"transform({v}, x -> CAST(greatest(-127.0, least(127.0, "
+        f"sign(CAST(x AS DOUBLE) / _scale) * floor(abs(CAST(x AS DOUBLE) / _scale) + 0.5)"
+        f")) AS BIGINT))"
+    )
+    return (
+        emb.select("vec_id", F.expr(scale).alias("_scale"), F.col(v))
+        .select(
+            "vec_id",
+            F.col("_scale").alias("scale"),
+            F.when(F.col("_scale") == 0.0, F.expr(f"transform({v}, x -> 0L)"))
+            .otherwise(F.expr(q))
+            .alias("_q"),
+        )
+        .select(
+            "vec_id",
+            "scale",
+            F.expr("CAST(aggregate(_q, 0L, (a, x) -> a + abs(x)) AS BIGINT)").alias("l1_code"),
+            F.expr(
+                "CAST(aggregate(_q, 0L, (a, x) -> (a * 31 + x + 127) % 1000000007) AS BIGINT)"
+            ).alias("code_checksum"),
+        )
+    )

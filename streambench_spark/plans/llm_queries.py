@@ -787,6 +787,48 @@ FROM documents
 """
 
 
+_QUANTIZE_ORACLE = """
+WITH scaled AS (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS s_raw
+    FROM embeddings
+),
+sc AS (
+    SELECT vec_id,
+           CAST(sign(s_raw) * floor(abs(s_raw) * 1e9 + 0.5) / 1e9 AS DOUBLE) AS scale
+    FROM scaled
+),
+q AS (
+    SELECT e.vec_id, sc.scale,
+           CASE WHEN sc.scale = 0.0
+                THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(e.embedding, x -> CAST(
+                     greatest(-127.0, least(127.0,
+                         sign(CAST(x AS DOUBLE) / sc.scale)
+                         * floor(abs(CAST(x AS DOUBLE) / sc.scale) + 0.5)))
+                     AS BIGINT))
+           END AS code
+    FROM embeddings e JOIN sc ON e.vec_id = sc.vec_id
+)
+SELECT vec_id, scale,
+       CAST(list_sum(list_transform(code, x -> abs(x))) AS BIGINT) AS l1_code,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), code),
+                        (a, x) -> (a * 31 + x + 127) % 1000000007) AS BIGINT)
+           AS code_checksum
+FROM q
+"""
+
+
+@register("embedding_quantize_int8", _QUANTIZE_ORACLE, tags=["llm", "similarity"])
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (scale = max|x|/127) — the
+    4x storage-compression step for a 100 TB embedding store. Pure
+    higher-order array expressions over the scan; the oracle reproduces
+    codes bit-for-bit via the rounded-scale contract."""
+    return similarity.quantize_int8(_embs(spark, sf_dir))
+
+
 _SHUFFLE_ORACLE = f"""
 SELECT doc_id,
        CAST(row_number() OVER (
