@@ -214,3 +214,43 @@ def frame_sample_indices(n_frames_col: str, every_n: int) -> Column:
         f"CASE WHEN {n_frames_col} > 0 THEN "
         f"sequence(0, {n_frames_col} - 1, {every_n}) ELSE array() END"
     )
+
+
+def documents_as_audio_assets(docs: DataFrame, rate: int = 16000) -> DataFrame:
+    """Adapt documents into fake-audio binary assets (payload carries the
+    self-describing FAKEAUD header; n_samples derived from n_chars) so
+    the audio decode path is driver-verifiable without codec libraries."""
+    n_samples = (F.lit(8000) + F.col("n_chars") * 10).cast("long")
+    payload = F.concat(
+        F.lit("FAKEAUD:"), F.lit(str(rate)), F.lit(":"),
+        n_samples.cast("string"), F.lit(":pcm"),
+    ).cast("binary")
+    return docs.select("doc_id", payload.alias("payload"))
+
+
+def segment_audio(assets: DataFrame, seg_samples: int = 16000) -> DataFrame:
+    """Fixed-duration audio segmentation over binary payloads: decode the
+    (rate, n_samples) header per asset inside an Arrow-batched
+    mapInPandas, emit one row per segment (last one partial) — the
+    standard pre-training splitter for speech corpora. Row expansion
+    happens Python-side (bounded by n_samples/seg_samples per asset);
+    partitioning of the input carries through, no shuffle."""
+    out_schema = (
+        "doc_id long, seg_idx long, start_sample long, seg_len long, sample_rate long"
+    )
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, n = decode_audio(bytes(payload))
+                for i, start in enumerate(range(0, n, seg_samples)):
+                    rows.append(
+                        (int(doc_id), i, start, min(seg_samples, n - start), rate)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "seg_idx", "start_sample", "seg_len", "sample_rate"],
+            )
+
+    return assets.mapInPandas(_segment, schema=out_schema)

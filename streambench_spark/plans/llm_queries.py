@@ -989,6 +989,32 @@ def q_frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
 
 
+_AUDIO_SEGMENT_ORACLE = """
+WITH assets AS (
+    SELECT doc_id, CAST(8000 + n_chars * 10 AS BIGINT) AS n_samples
+    FROM documents
+)
+SELECT doc_id,
+       CAST(start // 16000 AS BIGINT) AS seg_idx,
+       CAST(start AS BIGINT) AS start_sample,
+       CAST(least(16000, n_samples - start) AS BIGINT) AS seg_len,
+       CAST(16000 AS BIGINT) AS sample_rate
+FROM (SELECT doc_id, n_samples, unnest(range(0, n_samples, 16000)) AS start
+      FROM assets)
+"""
+
+
+@register("audio_segment_plan", _AUDIO_SEGMENT_ORACLE, tags=["llm", "multimodal"])
+def q_audio_segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio segmentation through the REAL binary path: fake-codec
+    payloads (FAKEAUD header, n_samples from document metadata) decoded
+    inside Arrow-batched mapInPandas, one row per fixed 16k-sample
+    segment with a partial tail — the speech-corpus splitter shape. The
+    oracle recomputes the segment grid from the same metadata arithmetic."""
+    assets = multimodal.documents_as_audio_assets(_docs(spark, sf_dir))
+    return multimodal.segment_audio(assets)
+
+
 @register("binary_features", _BINARY_FEATURES_ORACLE, tags=["llm", "multimodal"])
 def q_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary plumbing, driver-verified: documents → binary
