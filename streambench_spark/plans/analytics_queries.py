@@ -1177,3 +1177,41 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("sum_cents", F.lit(0)).alias("sum_cents"),
     )
+
+
+@register(
+    "full_outer_activity",
+    """
+    WITH v AS (SELECT user_id, count(*) AS n_views FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    p AS (SELECT user_id, count(*) AS n_purchases FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id)
+    SELECT coalesce(v.user_id, p.user_id) AS user_id,
+           coalesce(v.n_views, 0) AS n_views,
+           coalesce(p.n_purchases, 0) AS n_purchases
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+    """,
+    tags=["analytics", "joins"],
+)
+def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join coverage: per-user view counts ⟗ purchase counts
+    with zero-coalesce on both sides. Both inputs are already aggregated
+    on the join key, so the outer join reuses their hash partitioning —
+    one shuffle per side, none for the join itself."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        v.join(p, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_views", F.lit(0)).alias("n_views"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
