@@ -72,3 +72,16 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register each testdata table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def repartition_for_compute(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan is narrower than the
+    target parallelism. The single-file testdata tables scan as one
+    partition, which serializes compute-heavy downstream stages; a real
+    lake already delivers thousands of splits, where an unconditional
+    repartition would shuffle the whole corpus for nothing — so the
+    widening is gated on the actual partition count."""
+    p = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df

@@ -262,9 +262,13 @@ def dataset_shuffle(
     hashed = docs.select(
         key_col, F.expr(h).alias("_h")
     ).repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism, "_h", key_col)
-    # per-partition dense index
-    part_w = Window.partitionBy(F.spark_partition_id()).orderBy("_h", key_col)
-    local = hashed.withColumn("_pid", F.spark_partition_id()).withColumn(
+    # materialize the RANGE-partition id FIRST, then window on the plain
+    # column — windowing on the raw spark_partition_id() expression would
+    # depend on the analyzer pulling the nondeterministic expr below the
+    # window exchange, which is version-fragile.
+    with_pid = hashed.withColumn("_pid", F.spark_partition_id())
+    part_w = Window.partitionBy("_pid").orderBy("_h", key_col)
+    local = with_pid.withColumn(
         "_local", F.row_number().over(part_w).cast("long")
     )
     # partition sizes → cumulative offsets (tiny: one row per partition)

@@ -318,9 +318,12 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     The standard pre-training scrub pass: a fixed chain of regexp
     redactions evaluated in one codegen stage over the scan — no shuffle,
     no Python. Patterns apply in declaration order (emails first, so an
-    address is one <EMAIL>, not a <URL> with a dangling local part);
-    counts are taken before redaction from the same pattern, so
-    n_<kind> is exactly the number of replacements made.
+    address is one <EMAIL>, not a <URL> with a dangling local part).
+    Counts are measured per pattern on the ORIGINAL text: where patterns
+    overlap (an email embedded in a URL), a later pattern's count can
+    differ from the replacements actually applied to the progressively-
+    scrubbed text — treat them as per-pattern occurrence stats, not a
+    redaction ledger.
     """
     counts = [
         F.expr(

@@ -294,12 +294,12 @@ def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed expensive array — see dedup.shingle_postings note); the
     count is one map-side-combined shuffle; top-k is a heap reduce.
 
-    The scan is repartitioned first: the testdata ships one file (one
-    split), which would serialize the explode; at 100 TB the source has
-    thousands of splits and the repartition is a no-op decision."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    The scan is conditionally widened first: the testdata ships one file
+    (one split), which would serialize the explode; on a real lake with
+    thousands of splits repartition_for_compute is a no-op."""
+    from streambench_spark.catalog import repartition_for_compute
+
+    docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.expr(r"split(lower(text), '\\s+')")).alias("word"))
         .groupBy("word")
@@ -1045,12 +1045,13 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ),
     sums AS (
+        -- HUGEINT sums: overflow-free like Spark's DECIMAL(38,0) twin
         SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-               CAST(sum(x * x) AS BIGINT) AS sxx,
-               CAST(sum(y * y) AS BIGINT) AS syy,
-               CAST(sum(x * y) AS BIGINT) AS sxy
+               count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(y AS HUGEINT) * y) AS syy,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
         FROM base GROUP BY event_type
     )
     SELECT event_type,
@@ -1074,12 +1075,17 @@ def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("x"),
         (F.col("user_id") % 97).cast("long").alias("y"),
     )
+    # DECIMAL(38,0) accumulators: sum(x*x) outgrows signed-64 at ~1e10
+    # rows per group (ANSI overflow error at corpus scale); decimal sums
+    # stay exact to 38 digits and convert deterministically to double.
+    dx = F.col("x").cast("decimal(38,0)")
+    dy = F.col("y").cast("decimal(38,0)")
     sums = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(dx).alias("sx"), F.sum(dy).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dy * F.col("y")).alias("syy"),
+        F.sum(dx * F.col("y")).alias("sxy"),
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")

@@ -9,32 +9,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from streambench_spark.catalog import load_table
+from streambench_spark.catalog import load_table, repartition_for_compute
 from streambench_spark.llm import dedup, multimodal, sampling, similarity, text
 from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
 from streambench_spark.plans.queries import register
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, repartitioned to the session's core count.
+    """documents, widened to the session's core count when narrow.
 
     The testdata ships one small parquet file per table, so the scan
     yields ONE partition and every compute-bound operator (md5 shingle
     hashing, higher-order folds — interpreted, not codegen) runs
-    single-threaded. A round-robin repartition of the raw text is a
-    negligible shuffle here and a no-op decision at 100 TB, where the
-    source itself has thousands of splits; what matters is that the
-    expensive stage downstream of the scan has ~core-count partitions."""
-    return load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    single-threaded. The widening is CONDITIONAL (repartition_for_compute)
+    so a real lake with thousands of splits never pays a pointless
+    full-corpus shuffle."""
+    return repartition_for_compute(load_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings, repartitioned (same single-file rationale)."""
-    return load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    """embeddings, conditionally widened (same single-file rationale)."""
+    return repartition_for_compute(load_table(spark, sf_dir, "embeddings"))
 
 
 # DuckDB fragments mirroring the Spark expressions -------------------------

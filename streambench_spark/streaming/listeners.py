@@ -92,12 +92,15 @@ class PeriodicStatsReporter:
     shape (sbx/EvaluationBundleContext.h:331-379,500-501,785-813: every
     3 s, each transform reports recent + lifetime KRec/s).
 
-    A daemon thread samples the query's ``lastProgress`` every
-    ``interval_s``: recent rate = input rows of batches completed since
-    the previous sample / elapsed; lifetime rate = all rows / total
-    elapsed. Per-state-operator rows/memory come along from the progress
-    payload. Samples accumulate in ``self.samples`` and each one is also
-    handed to ``sink`` (e.g. ``print``) as a formatted line.
+    Row counts come from a ``StreamingQueryListener`` bound to the query
+    (every progress event is delivered exactly once, so no batch is lost
+    even when hundreds complete within one sampling interval —
+    ``recentProgress`` alone retains only the last ~100). A daemon
+    thread snapshots the counters every ``interval_s``: recent rate =
+    rows since the previous sample / elapsed; lifetime rate = all rows /
+    total elapsed; state-operator rows/memory are the LAST KNOWN values
+    (carried across quiet intervals, not reset). Samples accumulate in
+    ``self.samples`` and each is handed to ``sink`` as a formatted line.
 
     Driver-side and O(1) per sample — it reads progress JSON the
     executors already ship; nothing touches the data path.
@@ -110,17 +113,55 @@ class PeriodicStatsReporter:
         self.interval_s = interval_s
         self.samples: list[dict] = []
         self._sink = sink
-        self._seen_batches: set[int] = set()
+        self._lock = threading.Lock()
         self._rows_lifetime = 0
-        self._rows_prev = 0
+        self._rows_prev_sample = 0
+        self._state_ops: list[dict] = []
         self._t0 = None
         self._t_prev = None
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
+        outer = self
+
+        class _Counter(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                p = event.progress
+                if str(p.id) != str(outer.query.id):
+                    return
+                with outer._lock:
+                    outer._rows_lifetime += p.numInputRows
+                    ops = p.stateOperators or []
+                    if ops:
+                        outer._state_ops = [
+                            {
+                                "operator": op.operatorName,
+                                "state_rows": op.numRowsTotal,
+                                "state_mem_bytes": op.memoryUsedBytes,
+                            }
+                            for op in ops
+                        ]
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+        self._listener = _Counter()
+
+    def _streams(self):
+        from pyspark.sql import SparkSession
+
+        return SparkSession.getActiveSession().streams
+
     def start(self) -> "PeriodicStatsReporter":
         import time as _t
 
+        self._streams().addListener(self._listener)
         self._t0 = self._t_prev = _t.time()
         self._thread.start()
         return self
@@ -128,6 +169,10 @@ class PeriodicStatsReporter:
     def stop(self) -> list[dict]:
         self._stop.set()
         self._thread.join(timeout=self.interval_s + 5)
+        try:
+            self._streams().removeListener(self._listener)
+        except Exception:
+            pass  # session already torn down
         return self.samples
 
     def _run(self) -> None:
@@ -137,38 +182,20 @@ class PeriodicStatsReporter:
             self._sample(_t.time())
 
     def _sample(self, now: float) -> None:
-        # recentProgress holds the last ~100 batches; count each batch once
-        new_rows = 0
-        state_ops = []
-        try:
-            progresses = self.query.recentProgress
-        except Exception:
-            return  # query torn down mid-sample
-        for p in progresses:
-            bid = p["batchId"]
-            if bid in self._seen_batches:
-                continue
-            self._seen_batches.add(bid)
-            new_rows += p["numInputRows"]
-            state_ops = [
-                {
-                    "operator": op.get("operatorName"),
-                    "state_rows": op.get("numRowsTotal"),
-                    "state_mem_bytes": op.get("memoryUsedBytes"),
-                }
-                for op in (p.get("stateOperators") or [])
-            ]
-        self._rows_lifetime += new_rows
+        with self._lock:
+            rows_lifetime = self._rows_lifetime
+            state_ops = list(self._state_ops)
+        new_rows = rows_lifetime - self._rows_prev_sample
         recent_s = max(now - self._t_prev, 1e-3)
         lifetime_s = max(now - self._t0, 1e-3)
         sample = {
             "t_s": round(now - self._t0, 2),
             "recent_krec_s": round(new_rows / recent_s / 1000.0, 2),
-            "lifetime_krec_s": round(self._rows_lifetime / lifetime_s / 1000.0, 2),
-            "rows_lifetime": self._rows_lifetime,
+            "lifetime_krec_s": round(rows_lifetime / lifetime_s / 1000.0, 2),
+            "rows_lifetime": rows_lifetime,
             "state_operators": state_ops,
         }
-        self._rows_prev = self._rows_lifetime
+        self._rows_prev_sample = rows_lifetime
         self._t_prev = now
         self.samples.append(sample)
         if self._sink is not None:
