@@ -35,3 +35,17 @@ def test_result_invariant_under_parallelism(spark, name):
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
     assert run(1) == run(32)
+
+
+def test_repartition_for_compute_gates_on_width(spark):
+    """Narrow plans widen to the target; already-wide plans are untouched
+    (no gratuitous full-corpus shuffle on a many-split source)."""
+    from streambench_spark.catalog import repartition_for_compute
+
+    narrow = spark.range(0, 100, 1, 1)
+    widened = repartition_for_compute(narrow, 8)
+    assert widened.rdd.getNumPartitions() == 8
+
+    wide = spark.range(0, 100, 1, 16)
+    same = repartition_for_compute(wide, 8)
+    assert same is wide  # identity: no shuffle inserted
