@@ -47,9 +47,20 @@ FLAGSHIPS = {
         "rollup output — no second scan of events anywhere."
     ),
     "neardup_ngram_jaccard_capped": (
-        "df filter on the shingle key bounds every join bucket to "
-        "max_df; verify joins candidates to one-row-per-doc set arrays "
-        "and intersects row-locally (no posting-level join)."
+        "df cap via a count window riding the shared shuffle-on-h (no "
+        "separate groupBy+join); every join bucket bounded by max_df; "
+        "verify joins candidates to one-row-per-doc set arrays and "
+        "intersects row-locally (no posting-level join)."
+    ),
+    "funnel_conversion": (
+        "All three stage aggregates and both joins hash on user_id — one "
+        "partitioning chain; the final counts are 1-row aggregates "
+        "cross-joined (BroadcastNestedLoopJoin of single rows)."
+    ),
+    "dataset_shuffle": (
+        "RANGE exchange on the salt hash (sampled bounds — no single-"
+        "reducer global sort); per-partition row_number; cumulative "
+        "offsets joined back via BroadcastExchange."
     ),
     "decontaminate": (
         "Corpus postings stream RAW into a BroadcastHashJoin probe "
