@@ -109,9 +109,11 @@ def main() -> None:
         replay = run_throughput_trial(spark, params, source=bounded())
         streaming.update({f"replay_{k}": v for k, v in replay.items()})
         # latency needs LIVE event times (the frozen table's 2024 stamps
-        # would measure dataset age): 10 s of the rate-source generator,
-        # arrival clock minus generation clock per micro-batch (M3).
-        live = BenchParams(duration_s=10, rows_per_second=200_000,
+        # would measure dataset age): 20 s of the rate-source generator,
+        # arrival clock minus generation clock per micro-batch (M3) —
+        # long enough for ~10 micro-batches so p95/p99 are real
+        # percentiles, not aliases of max.
+        live = BenchParams(duration_s=20, rows_per_second=200_000,
                            ramp_up_seconds=0, watermark="1 second")
         streaming.update(run_latency_trial(spark, live, source=None))
     except Exception as exc:
