@@ -8,9 +8,10 @@ state. Not part of the driver contract; run manually:
 Prints one timing line per stage. Every stage executes end-to-end with a
 noop write (nothing returns to the driver).
 
-Measured 2026-08-13 on local[32] (single JVM):
-    n=20M : generate 14.0M rows/s, ysb 10.8M rows/s,
-            windowed_global_sum 24.2M rows/s, salted hot-key agg 20.2M rows/s
+Measured 2026-08-13 on local[32] (single JVM; re-measured same day
+after the TIMESTAMP_NTZ testdata change — within run-to-run variance):
+    n=20M : generate 12-14M rows/s, ysb 9-11M rows/s,
+            windowed_global_sum 22-24M rows/s, salted hot-key agg 18-21M rows/s
     n=100M: generate 58.9M rows/s, ysb 17.1M rows/s,
             windowed_global_sum 78.3M rows/s, salted hot-key agg 90.6M rows/s
 LLM stages (same run, n=20M → 2M docs / 200k vectors):
