@@ -49,3 +49,21 @@ def test_repartition_for_compute_gates_on_width(spark):
     wide = spark.range(0, 100, 1, 16)
     same = repartition_for_compute(wide, 8)
     assert same is wide  # identity: no shuffle inserted
+
+
+def test_dataset_shuffle_order_invariant_and_dense(spark):
+    """The epoch-shuffle order is a pure function of (key, seed): the
+    same bijection 0..N-1 regardless of input partitioning."""
+    from streambench_spark.catalog import load_table
+    from streambench_spark.llm.sampling import dataset_shuffle
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    def run(parts):
+        out = dataset_shuffle(docs.repartition(parts))
+        return sorted((r["doc_id"], r["shuffle_pos"]) for r in out.collect())
+
+    a, b = run(1), run(13)
+    assert a == b
+    positions = [p for _, p in a]
+    assert sorted(positions) == list(range(len(positions)))  # dense bijection
