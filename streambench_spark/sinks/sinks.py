@@ -237,3 +237,35 @@ def kafka_sink(
         .outputMode(mode)
         .start()
     )
+
+
+def idempotent_parquet_sink(
+    sdf: DataFrame, path: str, mode: str = "append", available_now: bool = True
+) -> StreamingQuery:
+    """T6 depth: exactly-once file output via batch-id-keyed writes.
+
+    Structured Streaming's foreachBatch is at-least-once — after a
+    restart the last batch can replay with the SAME batch_id. Writing
+    each batch to a ``batch=<id>`` subdirectory and skipping ids that
+    already exist makes the replay a no-op, which upgrades the sink to
+    effective exactly-once (the standard poor-man's transactional sink;
+    production uses a table format whose commit log does this job).
+    Readers take ``spark.read.parquet(path)`` — the subdirs are plain
+    hive-style partitions.
+    """
+    import os as _os
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        target = _os.path.join(path, f"batch={batch_id}")
+        if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+            return  # replayed batch after restart: already committed
+        batch_df.write.mode("overwrite").parquet(target)
+
+    writer = (
+        sdf.writeStream.foreachBatch(handle)
+        .outputMode(mode)
+        .option("checkpointLocation", _ckpt())
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

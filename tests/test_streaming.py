@@ -523,3 +523,25 @@ def test_periodic_stats_reporter(spark):
     assert lifetimes == sorted(lifetimes)
     assert any(s["recent_krec_s"] > 0 for s in samples)
     assert lines and "KRec/s" in lines[-1]
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """T6: a replayed batch_id (at-least-once foreachBatch after restart)
+    must not duplicate rows in the committed output."""
+    from streambench_spark.sinks.sinks import idempotent_parquet_sink
+
+    out = str(tmp_path / "idem")
+    stream = stream_table(spark, SF_DIR, "events").select("event_id")
+    q = idempotent_parquet_sink(stream, out)
+    assert q.awaitTermination(300)
+    first = spark.read.parquet(out)
+    n = first.count()
+    assert n == load_table(spark, SF_DIR, "events").count()
+
+    # simulate the restart-replay: re-deliver batch 0 through the same
+    # handler contract by re-running the whole bounded stream into the
+    # same directory with a FRESH checkpoint (same batch ids re-issued)
+    q2 = idempotent_parquet_sink(stream, out)
+    assert q2.awaitTermination(300)
+    again = spark.read.parquet(out)
+    assert again.count() == n  # no duplicates: replayed ids were skipped
