@@ -69,3 +69,49 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Scaled-integer PageRank (damping 0.85), bit-exact across engines.
+
+    Ranks live in integer micro-units (``scale`` = 1.0): per round,
+    contribution = rank DIV out-degree, new rank = 0.15·scale +
+    (85 · Σ contributions) DIV 100 — all integer arithmetic, so any
+    engine (and the DuckDB oracle) reproduces the values exactly; float
+    PageRank differs in the last bits across summation orders.
+
+    Per round: one join + one aggregate, both shuffled on the node id —
+    the same bounded shape as connected_components, fixed iteration
+    count (the classic 100 TB posture: ranks converge to working
+    precision in a handful of rounds; exactness makes runs reproducible
+    and testable).
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint()
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("a", F.lit(scale).cast("long").alias("pr"))
+    base = F.lit((15 * scale) // 100).cast("long")
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks.join(deg, "a"), "a")
+            .select(F.col("b").alias("node"), F.expr("pr DIV deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            deg.select(F.col("a"))
+            .join(contrib.withColumnRenamed("node", "a"), "a", "left")
+            .select(
+                "a",
+                (base + F.expr("85 * coalesce(s, 0L) DIV 100").cast("long")).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(F.col("a").alias("node"), "pr")

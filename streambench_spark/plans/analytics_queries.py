@@ -1221,3 +1221,54 @@ def q_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled scaled-integer PageRank; all-integer ops so the values
+    are engine-exact (`//` floor-div == Spark DIV on non-negatives)."""
+    parts = ["""
+WITH e0 AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (SELECT pa AS a, pb AS b FROM e0 UNION SELECT pb, pa FROM e0),
+deg AS (SELECT a, count(*) AS deg FROM sym GROUP BY a),
+r0 AS (SELECT a, CAST(1000000 AS BIGINT) AS pr FROM deg)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+    SELECT s.b AS node, sum(r.pr // d.deg) AS s
+    FROM sym s JOIN r{i-1} r ON s.a = r.a JOIN deg d ON s.a = d.a
+    GROUP BY s.b
+),
+r{i} AS (
+    SELECT deg.a, CAST(150000 + 85 * coalesce(c{i}.s, 0) // 100 AS BIGINT) AS pr
+    FROM deg LEFT JOIN c{i} ON deg.a = c{i}.node
+)""")
+    parts.append(f"\nSELECT a AS node, pr FROM r{iters}")
+    return "".join(parts)
+
+
+@register("copurchase_pagerank", _pagerank_oracle(3), tags=["analytics", "graph"])
+def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order
+    are neighbors): graph analytics straight off the relational tables.
+    Scaled-integer arithmetic (operators/graph.py:pagerank_exact) keeps
+    every rank value engine-exact — float PageRank diverges in the last
+    bits across summation orders. Edge build is one self-join on
+    l_orderkey (per-order line counts are bounded, so no hot key); each
+    round is a join + aggregate shuffled on the node id."""
+    from streambench_spark.operators.graph import pagerank_exact
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.expr(
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return pagerank_exact(edges, iterations=3)
