@@ -38,3 +38,24 @@ def ip_pair_pack(pair: Column) -> Column:
     return ipv4_to_u32(halves[0]) * F.lit(4294967296).cast("long") + ipv4_to_u32(
         halves[1]
     )
+
+
+def _spread16(x: Column) -> Column:
+    """Insert a zero bit between each of the low 16 bits (Morton spread,
+    the classic magic-number cascade — pure bitwise ops, codegen-fused)."""
+    x = x.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def zorder_key(a: Column, b: Column) -> Column:
+    """Interleave the low 16 bits of two columns into one 32-bit Morton
+    (Z-order) value. Sorting / range-partitioning a table by this key
+    clusters rows that are close in BOTH dimensions, so parquet min/max
+    column stats prune selective predicates on either column — the
+    standard multi-dimensional layout trick for 100 TB scans. Pure
+    integer bit arithmetic: any engine reproduces it exactly."""
+    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))

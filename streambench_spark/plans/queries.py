@@ -732,3 +732,37 @@ def queries() -> dict[str, QueryFn]:
 
 def oracles() -> dict[str, str]:
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def _zorder_oracle() -> str:
+    def spread(x: str) -> str:
+        s = f"({x} & 65535)"
+        for shift, mask in ((8, 16711935), (4, 252645135), (2, 858993459), (1, 1431655765)):
+            s = f"(({s} | ({s} << {shift})) & {mask})"
+        return s
+
+    a = spread("user_id")
+    b = spread("CAST(round(value * 100) AS BIGINT)")
+    return f"""
+    SELECT event_id, CAST({a} | ({b} << 1) AS BIGINT) AS zval
+    FROM events
+    """
+
+
+@register("zorder_layout_keys", _zorder_oracle(), tags=["scalar", "layout"])
+def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, value-cents): the sort/
+    range-partition key that clusters a table in BOTH dimensions so
+    parquet min/max stats prune selective predicates on either column
+    (operators/scalars.py:zorder_key). Pure bitwise codegen over the
+    scan — the write-side usage is `df.repartitionByRange(n, "zval")
+    .sortWithinPartitions("zval").write...`."""
+    from streambench_spark.operators.scalars import zorder_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        zorder_key(
+            F.col("user_id"), F.round(F.col("value") * 100).cast("long")
+        ).cast("long").alias("zval"),
+    )
