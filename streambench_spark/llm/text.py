@@ -339,3 +339,44 @@ def scrub_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *counts,
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+def chunk_docs_overlap(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping context-window chunking (stride < chunk_tokens): the
+    standard LLM pattern where consecutive chunks share chunk_tokens −
+    stride tokens so no span is ever split across a boundary it cannot
+    see. Chunk j covers tokens [j·stride, j·stride + chunk_tokens);
+    n_chunks = 1 for short docs else ceil((n − chunk)/stride) + 1 — the
+    last chunk may be short but always starts within the document.
+
+    Same plan shape as chunk_docs: explode a cheap index sequence, slice
+    per row — zero shuffle, zero Python.
+    """
+    tk = TOKENS_EXPR.format(col=text_col)
+    n_chunks = (
+        f"CASE WHEN size(_tk) <= {chunk_tokens} THEN 1 "
+        f"ELSE CAST(ceil((size(_tk) - {chunk_tokens}) / {stride}.0) AS INT) + 1 END"
+    )
+    return (
+        docs.select(key_col, F.expr(tk).alias("_tk"))
+        .withColumn("_j", F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")))
+        .withColumn("chunk_idx", F.col("_j").cast("long"))
+        .select(
+            key_col,
+            "chunk_idx",
+            F.expr(
+                f"array_join(slice(_tk, chunk_idx * {stride} + 1, "
+                f"{chunk_tokens}), ' ')"
+            ).alias("chunk_text"),
+            F.expr(
+                f"CAST(size(slice(_tk, chunk_idx * {stride} + 1, "
+                f"{chunk_tokens})) AS BIGINT)"
+            ).alias("n_tokens"),
+        )
+    )

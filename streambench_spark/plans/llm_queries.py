@@ -956,6 +956,34 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_docs(_docs(spark, sf_dir), chunk_tokens=64)
 
 
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents
+),
+ch AS (
+    SELECT doc_id, tk,
+           unnest(range(0, CASE WHEN len(tk) <= 64 THEN 1
+                 ELSE CAST(ceil((len(tk) - 64) / 48.0) AS BIGINT) + 1 END)) AS j
+    FROM toks
+)
+SELECT doc_id, j AS chunk_idx,
+       array_to_string(list_slice(tk, j * 48 + 1,
+                                  least(j * 48 + 64, len(tk))), ' ')
+           AS chunk_text,
+       CAST(least(j * 48 + 64, len(tk)) - j * 48 AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+
+@register("chunk_docs_overlap", _CHUNK_OVERLAP_ORACLE, tags=["llm", "text"])
+def q_chunk_docs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (64-token windows, stride 48 —
+    16 tokens shared between consecutive chunks): the standard LLM
+    training-example splitter where no span is cut without context. Same
+    zero-shuffle explode-cheap-index plan as chunk_docs."""
+    return text.chunk_docs_overlap(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
+
+
 _FRAME_SAMPLING_ORACLE = """
 WITH assets AS (
     SELECT doc_id, n_chars % 100 AS n_frames FROM documents
