@@ -1272,3 +1272,47 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_exact(edges, iterations=3)
+
+
+@register(
+    "unpivot_activity_matrix",
+    """
+    WITH m AS (
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_view,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_click,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'view' AS etype, n_view AS n FROM m
+    UNION ALL SELECT user_id, 'click', n_click FROM m
+    UNION ALL SELECT user_id, 'purchase', n_purchase FROM m
+    """,
+    tags=["analytics", "batch"],
+)
+def q_unpivot_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (stack): wide activity matrix back to long form — the
+    inverse of pivot_user_event_matrix, proving the round trip. stack()
+    is a generator evaluated row-locally in the same stage as the pivot
+    aggregate — no extra shuffle beyond the pivot's own."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+    return wide.select(
+        "user_id",
+        F.expr(
+            "stack(3, 'view', n_view, 'click', n_click, 'purchase', n_purchase)"
+        ).alias("etype", "n"),
+    )
