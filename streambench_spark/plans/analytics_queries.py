@@ -1316,3 +1316,77 @@ def q_unpivot_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'view', n_view, 'click', n_click, 'purchase', n_purchase)"
         ).alias("etype", "n"),
     )
+
+
+@register(
+    "chi2_independence",
+    """
+    WITH grid AS (
+        SELECT event_type, user_id % 10 AS bucket, count(*) AS obs
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT g.*,
+               sum(obs) OVER (PARTITION BY event_type) AS r,
+               sum(obs) OVER (PARTITION BY bucket) AS c,
+               sum(obs) OVER () AS n
+        FROM grid g
+    ),
+    terms AS (
+        SELECT event_type, bucket,
+               CAST((obs * n - r * c) * (obs * n - r * c) AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * r * c) AS term
+        FROM tot
+    )
+    SELECT round(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(term ORDER BY event_type, bucket)),
+               (a, x) -> a + x), 6) AS chi2,
+           CAST((count(DISTINCT event_type) - 1)
+                * (count(DISTINCT bucket) - 1) AS BIGINT) AS dof
+    FROM terms
+    """,
+    tags=["analytics", "stats"],
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test (event_type × user-bucket): each
+    cell's term is a single division of two EXACT integers
+    ((obs·N − r·c)² / (N·r·c)), and the 50-cell sum is a left fold over
+    the grid in sorted key order — the deterministic-float-fold pattern
+    that makes a floating statistic engine-exact (unordered double sums
+    differ in the last bits across partitionings). One aggregate for
+    the grid, window sums for the margins, a 1-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = (
+        ev.select("event_type", (F.col("user_id") % 10).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    tot = grid.select(
+        "event_type", "bucket", "obs",
+        F.sum("obs").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("obs").over(Window.partitionBy("bucket")).alias("c"),
+        F.sum("obs").over(Window.partitionBy()).alias("n"),
+    )
+    # exact DECIMAL(38,0) difference (obs*n outgrows signed-64 at
+    # corpus scale), converted ONCE to double and squared in double —
+    # squaring the decimal would outgrow even 38 digits
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = (dec("obs") * F.col("n") - dec("r") * F.col("c")).cast("double")
+    term = (num * num) / (
+        F.col("n").cast("double") * F.col("r") * F.col("c")
+    )
+    terms = tot.select("event_type", "bucket", term.alias("term"))
+    return terms.agg(
+        F.round(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(event_type, bucket, term))),"
+                " CAST(0 AS DOUBLE), (a, x) -> a + x.term)"
+            ),
+            6,
+        ).alias("chi2"),
+        (
+            (F.count_distinct(F.col("event_type")) - 1)
+            * (F.count_distinct(F.col("bucket")) - 1)
+        ).cast("long").alias("dof"),
+    )
