@@ -1390,3 +1390,35 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.count_distinct(F.col("bucket")) - 1)
         ).cast("long").alias("dof"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+    tags=["analytics", "sequence"],
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts over per-user event sequences (bigram of
+    consecutive event types, ordered by ts with the unique event_id as
+    tie-break): the user-behavior-model building block. One window
+    shuffle on user_id, then a map-side-combined count on the bounded
+    (prev, next) grid — sequence length never materializes anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    return (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
