@@ -1096,3 +1096,31 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "src_w", "src_h", "width", "height",
         F.length("payload").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "edit_distance_neighbors",
+    """
+    SELECT a.doc_id AS doc_id,
+           levenshtein(substring(a.text, 1, 40), substring(b.text, 1, 40))
+               AS edit_dist
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=["llm", "dedup"],
+)
+def q_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between adjacent documents' 40-char
+    prefixes — the character-level fuzzy-match primitive (complement of
+    the token-set Jaccard family; used on titles/URLs where token sets
+    are too coarse). Integer result, engine-exact. The id+1 self-join is
+    an equi-join (one shuffle); in a real pipeline the pair source is an
+    LSH/banding candidate stage, never all-pairs — edit distance is
+    O(len²) per pair and belongs strictly AFTER candidate pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select("doc_id", F.substring("text", 1, 40).alias("pa"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 40).alias("pb")
+    )
+    return a.join(b, "doc_id").select(
+        "doc_id", F.levenshtein("pa", "pb").cast("long").alias("edit_dist")
+    )
