@@ -58,9 +58,13 @@ FLAGSHIPS = {
         "cross-joined (BroadcastNestedLoopJoin of single rows)."
     ),
     "dataset_shuffle": (
-        "RANGE exchange on the salt hash (sampled bounds — no single-"
-        "reducer global sort); per-partition row_number; cumulative "
-        "offsets joined back via BroadcastExchange."
+        "ONE range exchange on the salt hash (sampled bounds — no single-"
+        "reducer global sort) + per-partition sort + Arrow enumerate "
+        "(zipWithIndex two-pass; a pid window would add a second full "
+        "hash exchange), localCheckpoint-ed so the sizes branch reads "
+        "the materialized partitions; cumulative offsets joined back via "
+        "BroadcastExchange. The final plan shows the post-checkpoint "
+        "LogicalRDD."
     ),
     "decontaminate": (
         "Corpus postings stream RAW into a BroadcastHashJoin probe "

@@ -240,18 +240,26 @@ def upsample_by_rate(
 
 
 def dataset_shuffle(
-    docs, seed: str = "epoch0", key_col: str = "doc_id"
+    docs, seed: str = "epoch0", key_col: str = "doc_id", checkpoint: bool = True
 ):
     """Deterministic corpus shuffle: a dense training order 0..N-1 from
     the portable 32-bit hash of (key, seed) — re-seeding gives a fresh
     independent order per epoch without touching the data.
 
-    Scale shape: ``repartitionByRange`` on the hash is a RANGE exchange
-    (sampled bounds, no single-reducer sort); the per-partition sort +
-    partition-offset arithmetic below it is how a total order is
-    materialized at 100 TB — row_number over an unpartitioned window
-    would serialize on one task. Ties are impossible because the hash is
-    salted with the unique key itself.
+    Scale shape — ONE exchange on the data path: ``repartitionByRange``
+    on the hash (sampled bounds, no single-reducer sort), then
+    ``sortWithinPartitions`` (no exchange) and an Arrow pass that
+    enumerates each partition's rows in place — the classic
+    ``zipWithIndex`` two-pass, DataFrame-style. A window partitioned by
+    ``spark_partition_id()`` would instead insert a SECOND full-data
+    hash exchange on the pid (Catalyst can't see that pid-clustering is
+    already satisfied). The enumerated frame is ``localCheckpoint``-ed
+    (eager) before the tiny per-partition-size aggregate is derived from
+    it, so the range exchange runs exactly once and the offsets join
+    reads the same materialized partitions — correctness does not depend
+    on two executions of the range sampler picking identical bounds.
+    row_number over an unpartitioned window would serialize on one task;
+    ties are impossible because the hash is salted with the unique key.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -259,18 +267,37 @@ def dataset_shuffle(
     from streambench_spark.llm.hashing import spark_hash32
 
     h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{seed}')")
-    hashed = docs.select(
-        key_col, F.expr(h).alias("_h")
-    ).repartitionByRange(docs.sparkSession.sparkContext.defaultParallelism, "_h", key_col)
-    # materialize the RANGE-partition id FIRST, then window on the plain
-    # column — windowing on the raw spark_partition_id() expression would
-    # depend on the analyzer pulling the nondeterministic expr below the
-    # window exchange, which is version-fragile.
-    with_pid = hashed.withColumn("_pid", F.spark_partition_id())
-    part_w = Window.partitionBy("_pid").orderBy("_h", key_col)
-    local = with_pid.withColumn(
-        "_local", F.row_number().over(part_w).cast("long")
+    hashed = (
+        docs.select(key_col, F.expr(h).alias("_h"))
+        .repartitionByRange(
+            docs.sparkSession.sparkContext.defaultParallelism, "_h", key_col
+        )
+        .sortWithinPartitions("_h", key_col)
+        .withColumn("_pid", F.spark_partition_id())
     )
+
+    def _enumerate(batches):
+        # narrow per-partition pass: batches arrive in the partition's
+        # sorted order, so a running counter IS the local row number
+        n = 0
+        for pdf in batches:
+            pdf = pdf.assign(_local=range(n + 1, n + 1 + len(pdf)))
+            n += len(pdf)
+            yield pdf
+
+    key_type = dict(
+        zip(docs.schema.names, (f.dataType.simpleString() for f in docs.schema.fields))
+    )[key_col]
+    local = hashed.mapInPandas(
+        _enumerate,
+        schema=f"{key_col} {key_type}, _h long, _pid int, _local long",
+    )
+    if checkpoint:
+        # materialize once; lineage truncation means the sizes branch and
+        # the final join read these partitions instead of re-running the
+        # range sampler (checkpoint=False exists so tests can inspect the
+        # full lineage plan)
+        local = local.localCheckpoint(eager=True)
     # partition sizes → cumulative offsets (tiny: one row per partition)
     sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

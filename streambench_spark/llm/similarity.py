@@ -27,6 +27,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The exact baselines collect ONE side into a dense matrix. That is the
+# documented contract (bounded candidate/query batch, same as FAISS's
+# query-batch shape) — the guard below makes it explicit instead of
+# silently OOMing the driver on a fact-sized input.
+MAX_EXACT_ROWS = 1_000_000
+
+
+def _collect_matrix(emb: DataFrame, vec_col: str, max_rows: int = MAX_EXACT_ROWS):
+    """Collect (vec_id, vec) into numpy, refusing unbounded inputs.
+
+    count() first: one cheap parquet-stats scan vs an OOM collect. The
+    exact brute-force operators are baselines for bounded batches; the
+    registry's primary scale entries are the LSH/IVF bucket joins
+    (lsh_top1, lsh_top1_multiprobe, cosine_neardup_pairs_lsh)."""
+    n = emb.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact brute-force baseline collects the candidate side; got "
+            f"{n} rows (> {max_rows}). Use the LSH/IVF variants for "
+            f"corpus-scale inputs, or pass a bounded query batch."
+        )
+    rows = emb.select("vec_id", vec_col).collect()
+    import numpy as np
+
+    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    return b_ids, b_mat
+
 
 def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Exact nearest neighbor (cosine) for every vector, brute force —
@@ -43,11 +71,9 @@ def brute_force_top1(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     matching Spark/DuckDB ``round`` so the oracle stays hash-exact; ties
     after rounding break toward the smaller neighbor id.
     """
-    rows = emb.select("vec_id", vec_col).collect()
     import numpy as np
 
-    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    b_ids, b_mat = _collect_matrix(emb, vec_col)
     b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
     pos = {int(v): i for i, v in enumerate(b_ids)}
 
@@ -154,14 +180,12 @@ def cosine_neardup_pairs(
     Exact baseline, same broadcast-matmul execution as brute_force_top1:
     the candidate matrix is shipped once, each corpus partition emits its
     rows' qualifying pairs. At 100 TB the scale path swaps the candidate
-    matrix for the sign-LSH / IVF bucket join (lsh_top1 plan shape) —
-    same output contract, bounded candidates.
+    matrix for the sign-LSH / IVF bucket join (cosine_neardup_pairs_lsh)
+    — same output contract, bounded candidates.
     """
-    rows = emb.select("vec_id", vec_col).collect()
     import numpy as np
 
-    b_ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    b_ids, b_mat = _collect_matrix(emb, vec_col)
     b_norms = np.sqrt((b_mat * b_mat).sum(axis=1))
 
     def _pairs(batches):

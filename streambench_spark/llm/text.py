@@ -195,11 +195,14 @@ def tfidf_top_terms(
     ranking is bit-identical across engines; ties broken totally).
 
     Scale shape: ONE shuffle to build (doc_id, term, tf); df is derived
-    from that table by a vocabulary-sized aggregate and joined back
-    BROADCAST (vocabularies are millions of rows at 100 TB — still far
-    under the broadcast threshold after the aggregate); the final top-k is
-    a window over doc_id where WindowGroupLimit pushes a partial limit
-    below the exchange."""
+    from that table by a vocabulary-sized aggregate and joined back on
+    `term`. The vocabulary of a 100 TB web corpus is 10^8-10^9 distinct
+    tokens (URLs, typos, code) — NOT broadcastable, so no broadcast hint:
+    AQE picks broadcast when the measured aggregate is small and a sorted
+    /shuffled hash join on `term` (both sides already partitioned by term
+    from their shuffles) when it isn't. The final top-k is a window over
+    doc_id where WindowGroupLimit pushes a partial limit below the
+    exchange."""
     from pyspark.sql.window import Window
 
     tk = TOKENS_EXPR.format(col=text_col)
@@ -213,7 +216,7 @@ def tfidf_top_terms(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df_counts), "term")
+        tf.join(df_counts, "term")
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tf", "df", "rn")

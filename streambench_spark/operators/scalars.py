@@ -28,16 +28,17 @@ def ip_pair_pack(pair: Column) -> Column:
     """"a.b.c.d-e.f.g.h" → one 64-bit value: first address in the high 32
     bits, second in the low 32 (the reference's convert_ip_pair layout).
 
-    Spark LongType is signed: a first octet >= 128 would overflow into the
-    sign bit. The reference stores an unsigned u64 so its bit pattern is
-    identical; callers needing the printable unsigned value on high-range
-    addresses should treat the result as a bit pattern (or mask to
-    UNSIGNED via DECIMAL) — the packing itself is lossless either way.
+    Spark LongType is signed: a first octet >= 128 lands in the sign bit.
+    Built with shiftleft(hi, 32) | lo — bitwise ops are not overflow-
+    checked under spark.sql.ansi.enabled, so the packing yields the
+    reference's exact u64 bit pattern on every config (a hi*2^32 multiply
+    would raise ARITHMETIC_OVERFLOW under ANSI for first octet >= 128).
+    Callers needing the printable unsigned value on high-range addresses
+    should treat the result as a bit pattern (or widen via DECIMAL) —
+    the packing itself is lossless either way.
     """
     halves = F.split(pair, "-")
-    return ipv4_to_u32(halves[0]) * F.lit(4294967296).cast("long") + ipv4_to_u32(
-        halves[1]
-    )
+    return F.shiftleft(ipv4_to_u32(halves[0]), 32).bitwiseOR(ipv4_to_u32(halves[1]))
 
 
 def _spread16(x: Column) -> Column:

@@ -251,13 +251,23 @@ def idempotent_parquet_sink(
     effective exactly-once (the standard poor-man's transactional sink;
     production uses a table format whose commit log does this job).
     Readers take ``spark.read.parquet(path)`` — the subdirs are plain
-    hive-style partitions.
+    hive-style partitions, so the result gains a synthetic ``batch``
+    partition-discovery column (drop it if unwanted).
+
+    The commit-marker probe goes through the Hadoop FileSystem API
+    resolved from the write path itself, so it works on any storage the
+    cluster writes to (HDFS, S3A, local) — a driver-local
+    ``os.path.exists`` would silently never match on remote filesystems
+    and replayed batches would duplicate.
     """
-    import os as _os
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        target = _os.path.join(path, f"batch={batch_id}")
-        if _os.path.exists(_os.path.join(target, "_SUCCESS")):
+        spark = batch_df.sparkSession
+        target = path.rstrip("/") + f"/batch={batch_id}"
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(target + "/_SUCCESS")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return  # replayed batch after restart: already committed
         batch_df.write.mode("overwrite").parquet(target)
 

@@ -104,6 +104,14 @@ class PeriodicStatsReporter:
 
     Driver-side and O(1) per sample — it reads progress JSON the
     executors already ship; nothing touches the data path.
+
+    ``query`` may be a running StreamingQuery OR a zero-arg callable that
+    starts and returns one. Pass the callable form to get the
+    exactly-once counter guarantee: ``start()`` registers the listener
+    BEFORE starting the query, so no progress event can precede
+    registration. With an already-running query, events that fired
+    before ``start()`` are unobservable and the lifetime counters are a
+    lower bound from reporter start.
     """
 
     def __init__(self, query, interval_s: float = 3.0, sink=None) -> None:
@@ -130,7 +138,11 @@ class PeriodicStatsReporter:
 
             def onQueryProgress(self, event) -> None:
                 p = event.progress
-                if str(p.id) != str(outer.query.id):
+                # query is None only in the callable form, between
+                # listener registration and query start — no progress
+                # event for OUR query can exist yet, so dropping
+                # other-query events here loses nothing.
+                if outer.query is None or str(p.id) != str(outer.query.id):
                     return
                 with outer._lock:
                     outer._rows_lifetime += p.numInputRows
@@ -161,7 +173,14 @@ class PeriodicStatsReporter:
     def start(self) -> "PeriodicStatsReporter":
         import time as _t
 
-        self._streams().addListener(self._listener)
+        if callable(self.query):
+            # exactly-once form: listener is live before the first
+            # micro-batch can possibly report progress
+            factory, self.query = self.query, None
+            self._streams().addListener(self._listener)
+            self.query = factory()
+        else:
+            self._streams().addListener(self._listener)
         self._t0 = self._t_prev = _t.time()
         self._thread.start()
         return self

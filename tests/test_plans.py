@@ -118,8 +118,27 @@ def test_ohlc_single_agg_shuffle(spark):
 
 
 def test_dataset_shuffle_uses_range_partitioning(spark):
-    plan = _plan(spark, "dataset_shuffle")
-    # the total order comes from a RANGE exchange + per-partition sort,
-    # not a single-reducer global sort of the corpus
+    # inspect the UNcheckpointed lineage (the default localCheckpoint
+    # truncates the plan to a LogicalRDD scan): the total order comes
+    # from ONE range exchange + per-partition sort + Arrow enumerate —
+    # no hash exchange on the data path (a window on spark_partition_id
+    # would add one)
+    from streambench_spark.catalog import load_table
+    from streambench_spark.llm.sampling import dataset_shuffle
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lineage = dataset_shuffle(docs, checkpoint=False)
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        lineage._jdf.queryExecution(), "formatted"
+    )
     assert "rangepartitioning" in plan
-    assert "BroadcastHashJoin" in plan  # offsets join stays broadcast
+    # the local row number comes from the Arrow enumerate, not a window
+    # partitioned by spark_partition_id (which would hash-exchange the
+    # full data); the ONLY Window left is the partition-count cumsum
+    # over the tiny sizes aggregate
+    assert "MapInPandas" in plan
+    assert plan.count("Window (") == 1
+    # checkpointed default: offsets join stays broadcast
+    full = _plan(spark, "dataset_shuffle")
+    assert "BroadcastHashJoin" in full
