@@ -915,3 +915,322 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.sum("bal_cents").alias("totacctbal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp bridge — unlocks Q2 / Q11 / Q20
+# ---------------------------------------------------------------------------
+#
+# The driver testdata ships no partsupp table, so the bridge is DERIVED
+# deterministically from part × supplier with the public TPC-H dbgen
+# assignment (4 suppliers per part, suppkey_i = (partkey + i*(S/4 +
+# partkey/S)) mod S — dbgen's PART_SUPP_BRIDGE, adapted to the driver's
+# 0-based keys). availqty/supplycost are integer functions of
+# (partkey, suppkey) only, so the occasional step-degenerate collision at
+# tiny SF (S=10: step ≡ 0 mod S for some partkey ranges) yields full-row
+# duplicates that a DISTINCT removes — the bridge always has a clean
+# (partkey, suppkey) primary key. Both engines build it from the same
+# closed-form integer math: bit-exact, no data shipped.
+#
+# Scale posture: |partsupp| = 4·|part| — dim-scale (part is ~1/30th of
+# lineitem rows at any TPC-H SF), so the bridge broadcasts or shuffles
+# cheaply; it never touches the fact table.
+
+_PARTSUPP_CTE = """
+    scnt AS (SELECT count(*) AS s FROM supplier),
+    ps_keys AS (
+        SELECT DISTINCT
+            p.p_partkey AS ps_partkey,
+            (p.p_partkey + i.i * (scnt.s // 4 + p.p_partkey // scnt.s)) % scnt.s
+                AS ps_suppkey
+        FROM part p
+        CROSS JOIN scnt
+        CROSS JOIN (SELECT unnest(range(4)) AS i) i
+    ),
+    partsupp AS (
+        SELECT ps_partkey, ps_suppkey,
+               (ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS ps_availqty,
+               (ps_partkey * 31 + ps_suppkey * 17) % 100000 + 100
+                   AS ps_supplycost_cents
+        FROM ps_keys
+    )
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _PARTSUPP_CTE (same integer math, same DISTINCT)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = load_table(spark, sf_dir, "supplier").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    keys = (
+        part.crossJoin(F.broadcast(scnt))
+        .select(
+            "p_partkey", "s",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            (
+                (F.col("p_partkey")
+                 + F.col("i") * (F.expr("s DIV 4") + F.expr("p_partkey DIV s")))
+                % F.col("s")
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return keys.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 9999 + 1)
+        .alias("ps_availqty"),
+        ((F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 100000 + 100)
+        .alias("ps_supplycost_cents"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    eur AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    costs AS (
+        SELECT ps.ps_partkey, ps.ps_supplycost_cents,
+               e.s_name, e.s_acctbal, e.n_name,
+               min(ps.ps_supplycost_cents)
+                   OVER (PARTITION BY ps.ps_partkey) AS min_cost
+        FROM partsupp ps JOIN eur e ON e.s_suppkey = ps.ps_suppkey
+    )
+    SELECT c.s_acctbal AS s_acctbal, c.s_name AS s_name,
+           c.n_name AS n_name, c.ps_partkey AS p_partkey,
+           CAST(c.ps_supplycost_cents AS BIGINT) AS cost_cents
+    FROM costs c
+    JOIN part p ON p.p_partkey = c.ps_partkey
+    WHERE p.p_size >= 25 AND p.p_type = 'STANDARD'
+      AND c.ps_supplycost_cents = c.min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (minimum-cost supplier, adapted: derived partsupp; equality on
+    p_type since the slimmed p_type has no trailing word): the correlated
+    min-cost subquery is decorrelated into a window min over ps_partkey —
+    ONE shuffle of the dim-scale bridge; region-filtered suppliers and
+    the size/type-filtered part list both broadcast. LIMIT rides a total
+    order ((partkey, suppkey) is unique per row) so the top-100 is
+    deterministic — TakeOrderedAndProject, per-partition heaps."""
+    from pyspark.sql.window import Window
+
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "min_cost",
+            F.min("ps_supplycost_cents").over(Window.partitionBy("ps_partkey")),
+        )
+    )
+    pf = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 25) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    out = (
+        costs.filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .join(F.broadcast(pf), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+        )
+    )
+    return out.orderBy(
+        F.desc("s_acctbal"), "n_name", "s_name", "p_partkey"
+    ).limit(100)
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    asia AS (
+        SELECT s.s_suppkey
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    vals AS (
+        SELECT ps.ps_partkey,
+               sum(ps.ps_supplycost_cents * ps.ps_availqty) AS value_cents
+        FROM partsupp ps JOIN asia a ON a.s_suppkey = ps.ps_suppkey
+        GROUP BY 1
+    )
+    SELECT ps_partkey, CAST(value_cents AS BIGINT) AS value_cents
+    FROM vals
+    WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM vals)
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock, adapted: region ASIA stands in for the
+    GERMANY nation filter so the tiny SFs keep a non-degenerate supplier
+    set; threshold fraction 0.001): per-part inventory value from the
+    derived bridge, kept as INTEGER cents·qty so the 'value > fraction ·
+    total' test is the exact inequality value·1000 > total — no float
+    average ever compares. The total is a 1-row aggregate broadcast back
+    (decorrelated scalar subquery); one shuffle on ps_partkey."""
+    asia = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "ASIA"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    vals = (
+        _partsupp(spark, sf_dir)
+        .join(F.broadcast(asia), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(F.col("ps_supplycost_cents") * F.col("ps_availqty"))
+            .alias("value_cents")
+        )
+    )
+    total = vals.agg(F.sum("value_cents").alias("_total"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("_total"))
+        .select("ps_partkey", "value_cents")
+    )
+
+
+@register(
+    "tpch_q20_potential_promotion",
+    f"""
+    WITH {_PARTSUPP_CTE},
+    small_ps AS (
+        SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_availqty
+        FROM partsupp ps
+        JOIN part p ON p.p_partkey = ps.ps_partkey
+        WHERE p.p_name LIKE 'small%'
+    ),
+    shipped AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS qty_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1, 2
+    ),
+    qual AS (
+        SELECT DISTINCT sp.ps_suppkey
+        FROM small_ps sp
+        LEFT JOIN shipped sh
+          ON sh.l_partkey = sp.ps_partkey AND sh.l_suppkey = sp.ps_suppkey
+        WHERE sp.ps_availqty * 200 > coalesce(sh.qty_cents, 0)
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN qual q ON q.ps_suppkey = s.s_suppkey
+    WHERE r.r_name = 'EUROPE'
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (potential part promotion, adapted: derived partsupp; region
+    EUROPE for the nation filter; suppliers with NO 1998 shipments of a
+    part count as over-stocked — both engines coalesce the missing group
+    to 0): availqty > 0.5·shipped-qty is the integer inequality
+    availqty·200 > qty_cents. The only fact-table touch is the
+    date-filtered (l_partkey, l_suppkey) aggregate — filter at the scan,
+    one fact shuffle on the composite key; the bridge joins it broadcast
+    and the DISTINCT collapses to supplier grain before the dim joins."""
+    sp = (
+        _partsupp(spark, sf_dir)
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part")
+                .filter(F.col("p_name").like("small%"))
+                .select("p_partkey")
+            ),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .select("ps_partkey", "ps_suppkey", "ps_availqty")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_cents"))
+    )
+    qual = (
+        sp.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+            "left",
+        )
+        .filter(
+            F.col("ps_availqty") * 200 > F.coalesce(F.col("qty_cents"), F.lit(0))
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    eur = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return eur.join(
+        F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey")
+    ).select("s_suppkey", "s_name")
