@@ -56,16 +56,32 @@ FEATURE_SCHEMA = StructType(
 # Self-describing fake header: b"FAKEIMG:<width>x<height>:" prefix.
 _FAKE_MAGIC = b"FAKEIMG:"
 
+# Optional real codec: used when Pillow is installed (it is not in this
+# container — the FAKEIMG path keeps everything testable without it, and
+# the same operators become real decoders wherever PIL exists).
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:
+    _PILImage = None
+    HAS_PIL = False
+
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """Decode image dimensions. Real codecs (Pillow/ffmpeg) are absent in
-    this container — parse the deterministic fake header, else refuse."""
+    """Decode image dimensions: FAKEIMG header first (deterministic test
+    path), then Pillow when installed, else refuse."""
     if payload.startswith(_FAKE_MAGIC):
         dims = payload[len(_FAKE_MAGIC) :].split(b":", 1)[0]
         w, h = dims.split(b"x")
         return int(w), int(h)
+    if HAS_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return im.size
     raise NotImplementedError(
-        "real image decoding requires a codec library not present in this "
+        "real image decoding requires Pillow, not present in this "
         "environment; payloads must carry the FAKEIMG header in tests"
     )
 
@@ -83,16 +99,32 @@ def extract_features(assets: DataFrame) -> DataFrame:
     # (matters when the driver process runs from an arbitrary cwd).
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
+        import io as _io
 
         import pandas as _pd
+
+        # worker-side optional codec probe (the closure stays
+        # self-contained: no reference to this module's globals)
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
 
         magic = b"FAKEIMG:"
 
         def _dims(row):
             payload, media = row["payload"], row["media_type"]
-            if media == "image" and payload.startswith(magic):
+            if media != "image":
+                return (None, None)
+            if payload.startswith(magic):
                 w, h = payload[len(magic):].split(b":", 1)[0].split(b"x")
                 return int(w), int(h)
+            if _Image is not None:
+                try:
+                    with _Image.open(_io.BytesIO(bytes(payload))) as im:
+                        return im.size
+                except Exception:
+                    return (None, None)  # undecodable real payload
             return (None, None)
 
         for pdf in batches:
@@ -161,12 +193,33 @@ def resize_images(assets: DataFrame, target: int = 16) -> DataFrame:
 
     # Self-contained closure (shipped by value — see extract_features).
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
         import pandas as _pd
+
+        try:
+            from PIL import Image as _Image
+        except ImportError:
+            _Image = None
 
         magic = b"FAKEIMG:"
 
         def _one(row):
             payload, media = row["payload"], row["media_type"]
+            if media == "image" and not payload.startswith(magic) and _Image is not None:
+                # real codec path (wherever Pillow exists): decode,
+                # aspect-fit resample, re-encode PNG
+                try:
+                    with _Image.open(_io.BytesIO(bytes(payload))) as im:
+                        w, h = im.size
+                        m = max(w, h)
+                        nw = max(1, (w * target) // m)
+                        nh = max(1, (h * target) // m)
+                        buf = _io.BytesIO()
+                        im.resize((nw, nh)).save(buf, format="PNG")
+                        return (w, h, nw, nh, buf.getvalue())
+                except Exception:
+                    return (None, None, None, None, payload)
             if media != "image" or not payload.startswith(magic):
                 return (None, None, None, None, payload)
             head, body = payload[len(magic):].split(b":", 1)

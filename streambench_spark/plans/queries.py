@@ -314,6 +314,54 @@ def q_ysb_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ysb_trigger_early_fire", ysb_oracle_sql(3600), tags=["ysb", "streaming"])
+def q_ysb_trigger_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 driver-proof: the YSB aggregate drained under a PROCESSING-TIME
+    trigger (early firing every 150 ms — the reference's
+    flinkTriggerIntervalMillis cadence) over a multi-file replay paced at
+    one file per trigger. Update-mode emissions accumulate in parquet;
+    the per-key max of the monotonic (count, last_update) reduces the
+    early-fire stream to the final state, which equals the batch YSB
+    result for ANY trigger cadence or file order."""
+    from streambench_spark.plans.ysb import ysb_query
+    from streambench_spark.sources.replay import stream_table_multifile
+    from streambench_spark.streaming.ysb import run_update_with_interval_trigger
+
+    total = load_table(spark, sf_dir, "events").count()
+    stream = stream_table_multifile(spark, sf_dir, "events", n_files=8)
+    out = ysb_query(stream, load_table(spark, sf_dir, "customer"), window="1 hour")
+    emissions = run_update_with_interval_trigger(
+        spark, out, expected_rows=total, trigger_ms=150, state_partitions=8
+    )
+    return emissions.groupBy("time_window", "segment").agg(
+        F.max("count").alias("count"),
+        F.max("last_update_ms").alias("last_update_ms"),
+    )
+
+
+@register("ysb_paced_files_drain", ysb_oracle_sql(3600), tags=["ysb", "streaming"])
+def q_ysb_paced_files_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 driver-proof: bounded availableNow drain with the file-source
+    backpressure knob (maxFilesPerTrigger=1 — the file analog of Kafka's
+    maxOffsetsPerTrigger, sources/kafka.py): the 8-file replay becomes ~8
+    bounded micro-batches instead of one. Update-mode foreachBatch
+    parquet drain + per-key max reduction, as above — equal to the batch
+    YSB result regardless of pacing."""
+    from streambench_spark.plans.ysb import ysb_query
+    from streambench_spark.sources.replay import stream_table_multifile
+    from streambench_spark.streaming.ysb import run_update_to_parquet
+
+    stream = stream_table_multifile(
+        spark, sf_dir, "events", n_files=8, max_files_per_trigger=1
+    )
+    out = ysb_query(stream, load_table(spark, sf_dir, "customer"), window="1 hour")
+    emissions = run_update_to_parquet(spark, out, state_partitions=8)
+    return emissions.groupBy("time_window", "segment").agg(
+        F.max("count").alias("count"),
+        F.max("last_update_ms").alias("last_update_ms"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J4) and relational breadth
 # ---------------------------------------------------------------------------

@@ -103,3 +103,37 @@ def replay_events(spark: SparkSession, sf_dir: str, rows_per_second: int) -> Dat
     """events-table replay: S7 shape over the driver testdata."""
     ev = load_table(spark, sf_dir, "events").drop("ts")
     return paced_replay(spark, with_index(ev, "event_id"), rows_per_second, ts_col="ts")
+
+
+def stream_table_multifile(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_files: int = 8,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Multi-micro-batch streaming replay: materialize the frozen table
+    as ``n_files`` parquet files in a temp dir, then stream that dir with
+    ``maxFilesPerTrigger`` (T7 backpressure: the file-source analog of
+    Kafka's maxOffsetsPerTrigger — bounded work per trigger).
+
+    The driver testdata ships single-file tables, which drain in ONE
+    micro-batch regardless of pacing options; the re-split makes the
+    pacing knob observable (an availableNow drain becomes ~n_files
+    micro-batches). The split is round-robin, so which rows share a file
+    is not semantically meaningful — downstream queries must be
+    order-insensitive (update-mode monotonic state or global appends),
+    NOT watermark-eviction-sensitive.
+    """
+    import tempfile
+
+    from streambench_spark.catalog import _ensure_session_confs
+
+    _ensure_session_confs(spark)
+    tmp = tempfile.mkdtemp(prefix=f"sb_multifile_{name}_")
+    src = load_table(spark, sf_dir, name)
+    src.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    reader = spark.readStream.schema(src.schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(tmp)

@@ -219,3 +219,67 @@ def run_streaming_ysb_to_table(
     _, table = run_to_memory(out, mode=mode, available_now=True,
                              state_partitions=state_partitions)
     return spark.table(table)
+
+
+def run_update_with_interval_trigger(
+    spark: SparkSession,
+    out: DataFrame,
+    expected_rows: int,
+    trigger_ms: int = 150,
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """T4 end-to-end: drain a bounded stream under a PROCESSING-TIME
+    trigger (the reference's early-fire cadence — Flink
+    flinkTriggerIntervalMillis / EventAndProcessingTimeTrigger, and the
+    knob start_query exposes) instead of availableNow.
+
+    The query fires every ``trigger_ms``; each micro-batch's update-mode
+    emissions land in parquet via foreachBatch (never the driver). The
+    driver-side loop polls progress events until the source is exhausted
+    (cumulative numInputRows >= expected_rows — progress is only
+    reported for COMPLETED batches, so reaching the total implies every
+    emission is flushed), then stops the query. Downstream takes the
+    per-key maximum of the cumulative emissions: update-mode re-emits a
+    key each time its state changes, and the YSB aggregates (count,
+    max ts) are monotonic, so max == final state == the batch result —
+    deterministic for ANY trigger cadence / file order."""
+    import json as _json
+    import tempfile as _tempfile
+    import time as _time
+
+    path = _tempfile.mkdtemp(prefix="sb_trigger_out_")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    with _pinned_state_partitions(spark, state_partitions):
+        q = (
+            out.writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sb_ckpt_"))
+            .trigger(processingTime=f"{trigger_ms} milliseconds")
+            .start()
+        )
+        deadline = _time.time() + timeout_s
+        try:
+            while True:
+                seen = 0
+                for p in q.recentProgress:
+                    prog = _json.loads(p) if isinstance(p, str) else p
+                    seen += (
+                        prog["numInputRows"]
+                        if isinstance(prog, dict)
+                        else prog.numInputRows
+                    )
+                if seen >= expected_rows:
+                    break
+                if _time.time() > deadline:
+                    raise TimeoutError(
+                        f"interval-trigger drain saw {seen}/{expected_rows} "
+                        f"rows within {timeout_s}s"
+                    )
+                _time.sleep(0.1)
+        finally:
+            q.stop()
+    return spark.read.schema(out.schema).parquet(path)

@@ -208,11 +208,37 @@ def test_multimodal_feature_extraction_decodes_fake_images(spark):
     assert len(rows[2]["payload_sha256"]) == 64
 
 
-def test_decode_image_refuses_real_payloads():
+@pytest.mark.skipif(
+    multimodal.HAS_PIL, reason="with Pillow installed the real codec path runs"
+)
+def test_decode_image_refuses_real_payloads_without_codec():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG\r\n...")
     with pytest.raises(NotImplementedError):
         multimodal.decode_audio(b"RIFF....WAVE")
+
+
+@pytest.mark.skipif(
+    not multimodal.HAS_PIL, reason="Pillow not installed in this container"
+)
+def test_real_codec_path_with_pillow(spark):
+    """Gated on PIL: the same operators decode/resize REAL images."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 32)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert multimodal.decode_image(png) == (64, 32)
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png))], schema=multimodal.ASSET_SCHEMA
+    )
+    feat = multimodal.extract_features(assets).collect()[0]
+    assert (feat["width"], feat["height"]) == (64, 32)
+    res = multimodal.resize_images(assets, target=16).collect()[0]
+    assert (res["src_w"], res["src_h"], res["width"], res["height"]) == (64, 32, 16, 8)
+    assert multimodal.decode_image(bytes(res["payload"])) == (16, 8)
 
 
 def test_fit_box_aspect_preserving():
