@@ -1,18 +1,28 @@
 """Benchmark entry point (driver contract).
 
-Runs the registry's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line::
+Runs the registry's queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+COMPACT JSON line LAST::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The driver records only a ~2000-char tail of stdout, so the final line is
+kept under ~1800 bytes: it carries the totals, the streaming metric tuple,
+a fixed set of headline queries plus the slowest five, and a pointer to
+``BENCH_FULL.json`` (written next to this file) holding every per-query
+timing. Round 2 printed all timings on the line and the driver's tail cut
+it mid-object (BENCH_r02 ``parsed: null``) — the split is the fix.
 
 Each query is forced end-to-end with a ``noop``-format write — full
 execution on the executors, zero driver-side collect, which is the shape a
 100 TB run has (results land in a sink, not the driver).
 
-The richer harness (trial loop M4, param registry M5, throughput/latency
-metric tuple M1-M3 per ysb/benchmark/yahoo/Benchmark.scala:59-126) lives in
-``streambench_spark/bench/``; this file is the driver-facing one-line shim.
+``SPARK_GRAFT_BENCH_REPLICATE=k`` additionally replays the streaming YSB
+trial over a k×-replicated events table (ids offset per copy), reporting
+rows/s above the shipped sf so the throughput claim is tested beyond
+sf0.1. The richer harness (trial loop M4, param registry M5, throughput/
+latency tuple M1-M3 per ysb/benchmark/yahoo/Benchmark.scala:59-126) lives
+in ``streambench_spark/bench/``.
 """
 
 from __future__ import annotations
@@ -26,6 +36,115 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
+# Fixed headline subset for the compact line (flagship + one per family).
+HEADLINE = [
+    "ysb",
+    "ysb_streaming_append",
+    "exact_dedup",
+    "minhash_lsh_neardup",
+    "embedding_lsh_topk",
+    "decontaminate",
+    "corpus_clean_pipeline",
+    "dataset_shuffle",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume",
+]
+
+
+def _run_registry(spark, sf_dir: str) -> dict[str, float]:
+    from streambench_spark.plans.queries import REGISTRY
+
+    timings: dict[str, float] = {}
+    for name, qdef in REGISTRY.items():
+        t0 = time.perf_counter()
+        try:
+            df = qdef.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep the one-line contract even on error
+            timings[name] = -1.0
+            print(f"bench error in {name}: {exc!r}", file=sys.stderr)
+    return timings
+
+
+def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
+    """Reference metric tuple (M1 throughput + M3 latency min/avg/p95/p99/
+    max — BASELINE.md obligations) from bounded streaming YSB trials."""
+    from streambench_spark.bench import BenchParams
+    from streambench_spark.bench.harness import (
+        run_latency_trial,
+        run_throughput_trial,
+    )
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import ysb_streaming
+
+    streaming: dict = {}
+
+    def bounded():
+        return ysb_streaming(
+            stream_table(spark, sf_dir, "events"),
+            load_table(spark, sf_dir, "customer"),
+            window="1 hour",
+            watermark=None,
+        )
+
+    # Headline throughput: the reference's methodology (rate-source
+    # target, listener-counted lower bound, StreamBenchMain.scala:32 +
+    # SparkYahooRunner.scala:91-113) over the full filter→project→
+    # broadcast-join→windowed-agg pipeline. 6M/s request rate saturates
+    # local[32]; reported is processed rows/s — vs the reference targets
+    # of 2M/s (Spark path) and 2.7M/s (StreamBox release config).
+    live_tput = BenchParams(duration_s=15, rows_per_second=6_000_000,
+                            ramp_up_seconds=0, watermark="1 second",
+                            num_partitions=cpus)
+    streaming.update(run_throughput_trial(spark, live_tput, source=None))
+    # Secondary: bounded file-replay drain of the frozen sf events table
+    # (deterministic row count; proves the S7 path end-to-end).
+    replay = run_throughput_trial(spark, BenchParams(duration_s=60),
+                                  source=bounded())
+    streaming.update({f"replay_{k}": v for k, v in replay.items()})
+    # Latency needs LIVE event times: 20 s of the rate-source generator,
+    # arrival minus generation clock per micro-batch (M3) — ~10+
+    # micro-batches so p95/p99 are real percentiles, not aliases of max.
+    live = BenchParams(duration_s=20, rows_per_second=200_000,
+                       ramp_up_seconds=0, watermark="1 second")
+    streaming.update(run_latency_trial(spark, live, source=None))
+    return streaming
+
+
+def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
+    """Optional scale-up: drain the YSB pipeline over a copies×-replicated
+    events table (event ids offset per copy so dedup-free operators see
+    distinct rows) and report processed rows/s above the shipped sf."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from streambench_spark.bench import BenchParams
+    from streambench_spark.bench.harness import run_throughput_trial
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import ysb_streaming
+
+    ev = load_table(spark, sf_dir, "events")
+    shift = F.lit(10_000_000_000)
+    copies_df = None
+    for k in range(copies):
+        c = ev.withColumn("event_id", F.col("event_id") + shift * k)
+        copies_df = c if copies_df is None else copies_df.unionByName(c)
+    tmp = tempfile.mkdtemp(prefix="sb_benchrep_")
+    path = os.path.join(tmp, "events.parquet")
+    copies_df.repartition(32).write.mode("overwrite").parquet(path)
+    out = ysb_streaming(
+        stream_table(spark, tmp, "events"),
+        load_table(spark, sf_dir, "customer"),
+        window="1 hour",
+        watermark=None,
+    )
+    res = run_throughput_trial(spark, BenchParams(duration_s=120), source=out)
+    return {"copies": copies, **res}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,8 +155,6 @@ def main() -> None:
     spark = get_spark(app_name="streambench-bench", master=f"local[{cpus}]",
                       shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-
-    from streambench_spark.plans.queries import REGISTRY
 
     # Warm the JVM + parquet footers + Python/Arrow workers once so
     # per-query timings measure the query, not session start or the
@@ -52,17 +169,7 @@ def main() -> None:
         _noop_batch, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, qdef in REGISTRY.items():
-        t0 = time.perf_counter()
-        try:
-            df = qdef.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # keep the one-line contract even on error
-            timings[name] = -1.0
-            print(f"bench error in {name}: {exc!r}", file=sys.stderr)
-
+    timings = _run_registry(spark, sf_dir)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -70,63 +177,71 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # The reference's metric tuple (M1 throughput + M3 latency
-    # min/avg/p95/p99/max — BASELINE.md obligations) from one bounded
-    # streaming YSB trial over the frozen events table.
-    streaming = {}
+    streaming: dict = {}
     try:
-        from streambench_spark.bench import BenchParams
-        from streambench_spark.bench.harness import (
-            run_latency_trial,
-            run_throughput_trial,
-        )
-        from streambench_spark.catalog import load_table
-        from streambench_spark.sources.replay import stream_table
-        from streambench_spark.streaming.ysb import ysb_streaming
-
-        def bounded():
-            return ysb_streaming(
-                stream_table(spark, sf_dir, "events"),
-                load_table(spark, sf_dir, "customer"),
-                window="1 hour",
-                watermark=None,
-            )
-
-        # Headline throughput: the reference's methodology (rate-source
-        # target, listener-counted lower bound, StreamBenchMain.scala:32 +
-        # SparkYahooRunner.scala:91-113) over the full filter→project→
-        # broadcast-join→windowed-agg pipeline. The request rate (6M/s,
-        # 32 source partitions) saturates local[32]; the reported number
-        # is processed rows/s, ~4.8M/s here — vs the reference targets of
-        # 2M/s (Spark path) and 2.7M/s (StreamBox release config).
-        live_tput = BenchParams(duration_s=15, rows_per_second=6_000_000,
-                                ramp_up_seconds=0, watermark="1 second",
-                                num_partitions=cpus)
-        streaming.update(run_throughput_trial(spark, live_tput, source=None))
-        # Secondary: bounded file-replay drain of the frozen sf events
-        # table (deterministic row count; proves the S7 path end-to-end).
-        params = BenchParams(duration_s=60)
-        replay = run_throughput_trial(spark, params, source=bounded())
-        streaming.update({f"replay_{k}": v for k, v in replay.items()})
-        # latency needs LIVE event times (the frozen table's 2024 stamps
-        # would measure dataset age): 20 s of the rate-source generator,
-        # arrival clock minus generation clock per micro-batch (M3) —
-        # long enough for ~10 micro-batches so p95/p99 are real
-        # percentiles, not aliases of max.
-        live = BenchParams(duration_s=20, rows_per_second=200_000,
-                           ramp_up_seconds=0, watermark="1 second")
-        streaming.update(run_latency_trial(spark, live, source=None))
+        streaming = _streaming_trials(spark, sf_dir, cpus)
     except Exception as exc:
         print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
 
-    print(json.dumps({
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "0"))
+    scaled: dict = {}
+    if replicate > 1:
+        try:
+            scaled = _replicated_trial(spark, sf_dir, replicate)
+        except Exception as exc:
+            print(f"bench error in replicated trial: {exc!r}", file=sys.stderr)
+
+    # Full record → file (the driver tail would truncate it inline).
+    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "registry_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": timings,
+                "streaming_ysb": streaming,
+                "scaled": scaled,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+
+    errors = sorted(n for n, t in timings.items() if t < 0)
+    slowest = dict(
+        sorted(
+            ((n, t) for n, t in timings.items() if t >= 0),
+            key=lambda kv: -kv[1],
+        )[:5]
+    )
+    compact_queries = {n: timings[n] for n in HEADLINE if n in timings}
+    compact_queries.update(slowest)
+    line = {
         "metric": "registry_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "streaming_ysb": streaming,
         "sf": sf_val,
-    }))
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "errors": errors[:5],
+        "queries": compact_queries,
+        "streaming_ysb": streaming,
+        "full": "BENCH_FULL.json",
+    }
+    if scaled:
+        line["scaled"] = scaled
+    out = json.dumps(line)
+    if len(out) > 1800:  # stay inside the driver's 2000-char stdout tail
+        line.pop("queries", None)
+        out = json.dumps(line)
+    if len(out) > 1800:
+        line["streaming_ysb"] = {
+            k: v for k, v in streaming.items() if not k.startswith("replay_")
+        }
+        out = json.dumps(line)
+    print(out)
 
 
 if __name__ == "__main__":

@@ -102,6 +102,19 @@ FLAGSHIPS = {
         "side is small); one hash Exchange at the tiny per-year "
         "aggregate."
     ),
+    "tpch_q2_min_cost_supplier": (
+        "The derived partsupp bridge is pure codegen over the part scan "
+        "(Generate over a 4-element sequence + DISTINCT); EU suppliers "
+        "and the size/type-filtered part list broadcast; ONE hash "
+        "Exchange on ps_partkey feeds the window min; top-100 is "
+        "TakeOrderedAndProject."
+    ),
+    "tfidf_top_terms": (
+        "No broadcast hint on the vocabulary aggregate (unbounded at "
+        "corpus scale): AQE picks the term-join strategy; tf and df "
+        "share hash-on-term partitioning; WindowGroupLimit pushes the "
+        "per-doc top-k below the final Exchange."
+    ),
     "skew_salted_enrichment": (
         "Fact side carries the deterministic xxhash64 salt as a narrow "
         "projection (no Exchange to salt); the dim side's 8-way "
