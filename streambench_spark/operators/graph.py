@@ -77,6 +77,7 @@ def pagerank_exact(
     dst: str = "dst",
     iterations: int = 3,
     scale: int = 1_000_000,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Scaled-integer PageRank (damping 0.85), bit-exact across engines.
 
@@ -94,8 +95,15 @@ def pagerank_exact(
     """
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).distinct().localCheckpoint()
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    if not edges_distinct:
+        # callers that already deduped (and orient src < dst, so the
+        # two union legs cannot collide) skip this full-edge shuffle
+        sym = sym.distinct()
+    sym = sym.localCheckpoint()
+    # degree is joined every round — materialize once instead of
+    # re-aggregating the edge list per iteration
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     ranks = deg.select("a", F.lit(scale).cast("long").alias("pr"))
     base = F.lit((15 * scale) // 100).cast("long")
     for _ in range(iterations):

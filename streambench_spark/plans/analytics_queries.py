@@ -1271,7 +1271,9 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pagerank_exact(edges, iterations=3)
+    # edges are distinct and oriented src < dst → the symmetrized union
+    # inside pagerank_exact cannot contain duplicates; skip its re-dedup
+    return pagerank_exact(edges, iterations=3, edges_distinct=True)
 
 
 @register(
