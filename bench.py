@@ -128,11 +128,13 @@ def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
     from streambench_spark.streaming.ysb import ysb_streaming
 
     ev = load_table(spark, sf_dir, "events")
-    shift = F.lit(10_000_000_000)
-    copies_df = None
-    for k in range(copies):
-        c = ev.withColumn("event_id", F.col("event_id") + shift * k)
-        copies_df = c if copies_df is None else copies_df.unionByName(c)
+    # one crossJoin with range(copies) — a k-leg union would build a
+    # k-node plan; this stays a single Generate regardless of k
+    copies_df = (
+        ev.crossJoin(F.broadcast(spark.range(copies).select(F.col("id").alias("_k"))))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000) * F.col("_k"))
+        .drop("_k")
+    )
     tmp = tempfile.mkdtemp(prefix="sb_benchrep_")
     path = os.path.join(tmp, "events.parquet")
     copies_df.repartition(32).write.mode("overwrite").parquet(path)
