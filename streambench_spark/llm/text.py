@@ -383,3 +383,38 @@ def chunk_docs_overlap(
             ).alias("n_tokens"),
         )
     )
+
+
+def adjacent_pair_counts(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top-k — the inner
+    loop of a BPE/WordPiece tokenizer trainer (each merge round picks the
+    most frequent adjacent pair; this operator is that counting step over
+    the whole corpus).
+
+    Plan shape: tokenize once per document (narrow), explode a CHEAP
+    guarded index sequence (never a computed pair array — the
+    explode-cheap-index pattern, see chunk_docs), derive each pair by
+    element lookup in the same stage, then ONE shuffle for the pair
+    count with map-side partials; top-k is TakeOrderedAndProject
+    (per-partition heaps). Deterministic total order: count DESC then
+    pair ASC."""
+    tk = TOKENS_EXPR.format(col=text_col)
+    return (
+        docs.select(F.expr(tk).alias("_tk"))
+        .select(
+            "_tk",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_tk) >= 2 THEN sequence(0, size(_tk) - 2) "
+                    "ELSE array() END"
+                )
+            ).alias("_i"),
+        )
+        .select(F.expr("concat(_tk[_i], ' ', _tk[_i + 1])").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

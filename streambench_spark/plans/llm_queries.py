@@ -1124,3 +1124,116 @@ def q_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "doc_id").select(
         "doc_id", F.levenshtein("pa", "pb").cast("long").alias("edit_dist")
     )
+
+
+_BPE_PAIRS_ORACLE = f"""
+WITH t AS (
+    SELECT {_D_TOKENS.format(col='text')} AS tk FROM documents
+),
+idx AS (
+    SELECT tk, unnest(range(0, len(tk) - 1)) AS j FROM t
+),
+p AS (
+    SELECT tk[CAST(j AS INT) + 1] || ' ' || tk[CAST(j AS INT) + 2] AS pair
+    FROM idx
+)
+SELECT pair, count(*) AS n FROM p
+GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20
+"""
+
+
+@register("bpe_pair_counts", _BPE_PAIRS_ORACLE, tags=["llm", "text"])
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top 20 — the counting
+    step of a BPE/WordPiece tokenizer trainer's merge round
+    (llm/text.py:adjacent_pair_counts). Tokenize once, explode a cheap
+    guarded index, one count shuffle with map-side partials, top-k via
+    per-partition heaps. Deterministic: count DESC, pair ASC."""
+    return text.adjacent_pair_counts(_docs(spark, sf_dir), k=20)
+
+
+_LSH_RECALL_ORACLE = f"""
+WITH exact AS (SELECT id_a, id_b FROM ({_COSINE_NEARDUP_ORACLE})),
+     cand AS (SELECT id_a, id_b FROM ({_COSINE_LSH_NEARDUP_ORACLE}))
+SELECT
+    (SELECT count(*) FROM exact) AS n_exact,
+    (SELECT count(*) FROM cand) AS n_lsh,
+    (SELECT count(*) FROM exact e
+       JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b) AS n_common,
+    CAST(round(10000.0 * (SELECT count(*) FROM exact e
+                            JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+               / nullif((SELECT count(*) FROM exact), 0)) AS BIGINT)
+        AS recall_bp
+"""
+
+
+@register("neardup_lsh_recall_report", _LSH_RECALL_ORACLE, tags=["llm", "dedup"])
+def q_neardup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the banded-LSH recall trade the scale path makes: runs
+    the exact cosine near-dup pairs (collect-guarded baseline) AND the
+    banded sign-LSH candidates at the same 0.45 threshold, then reports
+    pair counts, their intersection, and recall in basis points. The LSH
+    pairs are provably a subset (same rounded sim, same threshold), so
+    n_common == n_lsh and recall_bp measures exactly what banding drops
+    — the number the 100 TB operator trades for boundedness. Three tiny
+    1-row aggregates cross-joined; the heavy lifting is the two
+    candidate pipelines themselves."""
+    exact = similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45).select(
+        "id_a", "id_b"
+    )
+    cand = similarity.cosine_neardup_pairs_lsh(_embs(spark, sf_dir), 0.45).select(
+        "id_a", "id_b"
+    )
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nl = cand.agg(F.count(F.lit(1)).alias("n_lsh"))
+    nc = exact.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        ne.crossJoin(nl)
+        .crossJoin(nc)
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_common",
+            F.round(
+                F.lit(10000.0) * F.col("n_common") / F.col("n_exact")
+            ).cast("long").alias("recall_bp"),
+        )
+    )
+
+
+@register(
+    "canonical_per_source",
+    """
+    SELECT source, doc_id AS canonical_doc_id, n_chars
+    FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    tags=["llm", "dedup"],
+)
+def q_canonical_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level dedup: keep ONE canonical document per source,
+    preferring the longest (then smallest id — total order, no ties).
+    The standard crawl-dedup step before content-level near-dup. One
+    shuffle on source; WindowGroupLimit pushes the rank-1 cutoff below
+    the exchange so only per-partition winners cross the wire."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source", F.col("doc_id").alias("canonical_doc_id"), "n_chars"
+        )
+    )

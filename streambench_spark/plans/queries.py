@@ -690,6 +690,51 @@ def q_ip_pack_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEXT_SOURCE_ORACLE = """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k,
+           epoch_ms(max(ts)) AS max_ts_ms
+    FROM events GROUP BY 1
+    """
+
+
+def _text_source_query(fmt: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from streambench_spark.sources.replay import roundtrip_table
+
+        ev = roundtrip_table(spark, sf_dir, "events", fmt)
+        return ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_cents"),
+            F.sum(
+                F.get_json_object(F.col("props"), "$.k").cast("long")
+            ).alias("sum_k"),
+            F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+        )
+
+    q.__doc__ = (
+        f"S7 format breadth: events round-tripped through a {fmt.upper()} "
+        "file source (the reference preloads CSV) and aggregated — counts,"
+        " integer-cents sums, JSON payload extraction, and max event time "
+        "must all survive text serialization (quoting, escaping, float "
+        "round-trip). Oracle runs on the original parquet: any fidelity "
+        "loss hash-mismatches."
+    )
+    return q
+
+
+REGISTRY["events_csv_source"] = QueryDef(
+    fn=_text_source_query("csv"), oracle=_TEXT_SOURCE_ORACLE, tags=["sources"]
+)
+REGISTRY["events_json_source"] = QueryDef(
+    fn=_text_source_query("json"), oracle=_TEXT_SOURCE_ORACLE, tags=["sources"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Generator coverage (S1/S6): driver-checked, not just pytest-checked
 # ---------------------------------------------------------------------------
@@ -848,6 +893,12 @@ _DRIVER_WINDOW: list[str] = [
 # Still driver-unchecked after this round; they go right after the window
 # so the NEXT rotation is a pure list swap.
 _ROTATED_NEXT: list[str] = [
+    "tpch_q12_shipping_modes",
+    "events_csv_source",
+    "events_json_source",
+    "bpe_pair_counts",
+    "neardup_lsh_recall_report",
+    "canonical_per_source",
     "simhash_fingerprint",
     "doc_fingerprint",
     "corpus_stats",

@@ -1234,3 +1234,85 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eur.join(
         F.broadcast(qual), F.col("s_suppkey") == F.col("ps_suppkey")
     ).select("s_suppkey", "s_name")
+
+
+@register(
+    "tpch_q12_shipping_modes",
+    """
+    WITH li AS (
+        SELECT l.l_shipdate, o.o_orderpriority,
+               ['MAIL','SHIP','AIR','TRUCK','RAIL']
+                   [(l.l_orderkey + l.l_linenumber) % 5 + 1] AS l_shipmode,
+               CAST(o.o_orderdate AS DATE)
+                   + CAST((l.l_orderkey * 3 + l.l_linenumber * 7) % 60 + 30 AS INT)
+                   AS l_commitdate,
+               CAST(l.l_shipdate AS DATE)
+                   + CAST((l.l_orderkey + l.l_linenumber * 3) % 30 + 1 AS INT)
+                   AS l_receiptdate
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT l_shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM li
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND CAST(l_shipdate AS DATE) < l_commitdate
+      AND l_receiptdate >= DATE '1998-01-01'
+      AND l_receiptdate < DATE '1999-01-01'
+    GROUP BY 1
+    """,
+    tags=["tpch", "batch"],
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes & order priority, adapted: the driver schema
+    ships no l_shipmode/l_commitdate/l_receiptdate, so they are DERIVED
+    as closed-form integer functions of the row keys — same precedent as
+    the partsupp bridge; both engines compute identical dates/modes).
+    Late-shipment semantics preserved: commit < receipt (late), shipped
+    before commit, receipt in 1998, MAIL/SHIP only, high/low priority
+    line counts.
+
+    Scale: the one fact-fact edge (lineitem⋈orders on orderkey) is left
+    unhinted — AQE broadcasts the date-filtered survivor side when small
+    and falls back to SMJ sharing the orderkey partitioning otherwise;
+    derived columns are a narrow map evaluated BEFORE the 2-group
+    aggregate, whose map-side partials collapse the shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    modes = F.expr(
+        "array('MAIL','SHIP','AIR','TRUCK','RAIL')"
+        "[CAST((l_orderkey + l_linenumber) % 5 AS INT)]"
+    )
+    commit = F.expr(
+        "date_add(CAST(o_orderdate AS DATE), "
+        "CAST((l_orderkey * 3 + l_linenumber * 7) % 60 + 30 AS INT))"
+    )
+    receipt = F.expr(
+        "date_add(CAST(l_shipdate AS DATE), "
+        "CAST((l_orderkey + l_linenumber * 3) % 30 + 1 AS INT))"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    out = (
+        j.withColumn("l_shipmode", modes)
+        .withColumn("l_commitdate", commit)
+        .withColumn("l_receiptdate", receipt)
+        .filter(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1998-01-01").cast("date"))
+            & (F.col("l_receiptdate") < F.lit("1999-01-01").cast("date"))
+        )
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+    return out

@@ -137,3 +137,40 @@ def stream_table_multifile(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.load(tmp)
+
+
+def roundtrip_table(
+    spark: SparkSession, sf_dir: str, name: str, fmt: str
+) -> DataFrame:
+    """Text-format source breadth (S7: the reference PRELOADS A CSV —
+    ysb/benchmark/utils CSV preload — where our primary replay is
+    parquet): write the frozen table through ``fmt`` (csv/json) and read
+    it back with the same explicit schema, proving quoting/escaping/
+    number round-trip fidelity for text sources.
+
+    events.ts travels as epoch-millis LONG inside the text file — text
+    timestamp parsing is locale/zone-ambiguous across engines, epoch
+    integers are not. Doubles round-trip exactly (Java Double.toString
+    shortest-repr is re-parsed to the identical bits). Scale: one narrow
+    write + one scan, no shuffle; schema-on-read with an explicit schema
+    (never inferSchema, which double-scans)."""
+    import tempfile
+
+    src = load_table(spark, sf_dir, name)
+    ts_cols = [f.name for f in src.schema.fields
+               if f.dataType.simpleString().startswith("timestamp")]
+    out = src
+    for c in ts_cols:
+        out = out.withColumn(c, F.unix_millis(F.col(c).cast("timestamp")))
+    tmp = tempfile.mkdtemp(prefix=f"sb_{fmt}_{name}_")
+    writer = out.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True).option("escape", '"')
+    writer.save(tmp)
+    reader = spark.read.schema(out.schema).format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", True).option("escape", '"')
+    back = reader.load(tmp)
+    for c in ts_cols:
+        back = back.withColumn(c, F.timestamp_millis(F.col(c)))
+    return back
