@@ -501,3 +501,48 @@ def span_dedup_counts(
             F.sum("is_dup").alias("n_dup_spans"),
         )
     )
+
+
+def with_minhash_key(
+    docs: DataFrame, num_hashes: int = 8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig_key): the MinHash signature computed ROW-LOCALLY as
+    higher-order array expressions and joined into one string key.
+
+    The batch pipeline (minhash_signatures) builds signatures from the
+    exploded postings with map-side partial mins — the right batch shape,
+    but it needs a groupBy of its own, and Structured Streaming allows
+    only one stateful aggregate per query. The row-local form trades the
+    codegen explode for per-row interpreted lambdas (bounded by tokens
+    per document) so the ONLY stateful operator left is the consumer's
+    dedup aggregate — the streaming-compatible shape. Semantics are
+    identical: same md5 shingle hash, same (a,b) LCG coefficients, same
+    mod-P arithmetic; docs with fewer than n tokens have no shingle set
+    and are excluded (undefined signature), matching the batch contract.
+    """
+    coeffs = minhash_coefficients(num_hashes)
+    tk = TOKENS_EXPR.format(col=text_col)
+    gram = "concat_ws(' ', " + ", ".join(f"_tk[i + {j}]" for j in range(n)) + ")"
+    h = spark_hash32(gram)
+    sig_elems = ", ".join(
+        f"array_min(transform(_hsh, h -> ({a}L * h + {b}L) % {MERSENNE_P}L))"
+        for a, b in coeffs
+    )
+    return (
+        docs.select("doc_id", F.expr(tk).alias("_tk"))
+        .filter(F.expr(f"size(_tk) >= {n}"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(transform(sequence(0, size(_tk) - {n}), "
+                f"i -> {h} % {MERSENNE_P}L))"
+            ).alias("_hsh"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_join(transform(array({sig_elems}), "
+                f"x -> CAST(x AS STRING)), '_')"
+            ).alias("sig_key"),
+        )
+    )

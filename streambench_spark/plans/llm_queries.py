@@ -1237,3 +1237,55 @@ def q_canonical_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("doc_id").alias("canonical_doc_id"), "n_chars"
         )
     )
+
+
+def _rowlocal_minhash_oracle(num_hashes: int = 8) -> str:
+    from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
+
+    sig = ", ".join(
+        f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in hsh])"
+        for a, b in minhash_coefficients(num_hashes)
+    )
+    return f"""
+WITH {_oracle_shingle_cte()},
+sigs AS (
+    SELECT doc_id, [{sig}] AS sig FROM sh WHERE len(hsh) > 0
+),
+keys AS (
+    SELECT doc_id, array_to_string(sig, '_') AS sig_key FROM sigs
+)
+SELECT sig_key, min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM keys GROUP BY 1
+"""
+
+
+@register(
+    "streaming_minhash_dedup",
+    _rowlocal_minhash_oracle(),
+    tags=["llm", "dedup", "streaming"],
+)
+def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus dedup by MinHash signature (T5 × LLM-dedup
+    crossover): documents stream through a row-local signature
+    (dedup.with_minhash_key — Structured Streaming allows ONE stateful
+    aggregate, so the signature must not need its own groupBy), then an
+    update-mode aggregate keyed by signature keeps (min doc_id, count)
+    per group — state is one tuple per DISTINCT document signature, the
+    canonical bounded-dedup-state shape. Emissions drain through
+    foreachBatch parquet; the final per-key reduction (min canonical,
+    max count — both monotonic) equals the batch GROUP BY regardless of
+    arrival order or batch boundaries, which is what the oracle checks."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_update_to_parquet
+
+    docs_stream = stream_table(spark, sf_dir, "documents")
+    keyed = dedup.with_minhash_key(docs_stream)
+    agg = keyed.groupBy("sig_key").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    emissions = run_update_to_parquet(spark, agg, state_partitions=8)
+    return emissions.groupBy("sig_key").agg(
+        F.min("canonical_doc_id").alias("canonical_doc_id"),
+        F.max("n_docs").alias("n_docs"),
+    )

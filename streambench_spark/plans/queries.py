@@ -899,6 +899,7 @@ _ROTATED_NEXT: list[str] = [
     "bpe_pair_counts",
     "neardup_lsh_recall_report",
     "canonical_per_source",
+    "streaming_minhash_dedup",
     "simhash_fingerprint",
     "doc_fingerprint",
     "corpus_stats",
