@@ -101,24 +101,27 @@ def pagerank_exact(
         # two union legs cannot collide) skip this full-edge shuffle
         sym = sym.distinct()
     sym = sym.localCheckpoint()
-    # degree is joined every round — materialize once instead of
-    # re-aggregating the edge list per iteration
+    # degree is consulted every round — materialize once and carry it
+    # INSIDE the ranks frame, so each round is exactly one edge join +
+    # one aggregate + one node-sized rank rebuild (no per-round deg join)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
-    ranks = deg.select("a", F.lit(scale).cast("long").alias("pr"))
+    ranks = deg.select("a", F.lit(scale).cast("long").alias("pr"), "deg")
     base = F.lit((15 * scale) // 100).cast("long")
     for _ in range(iterations):
         contrib = (
-            sym.join(ranks.join(deg, "a"), "a")
-            .select(F.col("b").alias("node"), F.expr("pr DIV deg").alias("c"))
-            .groupBy("node")
+            # per-node contribution is computed on the node-sized ranks
+            # frame BEFORE touching the edge list, so the edge join
+            # carries one long instead of (pr, deg)
+            sym.join(ranks.select("a", F.expr("pr DIV deg").alias("c")), "a")
+            .groupBy(F.col("b").alias("a"))
             .agg(F.sum("c").alias("s"))
         )
         ranks = (
-            deg.select(F.col("a"))
-            .join(contrib.withColumnRenamed("node", "a"), "a", "left")
+            deg.join(contrib, "a", "left")
             .select(
                 "a",
                 (base + F.expr("85 * coalesce(s, 0L) DIV 100").cast("long")).alias("pr"),
+                "deg",
             )
             .localCheckpoint()
         )
