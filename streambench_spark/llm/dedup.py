@@ -546,3 +546,75 @@ def with_minhash_key(
             ).alias("sig_key"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Asymmetric near-dup: pairs whose n-gram CONTAINMENT
+    C = |A∩B| / min(|A|, |B|) clears ``threshold``.
+
+    Containment catches the case Jaccard structurally misses — a short
+    document embedded verbatim inside a much longer one (boilerplate
+    page wrapping an article, a quote-post containing the original):
+    there J = inter/union shrinks with the size gap while C stays ~1.
+    Same single-shuffle inverted-index shape as ngram_jaccard_pairs
+    (sized postings computed once, merge-join on the shingle hash with
+    ReusedExchange); at 100 TB swap in the df-capped posting stream
+    exactly as ngram_jaccard_pairs_capped does.
+    """
+    posts = sized_shingle_postings(docs, n, text_col)
+    a, b = posts.alias("a"), posts.hint("merge").alias("b")
+    sized = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.min("a.n_sh").alias("na"),
+            F.min("b.n_sh").alias("nb"),
+        )
+    )
+    cont = F.col("inter").cast("double") / F.least("na", "nb")
+    return (
+        sized.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
+def exact_dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the BEST copy per duplicate group — the copy
+    with the most tokens (ties → minimum doc_id) — instead of blindly
+    the minimum id.
+
+    This is what production pipelines actually keep: near-identical
+    scrapes of a page differ by truncation, and min-id keeps whichever
+    crawl happened to come first. Same skew-free single shuffle on the
+    sha256 content hash as exact_dedup_groups; the argmax is a map-side-
+    combining max of a (n_tokens, -doc_id) struct, so the shuffle carries
+    one struct per hash per partition.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    tk = TOKENS_EXPR.format(col=text_col)
+    best = F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        docs.select(
+            F.col("doc_id"),
+            F.sha2(norm, 256).alias("text_hash"),
+            F.expr(f"size({tk})").cast("long").alias("n_tok"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            best.alias("_best"),
+        )
+        .select(
+            "text_hash",
+            "n_copies",
+            (-F.col("_best.neg_id")).cast("long").alias("best_id"),
+            F.col("_best.n_tok").alias("best_tokens"),
+        )
+    )

@@ -308,3 +308,42 @@ def dataset_shuffle(
         local.join(F.broadcast(offsets), "_pid")
         .select(key_col, (F.col("_off") + F.col("_local") - 1).alias("shuffle_pos"))
     )
+
+
+def contamination_scores(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc contamination FRACTION: shared distinct n-gram
+    hashes / the doc's distinct n-gram hashes, for every training doc
+    with >= n tokens (docs too short to form one n-gram carry no
+    contamination evidence and are excluded, matching contaminated_docs).
+
+    The scoring twin of contaminated_docs: where that op emits only the
+    contaminated survivors (a filter), this emits a score for EVERY doc
+    so the pipeline can threshold at will (0 = clean). Shape: the per-doc
+    gram-set frame is one corpus pass (doc_shingle_sets); the overlap
+    counts come from the broadcast-benchmark join of contaminated_docs;
+    gluing them is a left join on doc_id — corpus-partitioned, no
+    benchmark-side skew possible.
+    """
+    from streambench_spark.llm.dedup import doc_shingle_sets
+
+    totals = doc_shingle_sets(train_docs, n, text_col).select(
+        "doc_id", F.col("n_sh").cast("long").alias("n_grams")
+    )
+    shared = contaminated_docs(train_docs, bench_docs, n, text_col)
+    return (
+        totals.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6),
+        )
+    )

@@ -418,3 +418,64 @@ def adjacent_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+# Stop-word set for the Gopher-style presence rule (Rae et al. 2021,
+# "Scaling Language Models: ..." — the published filter requires >= 2 of a
+# small English function-word list to appear in the document).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style document-quality rules, one 0/1 flag per rule.
+
+    Published web-corpus heuristics (Rae et al. 2021, table A1):
+    word count in [50, 100000]; mean word length in [3, 10]; symbol-to-
+    word ratio ('#'/'...') < 0.1; < 90% of lines bullet-started; < 30%
+    of lines ellipsis-ended; >= 80% of words contain an alphabetic
+    character; >= 2 distinct stop words present. Emitting the per-rule
+    flags (not just the conjunction) is what pipeline debugging needs:
+    aggregate the flags to see which rule eats the corpus.
+
+    Every ratio threshold is cross-multiplied into an integer comparison
+    (e.g. 10 * n_sym < n_words), so the predicate is exact in any engine
+    — no float thresholds to drift. Single scan, all flags in whole-stage
+    codegen; at 100 TB this is the same one-pass shape as quality_kept.
+    """
+    tk = TOKENS_EXPR.format(col=text_col)
+    stop_arr = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    measured = docs.selectExpr(
+        "doc_id",
+        f"{tk} AS tk",
+        rf"split({text_col}, '\n') AS ln",
+        # '#' occurrences + non-overlapping '...' occurrences
+        f"(length({text_col}) - length(replace({text_col}, '#', ''))) "
+        f"+ (length({text_col}) - length(replace({text_col}, '...', ''))) DIV 3 "
+        "AS n_sym",
+    ).selectExpr(
+        "doc_id",
+        "size(tk) AS n_words",
+        "aggregate(tk, 0L, (a, x) -> a + length(x)) AS sum_len",
+        "size(filter(tk, x -> x rlike '[a-z]')) AS n_alpha",
+        f"size(array_intersect(array_distinct(tk), array({stop_arr}))) AS n_stop",
+        "size(ln) AS n_lines",
+        "size(filter(ln, l -> startswith(l, '- ') OR startswith(l, '* '))) AS n_bullet",
+        "size(filter(ln, l -> endswith(l, '...'))) AS n_ell",
+        "n_sym",
+    )
+    rules = {
+        "r_word_count": "n_words BETWEEN 50 AND 100000",
+        "r_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
+        "r_symbol_ratio": "10 * n_sym < n_words",
+        "r_bullet_lines": "10 * n_bullet < 9 * n_lines",
+        "r_ellipsis_lines": "10 * n_ell < 3 * n_lines",
+        "r_alpha_words": "5 * n_alpha >= 4 * n_words",
+        "r_stopwords": f"n_stop >= 2",
+    }
+    keep = " AND ".join(f"({c})" for c in rules.values())
+    return measured.selectExpr(
+        "doc_id",
+        "CAST(n_words AS BIGINT) AS n_words",
+        *[f"CAST({cond} AS BIGINT) AS {name}" for name, cond in rules.items()],
+        f"CAST({keep} AS BIGINT) AS keep",
+    )

@@ -1289,3 +1289,151 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("canonical_doc_id").alias("canonical_doc_id"),
         F.max("n_docs").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: Gopher rules, contamination scoring, containment
+# near-dup, quality-aware dedup
+# ---------------------------------------------------------------------------
+
+_GOPHER_RULES = {
+    "r_word_count": "n_words BETWEEN 50 AND 100000",
+    "r_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
+    "r_symbol_ratio": "10 * n_sym < n_words",
+    "r_bullet_lines": "10 * n_bullet < 9 * n_lines",
+    "r_ellipsis_lines": "10 * n_ell < 3 * n_lines",
+    "r_alpha_words": "5 * n_alpha >= 4 * n_words",
+    "r_stopwords": "n_stop >= 2",
+}
+_GOPHER_KEEP = " AND ".join(f"({c})" for c in _GOPHER_RULES.values())
+_GOPHER_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id,
+           {_D_TOKENS.format(col='text')} AS tk,
+           string_split(text, chr(10)) AS ln,
+           (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+    FROM documents
+), m AS (
+    SELECT doc_id,
+           len(tk) AS n_words,
+           coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS sum_len,
+           len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+           len(list_intersect(list_distinct(tk),
+               ['the','be','to','of','and','that','have','with'])) AS n_stop,
+           len(ln) AS n_lines,
+           len(list_filter(ln,
+               l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
+           len(list_filter(ln, l -> ends_with(l, '...'))) AS n_ell,
+           n_sym
+    FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       {", ".join(f"CAST({c} AS BIGINT) AS {n}" for n, c in _GOPHER_RULES.items())},
+       CAST({_GOPHER_KEEP} AS BIGINT) AS keep
+FROM m
+"""
+
+
+@register("gopher_quality_rules", _GOPHER_ORACLE, tags=["llm", "text"])
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher document-quality rules as per-rule 0/1 flags +
+    the keep conjunction; every ratio threshold cross-multiplied into an
+    integer comparison, one codegen scan (llm/text.py:gopher_rules)."""
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
+def _contamination_scores_oracle(n: int = 8) -> str:
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    h = _D_H32.format(s="s")
+    return f"""
+WITH toks AS (SELECT doc_id, source,
+                     {_D_TOKENS.format(col='text')} AS tk FROM documents),
+sh AS (SELECT doc_id, source,
+              list_distinct(list_transform(
+                  [{grams} for i in range(1, len(tk) - {n - 2})],
+                  s -> {h} % {MERSENNE_P})) AS hsh
+       FROM toks),
+tot AS (SELECT doc_id, CAST(len(hsh) AS BIGINT) AS n_grams
+        FROM sh WHERE source <> 'src0' AND len(hsh) >= 1),
+tr AS (SELECT doc_id, unnest(hsh) AS h FROM sh WHERE source <> 'src0'),
+be AS (SELECT DISTINCT unnest(hsh) AS h FROM sh WHERE source = 'src0'),
+ov AS (SELECT tr.doc_id, count(*) AS n_shared
+       FROM tr JOIN be USING (h) GROUP BY 1)
+SELECT tot.doc_id, n_grams,
+       CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       round(CAST(coalesce(n_shared, 0) AS DOUBLE) / n_grams, 6)
+           AS contamination
+FROM tot LEFT JOIN ov USING (doc_id)
+"""
+
+
+@register(
+    "contamination_scores", _contamination_scores_oracle(8), tags=["llm", "sampling"]
+)
+def q_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scoring twin of decontaminate: per-training-doc fraction of its
+    distinct 8-gram hashes shared with the benchmark split (source =
+    'src0') — 0 for clean docs, so the pipeline thresholds at will."""
+    docs = _docs(spark, sf_dir)
+    return sampling.contamination_scores(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    )
+
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_oracle_shingle_cte()},
+ex AS (SELECT doc_id, len(hsh) AS n_sh, unnest(hsh) AS s FROM sh),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           any_value(a.n_sh) AS na, any_value(b.n_sh) AS nb,
+           count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
+FROM pairs
+WHERE round(CAST(inter AS DOUBLE) / least(na, nb), 6) >= 0.6
+"""
+
+
+@register("neardup_containment", _CONTAINMENT_ORACLE, tags=["llm", "dedup"])
+def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) >= 0.6 —
+    catches short-doc-inside-long-doc pairs Jaccard misses (the union
+    grows with the size gap, the min does not)."""
+    return dedup.ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.6)
+
+
+_KEEP_BEST_ORACLE = """
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+           sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+               AS text_hash
+    FROM documents
+),
+ranked AS (
+    SELECT text_hash, doc_id, n_tok,
+           row_number() OVER (
+               PARTITION BY text_hash ORDER BY n_tok DESC, doc_id ASC) AS rn,
+           count(*) OVER (PARTITION BY text_hash) AS n_copies
+    FROM t
+)
+SELECT text_hash, CAST(n_copies AS BIGINT) AS n_copies,
+       doc_id AS best_id, n_tok AS best_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_keep_best", _KEEP_BEST_ORACLE, tags=["llm", "dedup"])
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the longest copy per group (ties → min id) —
+    a map-side-combining argmax struct, same skew-free sha256 shuffle as
+    exact_dedup."""
+    return dedup.exact_dedup_keep_best(_docs(spark, sf_dir))

@@ -920,6 +920,11 @@ _ROTATED_NEXT: list[str] = [
     "binary_features",
     "image_resize",
     "zorder_layout_keys",
+    # round-3 additions
+    "gopher_quality_rules",
+    "contamination_scores",
+    "neardup_containment",
+    "dedup_keep_best",
 ]
 
 

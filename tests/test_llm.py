@@ -441,3 +441,73 @@ def test_chunk_docs_udtf_twin_equal(spark):
         (1, 0): ("a b c d", 4), (1, 1): ("e", 1),
         (2, 0): ("x y z w", 4), (3, 0): ("single", 1),
     }
+
+
+def test_gopher_rules_flags_each_failure_mode(spark):
+    """One constructed doc per rule violation; a clean doc passes all."""
+    words = " ".join(f"word{i}" for i in range(60))  # 60 words, alpha, len 5-6
+    docs = spark.createDataFrame(
+        [
+            (1, words + " the of"),                      # clean → keep
+            (2, "too short the of"),                     # word-count fails
+            (3, " ".join(["####"] * 60) + " the of"),    # symbol + alpha fail
+            (4, "\n".join(["- bullet line"] * 30) + "\n" + words + " the of"),
+            (5, words),                                  # no 2 stopwords
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_rules(docs).collect()}
+    assert out[1]["keep"] == 1
+    assert out[2]["r_word_count"] == 0 and out[2]["keep"] == 0
+    assert out[3]["r_symbol_ratio"] == 0 and out[3]["r_alpha_words"] == 0
+    assert out[4]["r_bullet_lines"] == 0  # 30/31 lines bullet-started >= 90%
+    assert out[5]["r_stopwords"] == 0 and out[5]["keep"] == 0
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment 1.0 while
+    Jaccard is far below any useful threshold."""
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"filler{i} pad{i} junk{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = dedup.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    assert dedup.ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+
+
+def test_dedup_keep_best_prefers_longest_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "A  B C"),        # same normalized content, same tokens → tie
+            (3, "a b c d e"),     # different content
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["text_hash"]: r for r in dedup.exact_dedup_keep_best(docs).collect()}
+    groups = {(r["best_id"], r["n_copies"], r["best_tokens"]) for r in rows.values()}
+    assert groups == {(1, 2, 3), (3, 1, 5)}
+
+
+def test_contamination_scores_zero_for_clean_docs(spark):
+    from streambench_spark.llm import sampling as smp
+
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares the full benchmark 8-gram window prefix
+            (1, "one two three four five six seven eight tail tail2"),
+            (2, "clean doc with no overlap at all whatsoever here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in smp.contamination_scores(train, bench, n=8).collect()}
+    assert out[1]["n_shared"] == 1 and out[1]["n_grams"] == 3
+    assert out[1]["contamination"] == round(1 / 3, 6)
+    assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
