@@ -716,13 +716,17 @@ def _text_source_query(fmt: str):
             F.unix_millis(F.max("ts")).alias("max_ts_ms"),
         )
 
+    kind = (
+        "text serialization (quoting, escaping, float round-trip)"
+        if fmt in ("csv", "json")
+        else "the columnar binary encoding"
+    )
     q.__doc__ = (
         f"S7 format breadth: events round-tripped through a {fmt.upper()} "
         "file source (the reference preloads CSV) and aggregated — counts,"
         " integer-cents sums, JSON payload extraction, and max event time "
-        "must all survive text serialization (quoting, escaping, float "
-        "round-trip). Oracle runs on the original parquet: any fidelity "
-        "loss hash-mismatches."
+        f"must all survive {kind}. Oracle runs on the original parquet: "
+        "any fidelity loss hash-mismatches."
     )
     return q
 
@@ -733,6 +737,34 @@ REGISTRY["events_csv_source"] = QueryDef(
 REGISTRY["events_json_source"] = QueryDef(
     fn=_text_source_query("json"), oracle=_TEXT_SOURCE_ORACLE, tags=["sources"]
 )
+REGISTRY["events_orc_source"] = QueryDef(
+    fn=_text_source_query("orc"), oracle=_TEXT_SOURCE_ORACLE, tags=["sources"]
+)
+
+
+@register("ysb_sql", ysb_oracle_sql(3600), tags=["ysb", "sql"])
+def q_ysb_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface parity: THE query expressed through the SQL frontend
+    (spark.sql over temp views) instead of the DataFrame builder. After
+    analysis this is the same logical plan as q_ysb, so Catalyst emits
+    the identical broadcast-join + partial-agg physical plan — the
+    DataFrame API and SQL are two frontends to one engine, which is the
+    Spark-first answer to the reference's per-engine query rewrites."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("sb_ysb_events")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sb_ysb_customer")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c) */
+            unix_millis(window(e.ts, '1 hour').start) AS time_window,
+            c.c_mktsegment AS segment,
+            count(*) AS count,
+            unix_millis(max(e.ts)) AS last_update_ms
+        FROM sb_ysb_events e
+        JOIN sb_ysb_customer c ON e.user_id = c.c_custkey
+        WHERE e.event_type = 'view'
+        GROUP BY window(e.ts, '1 hour'), c.c_mktsegment
+        """
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -925,6 +957,8 @@ _ROTATED_NEXT: list[str] = [
     "contamination_scores",
     "neardup_containment",
     "dedup_keep_best",
+    "events_orc_source",
+    "ysb_sql",
 ]
 
 

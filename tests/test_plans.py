@@ -142,3 +142,14 @@ def test_dataset_shuffle_uses_range_partitioning(spark):
     # checkpointed default: offsets join stays broadcast
     full = _plan(spark, "dataset_shuffle")
     assert "BroadcastHashJoin" in full
+
+
+def test_ysb_sql_frontend_same_physical_shape(spark):
+    """The SQL-frontend YSB compiles to the same physical shape as the
+    DataFrame builder: broadcast dim join, one agg shuffle, filter pushed."""
+    plan = _plan(spark, "ysb_sql")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "EqualTo(event_type,view)" in m.group(1)
