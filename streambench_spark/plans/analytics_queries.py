@@ -1424,3 +1424,104 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "segment_linear_trend",
+    """
+    WITH base AS (
+        SELECT event_type,
+               (epoch_ms(ts) - 1704067200000) // 1000 AS x,
+               CAST(round(value * 100) AS BIGINT) AS y
+        FROM events
+    ),
+    sums AS (
+        SELECT event_type,
+               count(*) AS n,
+               sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+               sum(CAST(x AS HUGEINT) * x) AS sxx,
+               sum(CAST(x AS HUGEINT) * y) AS sxy
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS slope_cents_per_s,
+           round((CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+                 / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                 6) AS intercept_cents
+    FROM sums
+    """,
+    tags=["analytics", "stats"],
+)
+def q_segment_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment ordinary-least-squares trend (value vs event time)
+    from EXACT integer sums — the same decimal-accumulator trick as
+    value_correlation, because native regr_slope() float-folds in
+    engine-specific order. x is seconds since a fixed base (2024-01-01)
+    so x² sums stay far inside DECIMAL(38,0) at any corpus size; the
+    float division happens once per group at the end. One partial-agg
+    shuffle on the group key — the canonical distributed-statistics
+    shape."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("(unix_millis(ts) - 1704067200000) DIV 1000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    dx = F.col("x").cast("decimal(38,0)")
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(dx * F.col("x")).alias("sxx"),
+        F.sum(dx * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    den = n * sxx - sx * sx
+    return sums.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round((n * sxy - sx * sy) / den, 6).alias("slope_cents_per_s"),
+        F.round((sy * sxx - sx * sxy) / den, 6).alias("intercept_cents"),
+    )
+
+
+@register(
+    "profile_columns",
+    """
+    SELECT 'o_orderkey' AS column_name, count(*) - count(o_orderkey) AS n_nulls,
+           count(DISTINCT o_orderkey) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+    tags=["analytics", "profiling"],
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-observability column profile (null count + exact distinct
+    count per column) in ONE pass over the table: count(col) and
+    count(DISTINCT col) for all profiled columns in a single global
+    aggregate — Spark plans multi-distinct aggregates with one EXPAND +
+    one shuffle, not one scan per column (the naive UNION ALL the oracle
+    spells out would scan 4×). Emitted long via an unpivot (stack) so the
+    output is one row per column, the shape profilers and catalogs
+    ingest."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(F.col(c))).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    wide = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+    )

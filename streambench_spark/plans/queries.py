@@ -742,6 +742,33 @@ REGISTRY["events_orc_source"] = QueryDef(
 )
 
 
+@register(
+    "events_partitioned_source",
+    """
+    SELECT count(*) AS n,
+           sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+           epoch_ms(max(ts)) AS max_ts_ms
+    FROM events WHERE event_type = 'view'
+    """,
+    tags=["sources", "layout"],
+)
+def q_events_partitioned_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruning proof: events rewritten Hive-partitioned by
+    event_type, then filtered on the partition column — the filter
+    becomes a directory listing (PartitionFilters in the plan, asserted
+    in tests/test_plans.py), zero bytes of the other partitions read.
+    The aggregate must match the unpartitioned oracle exactly, proving
+    the layout rewrite loses nothing."""
+    from streambench_spark.sources.replay import partitioned_roundtrip_table
+
+    ev = partitioned_roundtrip_table(spark, sf_dir, "events", "event_type")
+    return ev.filter(F.col("event_type") == "view").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+    )
+
+
 @register("ysb_sql", ysb_oracle_sql(3600), tags=["ysb", "sql"])
 def q_ysb_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """API-surface parity: THE query expressed through the SQL frontend
@@ -959,6 +986,9 @@ _ROTATED_NEXT: list[str] = [
     "dedup_keep_best",
     "events_orc_source",
     "ysb_sql",
+    "events_partitioned_source",
+    "segment_linear_trend",
+    "profile_columns",
 ]
 
 

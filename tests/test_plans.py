@@ -153,3 +153,20 @@ def test_ysb_sql_frontend_same_physical_shape(spark):
     assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "EqualTo(event_type,view)" in m.group(1)
+
+
+def test_partitioned_source_prunes_partitions(spark):
+    """The event_type filter over the Hive-partitioned rewrite lands in
+    PartitionFilters (a directory prune), not PushedFilters (a data scan
+    predicate)."""
+    plan = _plan(spark, "events_partitioned_source")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1)
+
+
+def test_profile_columns_single_scan(spark):
+    """Multi-distinct profile plans as one EXPAND over one scan, not one
+    scan per profiled column."""
+    plan = _plan(spark, "profile_columns")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Expand" in plan
