@@ -545,3 +545,47 @@ def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
     assert q2.awaitTermination(300)
     again = spark.read.parquet(out)
     assert again.count() == n  # no duplicates: replayed ids were skipped
+
+
+def test_checkpoint_restart_resumes_not_recomputes(spark, tmp_path):
+    """T5+T6 recovery: two availableNow drains sharing one checkpoint.
+    The first drains half the files; more files arrive; the second run
+    must process ONLY the new files (offset log resume) while its state
+    store carries the first run's counts forward — the reduced emissions
+    equal the batch aggregate over everything."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+        def handle(bdf, _bid):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(handle)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "drain timed out"
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    rows1 = drain()
+    assert rows1 == half1.count()
+    half2.coalesce(1).write.mode("append").parquet(src)
+    rows2 = drain()
+    # resume, not recompute: run 2 reads only the newly arrived file
+    assert rows2 == half2.count()
+    final = (
+        spark.read.parquet(out).groupBy("user_id").agg(F.max("n").alias("n"))
+    )
+    batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(final) == _rows(batch)
