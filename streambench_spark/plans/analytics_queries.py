@@ -1525,3 +1525,47 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
     )
+
+
+@register(
+    "cdc_latest_state",
+    """
+    SELECT user_id,
+           m['ts_ms'] AS ts_ms, m['event_id'] AS event_id,
+           m['cents'] AS cents
+    FROM (
+        SELECT user_id,
+               max({'ts_ms': epoch_ms(ts), 'event_id': event_id,
+                    'cents': CAST(round(value * 100) AS BIGINT)}) AS m
+        FROM events GROUP BY 1
+    )
+    """,
+    tags=["streaming", "analytics"],
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 / changelog compaction in streaming: events as a keyed
+    changelog, update-mode max of a (ts, event_id, payload) struct per
+    user — the streaming UPSERT pattern. State is ONE struct per key
+    (bounded by key cardinality, not stream length); emissions drain via
+    foreachBatch parquet and the final per-key struct-max reduction is
+    monotonic, so the result equals the batch argmax regardless of batch
+    boundaries or arrival order. The (ts, event_id) prefix makes the
+    ordering total — no ties, engine-independent."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_update_to_parquet
+
+    stream = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).alias("chg"),
+    )
+    latest = stream.groupBy("user_id").agg(F.max("chg").alias("m"))
+    emissions = run_update_to_parquet(spark, latest, state_partitions=8)
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max("m").alias("m"))
+        .select("user_id", "m.ts_ms", "m.event_id", "m.cents")
+    )

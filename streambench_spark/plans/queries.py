@@ -989,6 +989,7 @@ _ROTATED_NEXT: list[str] = [
     "events_partitioned_source",
     "segment_linear_trend",
     "profile_columns",
+    "cdc_latest_state",
 ]
 
 
