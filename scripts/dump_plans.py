@@ -122,6 +122,21 @@ FLAGSHIPS = {
         "(user_id, _salt) so a hot user spreads over 8 reducers; final "
         "aggregate Exchange is event_type-cardinality."
     ),
+    "gopher_quality_rules": (
+        "Single codegen scan: every rule flag is an integer-exact "
+        "cross-multiplied comparison over per-row token/line arrays — "
+        "zero Exchanges, zero Python, the one-pass 100 TB filter shape."
+    ),
+    "events_partitioned_source": (
+        "The event_type predicate lands in PartitionFilters (directory "
+        "prune over the Hive layout — zero bytes of other partitions "
+        "read), not PushedFilters; one 1-row global aggregate above it."
+    ),
+    "profile_columns": (
+        "One scan + one Expand feeds all per-column count/count-distinct "
+        "aggregates (multi-distinct planning), instead of one scan per "
+        "profiled column; output unpivoted by a Generate (stack)."
+    ),
 }
 
 
