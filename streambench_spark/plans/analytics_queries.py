@@ -1569,3 +1569,44 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("m").alias("m"))
         .select("user_id", "m.ts_ms", "m.event_id", "m.cents")
     )
+
+
+@register(
+    "mad_by_type",
+    """
+    WITH base AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(cents, 0.5) AS med
+        FROM base GROUP BY 1
+    )
+    SELECT b.event_type,
+           round(any_value(m.med), 4) AS median_cents,
+           round(quantile_cont(abs(b.cents - m.med), 0.5), 4) AS mad_cents
+    FROM base b JOIN med m USING (event_type)
+    GROUP BY 1
+    """,
+    tags=["analytics", "stats"],
+)
+def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-group median absolute deviation. Two exact
+    percentile passes — group medians first (group-cardinality output,
+    broadcast back), then the median of |x − med|. The broadcast keeps
+    the second pass shuffle-free on the fact side apart from its own
+    group aggregate; both engines interpolate identical sorted integer
+    inputs, so round(4) hash-matches. MAD is the outlier-resistant scale
+    estimate a quality pipeline uses where stddev would chase the tail."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = base.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("med")
+    )
+    joined = base.join(F.broadcast(med), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.any_value("med"), 4).alias("median_cents"),
+        F.round(F.expr("percentile(abs(cents - med), 0.5)"), 4).alias("mad_cents"),
+    )

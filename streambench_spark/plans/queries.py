@@ -990,6 +990,7 @@ _ROTATED_NEXT: list[str] = [
     "segment_linear_trend",
     "profile_columns",
     "cdc_latest_state",
+    "mad_by_type",
 ]
 
 
