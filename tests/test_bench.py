@@ -118,3 +118,13 @@ def test_gen_events_stream_flows(spark):
     assert got >= 500
     row = spark.table(table).first()
     assert row["ad_id"] is not None and row["event_type"] in ("view", "click", "purchase")
+
+
+def test_cli_list_and_oracle(capsys):
+    from streambench_spark.__main__ import main
+
+    assert main(["list", "--tag", "flagship"]) == 0
+    out = capsys.readouterr().out
+    assert "ysb" in out
+    assert main(["oracle", "ysb"]) == 0
+    assert "c_mktsegment" in capsys.readouterr().out
