@@ -106,3 +106,105 @@ def test_chunk_docs_roundtrip_preserves_tokens(spark, texts, chunk_tokens):
         assert sum(r["n_tokens"] for r in rows) == len(toks)
         for r in rows[:-1]:
             assert r["n_tokens"] == chunk_tokens
+
+
+def _py_gopher(text: str) -> dict:
+    """Pure-Python model of llm/text.py:gopher_rules for one document."""
+    import re as _re
+
+    tk = _re.split(r"\s+", text.lower())
+    ln = text.split("\n")
+    n_sym = text.count("#") + text.count("...")
+    n_words = len(tk)
+    sum_len = sum(len(x) for x in tk)
+    n_alpha = sum(1 for x in tk if _re.search(r"[a-z]", x))
+    stops = {"the", "be", "to", "of", "and", "that", "have", "with"}
+    n_stop = len(stops & set(tk))
+    n_lines = len(ln)
+    n_bullet = sum(1 for l in ln if l.startswith("- ") or l.startswith("* "))
+    n_ell = sum(1 for l in ln if l.endswith("..."))
+    rules = {
+        "r_word_count": 50 <= n_words <= 100000,
+        "r_mean_word_len": 3 * n_words <= sum_len <= 10 * n_words,
+        "r_symbol_ratio": 10 * n_sym < n_words,
+        "r_bullet_lines": 10 * n_bullet < 9 * n_lines,
+        "r_ellipsis_lines": 10 * n_ell < 3 * n_lines,
+        "r_alpha_words": 5 * n_alpha >= 4 * n_words,
+        "r_stopwords": n_stop >= 2,
+    }
+    out = {k: int(v) for k, v in rules.items()}
+    out["n_words"] = n_words
+    out["keep"] = int(all(rules.values()))
+    return out
+
+
+_WORDS = st.lists(
+    st.sampled_from(
+        ["the", "of", "and", "data", "spark", "####", "x", "longishword",
+         "a...b", "- item", "..."]
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(st.lists(_WORDS, min_size=1, max_size=4))
+@settings(max_examples=10, deadline=None)
+def test_gopher_rules_match_python_model(spark, docs_words):
+    """Spark gopher_rules == the pure-Python model on randomized docs
+    built from rule-triggering vocabulary (newlines via joined lines)."""
+    from streambench_spark.llm import text as text_ops
+
+    texts = ["\n".join(" ".join(w) for w in [ws[: len(ws) // 2 + 1], ws[len(ws) // 2 + 1 :]] if w)
+             for ws in docs_words]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in text_ops.gopher_rules(docs).collect()}
+    for i, t in enumerate(texts):
+        want = _py_gopher(t)
+        have = {k: v for k, v in got[i].items() if k != "doc_id"}
+        assert have == want, (t, have, want)
+
+
+@st.composite
+def _containment_corpus(draw):
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    return [" ".join(ws) for ws in docs]
+
+
+@given(_containment_corpus())
+@settings(max_examples=10, deadline=None)
+def test_containment_matches_bruteforce(spark, texts):
+    """ngram_containment_pairs == brute-force shingle-set containment."""
+    from streambench_spark.llm.dedup import ngram_containment_pairs
+
+    def shingles(t):
+        tk = t.lower().split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in ngram_containment_pairs(docs, threshold=0.5).collect()
+    }
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            c = round(inter / min(len(sa), len(sb)), 6)
+            if c >= 0.5:
+                want[(a, b)] = c
+    assert got == want
