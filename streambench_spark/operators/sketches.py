@@ -1,0 +1,161 @@
+"""Mergeable frequency/membership sketches as plain DataFrame aggregates.
+
+Reference parity: StreamBench's StreamBox half ships sharded in-memory
+set state for windowed distinct counts (creek_set_array,
+streambox/new_files/Values.h:2190-2208) — the "sketchy" end of its
+operator surface. This module carries that idea to the two sketches a
+100 TB training-data pipeline actually needs:
+
+- Count-Min Sketch (Cormode & Muthukrishnan 2005): a d x w counter
+  matrix; estimate(key) = min_j sketch[j][h_j(key) mod w]. Built here as
+  ONE map-side-combined groupBy over (row, column) — the sketch is a
+  d*w-row DataFrame, mergeable across partitions/windows/days by summing
+  counters (proven in tests). The full-corpus shuffle moves only d*w
+  distinct keys, so the reduce side is O(sketch), not O(data).
+- Bloom filter (Bloom 1970): m bits as ceil(m/31)-many 31-bit words in
+  BIGINTs (31, not 63: DuckDB raises on 1<<63 overflow and ANSI engines
+  differ on signed wraparound — 31 keeps every intermediate positive and
+  bit-identical everywhere). Built by bit_or aggregation over per-hash
+  word fragments; membership = all k probed bits set. The built filter is
+  a W-row DataFrame: broadcast it and the probe side never shuffles.
+
+Both sketches use the portable md5-based hash (llm/hashing.py) so the
+DuckDB correctness oracle reconstructs IDENTICAL counters/bitmaps — these
+are exact-reproducible operators, not approximate-and-unverifiable ones.
+Spark's builtin count_min_sketch()/BloomFilter produce engine-private
+binary blobs; these stay relational, so downstream plans can join, merge,
+and window them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from streambench_spark.llm.hashing import spark_hash32
+
+BITS_PER_WORD = 31
+
+
+def _cms_idx_expr(key_expr: str, row: int, width: int) -> str:
+    """Spark SQL: column index of `key_expr` in sketch row `row`."""
+    h = spark_hash32(f"concat('cms{row}:', {key_expr})")
+    return f"CAST({h} % {width} AS INT)"
+
+
+def count_min_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Build a Count-Min Sketch over `key_col` as a (d, idx, cnt) frame.
+
+    One pass: inline-explode the depth (row, column) coordinates per
+    record, then a single hash aggregate on (d, idx). Catalyst's partial
+    aggregation means each input partition emits at most d*w rows into
+    the shuffle — at 100 TB the exchange carries kilobytes. The result
+    is mergeable: union two sketches and sum cnt per (d, idx).
+    """
+    key = f"CAST({key_col} AS STRING)"
+    coords = ", ".join(
+        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width)})"
+        for j in range(depth)
+    )
+    return (
+        df.select(F.expr(f"inline(array({coords}))"))
+        .groupBy("d", "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate counts for `keys` against a built sketch.
+
+    estimate = min over the d rows (classic CMS upper-bound estimator:
+    never undercounts, overcounts only on collisions). The sketch is
+    d*w rows — broadcast, so probing any number of keys is shuffle-free
+    on the probe side except the final per-key min (grouped on the
+    already-distinct key set).
+    """
+    key = f"CAST({key_col} AS STRING)"
+    coords = ", ".join(
+        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width)})"
+        for j in range(depth)
+    )
+    probes = keys.select(
+        key_col, F.expr(f"inline(array({coords}))")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "idx"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
+def _bloom_pos_exprs(h_col: str, k: int, m_bits: int) -> list[str]:
+    """Spark SQL: the k bit positions of hash column `h_col` (double
+    hashing g_i = h1 + i*h2 per Kirsch-Mitzenmacher 2006 — two portable
+    hashes derive all k probes, identical literals in the oracle)."""
+    h1 = spark_hash32(f"concat('bf1:', CAST({h_col} AS STRING))")
+    h2 = spark_hash32(f"concat('bf2:', CAST({h_col} AS STRING))")
+    return [f"CAST(({h1} + {i} * ({h2} % {m_bits})) % {m_bits} AS BIGINT)" for i in range(k)]
+
+
+def bloom_build(
+    hashes: DataFrame, h_col: str = "h", m_words: int = 2048, k: int = 3
+) -> DataFrame:
+    """Aggregate a Bloom filter over the values of `h_col`.
+
+    Result: (widx BIGINT, word BIGINT) — at most m_words rows (absent
+    rows are all-zero words). bit_or is commutative/associative, so the
+    aggregation is map-side combined and the shuffle carries only
+    per-partition partial words; two filters merge by bit_or per widx.
+    """
+    m_bits = m_words * BITS_PER_WORD
+    pos = _bloom_pos_exprs(h_col, k, m_bits)
+    frags = hashes.select(
+        F.expr(f"explode(array({', '.join(pos)}))").alias("pos")
+    ).select(
+        (F.col("pos") / BITS_PER_WORD).cast("long").alias("widx"),
+        F.expr(f"shiftleft(1L, CAST(pos % {BITS_PER_WORD} AS INT))").alias("bit"),
+    )
+    return frags.groupBy("widx").agg(F.expr("bit_or(bit)").alias("word"))
+
+
+def bloom_probe(
+    hashes: DataFrame, bloom: DataFrame, h_col: str = "h",
+    m_words: int = 2048, k: int = 3,
+) -> DataFrame:
+    """Filter `hashes` to rows whose value tests positive in `bloom`.
+
+    Probe shape: each hash expands to its k (widx, bit) probes, joins the
+    BROADCAST filter words, and survives iff all k bits are set — the
+    big probe side never shuffles for membership. Standard one-sided
+    error: no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k.
+    Columns of `hashes` pass through unchanged.
+    """
+    m_bits = m_words * BITS_PER_WORD
+    pos = _bloom_pos_exprs(h_col, k, m_bits)
+    probes = hashes.select(
+        "*", F.expr(f"posexplode(array({', '.join(pos)})) AS (_i, _pos)")
+    ).select(
+        "*",
+        (F.col("_pos") / BITS_PER_WORD).cast("long").alias("widx"),
+        F.expr(f"shiftleft(1L, CAST(_pos % {BITS_PER_WORD} AS INT))").alias("_bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "widx")
+        .filter(F.expr("(word & _bit) = _bit"))
+        .groupBy(*hashes.columns)
+        # count DISTINCT probe indexes that hit — robust to duplicate
+        # input rows and to coinciding probe positions (double hashing
+        # mod m can repeat a position); membership = all k probes set.
+        .agg(F.count_distinct(F.col("_i")).alias("_k_hit"))
+        .filter(F.col("_k_hit") == k)
+        .drop("_k_hit")
+    )
+    return hit

@@ -1610,3 +1610,52 @@ def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.any_value("med"), 4).alias("median_cents"),
         F.round(F.expr("percentile(abs(cents - med), 0.5)"), 4).alias("mad_cents"),
     )
+
+
+_CMS_D, _CMS_W, _CMS_T = 4, 512, 70
+
+_CMS_ORACLE = f"""
+WITH probes AS (
+    SELECT d,
+           CAST(CAST('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % {_CMS_W} AS INT) AS idx
+    FROM events, range({_CMS_D}) r(d)
+),
+sketch AS (SELECT d, idx, count(*) AS cnt FROM probes GROUP BY 1, 2),
+keys AS (SELECT DISTINCT user_id FROM events),
+kp AS (
+    SELECT user_id, d,
+           CAST(CAST('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % {_CMS_W} AS INT) AS idx
+    FROM keys, range({_CMS_D}) r(d)
+)
+SELECT user_id, min(cnt) AS est
+FROM kp JOIN sketch USING (d, idx)
+GROUP BY 1 HAVING min(cnt) >= {_CMS_T}
+"""
+
+
+@register("cms_heavy_hitters", _CMS_ORACLE, tags=["analytics", "sketch"])
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via a Count-Min Sketch (d=4, w=512) —
+    users whose estimated event count >= 70. The sketch build is ONE
+    map-side-combined aggregate whose shuffle carries at most d*w rows
+    per input partition (kilobytes at 100 TB); the estimate pass probes
+    the BROADCAST sketch, so no corpus-sized shuffle anywhere. The
+    portable md5 row-salted hash makes the counter matrix — and hence
+    every estimate, collisions included — bit-identical in the DuckDB
+    oracle. CMS never undercounts, so the output is a superset of the
+    exact >=70 set; mergeability (sum counters per cell) is what a
+    windowed/daily rollup of sketches needs, proven in tests."""
+    from streambench_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_build(ev, "user_id", _CMS_D, _CMS_W)
+    keys = ev.select("user_id").distinct()
+    est = count_min_estimate(sketch, keys, "user_id", _CMS_D, _CMS_W)
+    return est.filter(F.col("est") >= _CMS_T)

@@ -1437,3 +1437,69 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side-combining argmax struct, same skew-free sha256 shuffle as
     exact_dedup."""
     return dedup.exact_dedup_keep_best(_docs(spark, sf_dir))
+
+
+_BF_WORDS, _BF_K, _BF_BPW = 512, 3, 31
+_BF_BITS = _BF_WORDS * _BF_BPW
+
+
+def _bloom_decon_oracle(n: int = 8) -> str:
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    h = _D_H32.format(s="s")
+    h1 = _D_H32.format(s="'bf1:' || CAST(h AS VARCHAR)")
+    h2 = _D_H32.format(s="'bf2:' || CAST(h AS VARCHAR)")
+    pos = f"(({h1}) + i * (({h2}) % {_BF_BITS})) % {_BF_BITS}"
+    return f"""
+WITH toks AS (SELECT doc_id, source,
+                     {_D_TOKENS.format(col='text')} AS tk FROM documents),
+sh AS (SELECT doc_id, source,
+              list_distinct(list_transform(
+                  [{grams} for i in range(1, len(tk) - {n - 2})],
+                  s -> {h} % {MERSENNE_P})) AS hsh
+       FROM toks),
+tr AS (SELECT DISTINCT doc_id, unnest(hsh) AS h FROM sh WHERE source <> 'src0'),
+be AS (SELECT DISTINCT unnest(hsh) AS h FROM sh WHERE source = 'src0'),
+bepos AS (SELECT {pos} AS pos FROM be, range({_BF_K}) r(i)),
+bloom AS (SELECT pos // {_BF_BPW} AS widx,
+                 bit_or(CAST(1 AS BIGINT) << CAST(pos % {_BF_BPW} AS INT)) AS word
+          FROM bepos GROUP BY 1),
+trpos AS (SELECT doc_id, h, i, {pos} AS pos FROM tr, range({_BF_K}) r(i)),
+hits AS (
+    SELECT t.doc_id, t.h, count(DISTINCT t.i) AS kh
+    FROM trpos t JOIN bloom b
+      ON t.pos // {_BF_BPW} = b.widx
+     AND (b.word & (CAST(1 AS BIGINT) << CAST(t.pos % {_BF_BPW} AS INT)))
+         = (CAST(1 AS BIGINT) << CAST(t.pos % {_BF_BPW} AS INT))
+    GROUP BY 1, 2
+)
+SELECT doc_id, count(*) AS n_flagged
+FROM hits WHERE kh = {_BF_K} GROUP BY 1
+"""
+
+
+@register("bloom_decontaminate", _bloom_decon_oracle(8), tags=["llm", "sketch"])
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — the sketch twin of `decontaminate`:
+    benchmark 8-gram hashes are folded into a 512-word (15,872-bit, k=3)
+    Bloom filter by bit_or aggregation, and every training doc reports
+    how many of its distinct 8-grams test positive. The filter is
+    FIXED-SIZE no matter how large the benchmark suite grows (the exact
+    path's broadcast gram set grows linearly), and the probe side joins
+    the broadcast words without shuffling the corpus — at 100 TB this is
+    the membership pre-filter in front of exact verification. One-sided
+    error: n_flagged >= the exact n_shared per doc (~1% FP at these
+    parameters), and the portable double-hashing (Kirsch-Mitzenmacher)
+    makes every bit — and so every false positive — identical in the
+    DuckDB oracle."""
+    from streambench_spark.operators.sketches import bloom_build, bloom_probe
+
+    docs = _docs(spark, sf_dir)
+    bench_h = (
+        dedup.shingle_postings(docs.filter(F.col("source") == "src0"), 8)
+        .select("h")
+        .distinct()
+    )
+    bloom = bloom_build(bench_h, "h", _BF_WORDS, _BF_K)
+    train = dedup.shingle_postings(docs.filter(F.col("source") != "src0"), 8)
+    flagged = bloom_probe(train, bloom, "h", _BF_WORDS, _BF_K)
+    return flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
