@@ -1659,3 +1659,208 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ev.select("user_id").distinct()
     est = count_min_estimate(sketch, keys, "user_id", _CMS_D, _CMS_W)
     return est.filter(F.col("est") >= _CMS_T)
+
+
+_EWMA_LAGS = 8  # dyadic alpha=1/2 weights: products/sums of integer cents
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN c{j} IS NOT NULL THEN 0.5 * pow(0.5, {j}) ELSE 0.0 END)"
+    for j in range(_EWMA_LAGS)
+)
+
+_EWMA_ORACLE = f"""
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 3600000 AS BIGINT) * 3600000 AS bucket_ms,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, bucket_ms, cents,
+           {', '.join(f'''lag(cents, {j}) OVER (
+               PARTITION BY event_type ORDER BY bucket_ms) AS c{j}'''
+               for j in range(_EWMA_LAGS))}
+    FROM hourly
+)
+SELECT event_type, bucket_ms, cents,
+       round(({' + '.join(
+           f"(0.5 * pow(0.5, {j}) * coalesce(c{j}, 0))" for j in range(_EWMA_LAGS))})
+             / ({_EWMA_DEN}), 6) AS ewma_cents
+FROM lagged
+"""
+
+
+@register("ewma_hourly_value", _EWMA_ORACLE, tags=["analytics", "timeseries"])
+def q_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average over the hourly revenue
+    series, per event type — trailing 8 observations, alpha = 1/2.
+    Determinism by construction: integer-cent inputs x dyadic weights
+    (0.5 * 0.5^j) make every product and the left-to-right sum an exact
+    binary double in both engines; missing lags at series start drop out
+    of the weight normalizer rather than biasing toward zero. Plan: one
+    hourly aggregate, then one window partitioned on event_type —
+    per-series ORDER BY only, no global sort; at 100 TB each series'
+    frame is tiny and the window state is the 8 trailing rows."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_millis(F.col("ts")) / 3600000).cast("long").alias("bh"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "bh")
+        .agg(F.sum("c").alias("cents"))
+        .select(
+            "event_type", (F.col("bh") * 3600000).alias("bucket_ms"), "cents"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ms")
+    lags = hourly.select(
+        "event_type", "bucket_ms", "cents",
+        *[F.lag("cents", j).over(w).alias(f"c{j}") for j in range(_EWMA_LAGS)],
+    )
+    num = " + ".join(
+        f"(0.5 * pow(0.5, {j}) * coalesce(c{j}, 0))" for j in range(_EWMA_LAGS)
+    )
+    return lags.select(
+        "event_type", "bucket_ms", "cents",
+        F.round(F.expr(f"({num}) / ({_EWMA_DEN})"), 6).alias("ewma_cents"),
+    )
+
+
+_AUTOCORR_ORACLE = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS bh,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT event_type, c AS y,
+           lag(c) OVER (PARTITION BY event_type ORDER BY bh) AS x
+    FROM hourly
+),
+sums AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pairs WHERE x IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n AS n_pairs,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS autocorr_lag1
+FROM sums
+"""
+
+
+@register("value_autocorr", _AUTOCORR_ORACLE, tags=["analytics", "timeseries"])
+def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the per-type hourly event-count series —
+    the seasonality probe. Pearson r computed from exact BIGINT sums
+    (n, Sx, Sy, Sxx, Syy, Sxy) with the float entering only in the final
+    one-row-per-group division, so both engines divide identical
+    integers. One hourly aggregate + one per-series lag window + one
+    group aggregate; nothing global."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_millis(F.col("ts")) / 3600000).cast("long").alias("bh"),
+        )
+        .groupBy("event_type", "bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bh")
+    pairs = hourly.select(
+        "event_type", F.col("c").alias("y"), F.lag("c").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    sums = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return sums.select(
+        "event_type", F.col("n").alias("n_pairs"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+            ),
+            6,
+        ).alias("autocorr_lag1"),
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH hourly AS (
+    SELECT event_type,
+           CAST(epoch_ms(ts) // 3600000 AS BIGINT) * 3600000 AS bucket_ms,
+           CAST(count(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(c) AS s, sum(c * c) AS ss
+    FROM hourly GROUP BY 1
+)
+SELECT h.event_type, h.bucket_ms, h.c AS cnt,
+       round((h.c * t.n - t.s)
+             / (t.n * sqrt(CAST(t.n * t.ss - t.s * t.s AS DOUBLE)
+                           / (t.n * (t.n - 1)))), 4) AS z
+FROM hourly h JOIN stats t USING (event_type)
+WHERE (h.c * t.n - t.s) * (h.c * t.n - t.s) * (t.n - 1)
+      > 4 * t.n * (t.n * t.ss - t.s * t.s)
+"""
+
+
+@register("hourly_anomalies", _ANOMALY_ORACLE, tags=["analytics", "timeseries"])
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection on hourly event counts, per type: flag
+    hours with |count - mean| > 2 sigma. The FLAG decision is exact
+    integer arithmetic — (c*n - S)^2 * (n-1) > 4n * (n*SS - S^2) is the
+    z>2 test cleared of divisions and square roots — so no float-boundary
+    row can differ between engines; the reported z itself is derived from
+    the same integers and only rounded for display. Per-type stats are
+    group-cardinality rows broadcast back onto the hourly frame: two
+    map-side-combined aggregates and a broadcast join, no corpus
+    re-shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_millis(F.col("ts")) / 3600000).cast("long").alias("bh"),
+        )
+        .groupBy("event_type", "bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "event_type", (F.col("bh") * 3600000).alias("bucket_ms"), "c"
+        )
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("s")
+    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        j.filter(dev * dev * (F.col("n") - 1) > 4 * F.col("n") * var_num)
+        .select(
+            "event_type", "bucket_ms", F.col("c").alias("cnt"),
+            F.round(
+                dev / (
+                    F.col("n")
+                    * F.sqrt(
+                        var_num.cast("double")
+                        / (F.col("n") * (F.col("n") - 1))
+                    )
+                ),
+                4,
+            ).alias("z"),
+        )
+    )
