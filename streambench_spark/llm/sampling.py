@@ -347,3 +347,32 @@ def contamination_scores(
             F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6),
         )
     )
+
+
+def weighted_topn_sample(
+    docs: DataFrame, n: int, weight_col: str, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, A-ES): each row draws u in (0, 1] from the portable
+    hash of its key and ranks by u^(1/weight); the global top-n IS a
+    weighted sample without replacement. Deterministic — the "random"
+    draw is a pure function of the key, so re-runs, retries, and the
+    DuckDB oracle select the identical sample.
+
+    Scale shape: the score is a row-local expression; selection is a
+    global TopK (TakeOrderedAndProject — per-partition heaps of n rows,
+    then an n-row merge on the driver side of the exchange), never a full
+    sort. Keys whose scores tie (u = 1.0) break on the key itself.
+    """
+    from streambench_spark.llm.hashing import spark_hash32
+
+    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    score = F.expr(
+        f"pow(({h} + 1) / 4294967296.0, 1.0 / {weight_col})"
+    ).alias("_k")
+    return (
+        docs.select("*", score)
+        .orderBy(F.desc("_k"), F.col(key_col).asc())
+        .limit(n)
+        .drop("_k")
+    )

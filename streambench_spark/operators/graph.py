@@ -126,3 +126,59 @@ def pagerank_exact(
             .localCheckpoint()
         )
     return ranks.select(F.col("a").alias("node"), "pr")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected graph given as
+    distinct (src, dst) edges with src < dst.
+
+    Enumeration uses the degree-ordered orientation (each undirected
+    edge points from its lower-(degree, id) endpoint): every wedge
+    (u→v, u→w) then closes into a triangle at most once, and — the scale
+    property — the wedge join fans out per node by its ORIENTED
+    out-degree, which is O(sqrt(|E|)) even for celebrity nodes
+    (Schank & Wagner 2005), instead of the raw degree's quadratic blowup.
+    The triangle SET is orientation-independent, so a plain id-ordered
+    enumeration (the correctness oracle) yields identical counts.
+
+    Shape: degree aggregate → two hash joins to stamp endpoint degrees →
+    wedge self-join on the middle node → closing-edge semi-equi-join →
+    per-corner explode + count. Every join is an equi-join on a node id;
+    nothing is broadcast (the degree frame is node-cardinality).
+    """
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    stamped = (
+        edges.join(deg.select(F.col("n").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("n").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    oriented = stamped.select(
+        F.when(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+        )
+        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    # wedges u→v, u→w with v "before" w in the same orientation order;
+    # the closing edge v→w must then also be oriented v→w.
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = o1.join(o2, F.expr("o1.u = o2.u AND o1.v <> o2.v")).select(
+        F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
+    )
+    closing = oriented.select(
+        F.col("u").alias("b"), F.col("v").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -1864,3 +1864,49 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+_TRIANGLE_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+    FROM e e1
+    JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+    JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
+@register("copurchase_triangles", _TRIANGLE_ORACLE, tags=["analytics", "graph"])
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph — the local
+    clustering signal behind community detection. The Spark path
+    enumerates wedges under the DEGREE-ORDERED orientation
+    (operators/graph.py:triangle_counts), bounding each node's join
+    fan-out by its oriented out-degree (O(sqrt(E)) even at celebrity
+    nodes); the oracle enumerates the same triangle set under the plain
+    id order — identical counts, orientation-independent."""
+    from streambench_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.expr(
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)

@@ -1503,3 +1503,28 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = dedup.shingle_postings(docs.filter(F.col("source") != "src0"), 8)
     flagged = bloom_probe(train, bloom, "h", _BF_WORDS, _BF_K)
     return flagged.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_flagged"))
+
+
+_WSAMPLE_ORACLE = """
+SELECT doc_id, lang, n_chars FROM (
+    SELECT doc_id, lang, n_chars,
+           pow((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     AS BIGINT) + 1) / 4294967296.0,
+               1.0 / n_chars) AS k
+    FROM documents
+    ORDER BY k DESC, doc_id ASC LIMIT 100
+)
+"""
+
+
+@register("weighted_sample", _WSAMPLE_ORACLE, tags=["llm", "sampling"])
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample of 100 documents without replacement
+    (A-ES: rank by u^(1/n_chars), u drawn from the portable key hash) —
+    the deterministic mixture-sampling primitive for when weights are
+    continuous rather than per-stratum rates. Row-local scoring + global
+    TopK; no shuffle beyond the n-row ordered exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.weighted_topn_sample(docs, 100, "n_chars").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -95,3 +95,41 @@ def test_bloom_probe_handles_duplicate_rows(spark):
     dup = members.unionAll(members)
     # output is distinct on the input columns (grouped), all members
     assert bloom_probe(dup, bloom, "h", 64, 3).count() == 50
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant edge: K4 has 4 triangles, each K4 node sits in
+    exactly 3; the pendant node in none."""
+    from streambench_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_celebrity_star(spark):
+    """A star (no triangles) plus one rim edge -> exactly one triangle;
+    degree-ordered orientation points rim->hub so the hub never fans."""
+    from streambench_spark.operators.graph import triangle_counts
+
+    star = [(0, i) for i in range(1, 30)]
+    edges = spark.createDataFrame(star + [(1, 2)], ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
+    from streambench_spark.llm.sampling import weighted_topn_sample
+
+    rows = [(i, 1000 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    s1 = sorted(r["doc_id"] for r in weighted_topn_sample(df, 20, "w").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_topn_sample(df, 20, "w").collect())
+    assert s1 == s2  # pure function of the keys
+    # weight-1000 keys (u^(1/1000) ~ 1) dominate weight-1 keys
+    assert len([d for d in s1 if d < 10]) == 10
+    # n >= rows returns everything
+    assert weighted_topn_sample(df, 500, "w").count() == 200
