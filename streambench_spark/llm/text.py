@@ -479,3 +479,69 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[f"CAST({cond} AS BIGINT) AS {name}" for name, cond in rules.items()],
         f"CAST({keep} AS BIGINT) AS keep",
     )
+
+
+def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document average bigram log-likelihood under a corpus-trained
+    add-one-smoothed bigram model — the classic LM-based quality score
+    (docs whose word transitions are improbable under the corpus score
+    low: boilerplate, lorem-ipsum, shuffled text).
+
+    Model: P(w2 | w1) = (C(w1 w2) + 1) / (C(w1 ·) + V), with both counts
+    and the vocabulary size V exact integers aggregated from the same
+    corpus being scored. Determinism: each term is ln of one exact
+    integer ratio, and the per-doc sum is a LEFT FOLD over terms in
+    bigram-position order (collect → array_sort → aggregate), the
+    deterministic-float-fold pattern — an unordered SUM of doubles would
+    drift with partitioning.
+
+    Scale shape: bigram extraction is the cheap-index explode (no
+    expensive computed array below the generator); the model is a
+    bigram-keyed aggregate JOINED BY SHUFFLE on (w1, w2) — deliberately
+    not broadcast, a web-scale bigram vocabulary is corpus-sized (the
+    tfidf_top_terms lesson); the prefix-count join rides the same w1
+    key; the scalar V is a 1-row cross join. Per-doc state in the fold
+    is the doc's own bigram list — bounded by document length.
+    """
+    tk = TOKENS_EXPR.format(col=text_col)
+    bi = (
+        docs.select("doc_id", F.expr(tk).alias("tk"))
+        .filter(F.expr("size(tk) >= 2"))
+        .select(
+            "doc_id", "tk",
+            F.explode(F.expr("sequence(0, size(tk) - 2)")).alias("pos"),
+        )
+        .select(
+            "doc_id", "pos",
+            F.expr("tk[pos]").alias("w1"), F.expr("tk[pos + 1]").alias("w2"),
+        )
+    )
+    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = (
+        docs.select(F.explode(F.expr(tk)).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    terms = (
+        bi.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id", "pos",
+            F.expr("ln(CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))").alias("lp"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(pos, lp))), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x.lp)"
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("_s") / F.col("n_bigrams"), 6).alias("avg_logp"),
+        )
+    )

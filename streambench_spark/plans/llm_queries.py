@@ -1528,3 +1528,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_topn_sample(docs, 100, "n_chars").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_BIGRAM_LM_ORACLE = f"""
+WITH toks AS (SELECT doc_id, {_D_TOKENS.format(col='text')} AS tk FROM documents),
+bi0 AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS pos
+        FROM toks WHERE len(tk) >= 2),
+bi AS (SELECT doc_id, pos, tk[pos] AS w1, tk[pos + 1] AS w2 FROM bi0),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v
+      FROM (SELECT unnest(tk) AS w FROM toks)),
+terms AS (
+    SELECT bi.doc_id, bi.pos,
+           ln(CAST(c12.c12 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS lp
+    FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY pos)),
+                 (a, x) -> a + x) / count(*), 6) AS avg_logp
+FROM terms GROUP BY doc_id
+"""
+
+
+@register("bigram_lm_score", _BIGRAM_LM_ORACLE, tags=["llm", "text"])
+def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality scoring: per-doc average log-likelihood under an
+    add-one bigram model trained on the corpus itself. The model is a
+    shuffle-joined bigram aggregate (NOT broadcast — web-scale bigram
+    vocabularies are corpus-sized); the per-doc sum is a position-sorted
+    left fold so the float total is engine-exact."""
+    return text.bigram_logprob_scores(_docs(spark, sf_dir))

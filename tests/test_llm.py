@@ -511,3 +511,21 @@ def test_contamination_scores_zero_for_clean_docs(spark):
     assert out[1]["n_shared"] == 1 and out[1]["n_grams"] == 3
     assert out[1]["contamination"] == round(1 / 3, 6)
     assert out[2]["n_shared"] == 0 and out[2]["contamination"] == 0.0
+
+
+def test_bigram_lm_scores_frequent_transitions_higher(spark):
+    """A doc made of the corpus's dominant bigram outscores a doc of
+    one-off transitions; every scored doc has negative avg log-prob."""
+    from streambench_spark.llm.text import bigram_logprob_scores
+
+    rows = [
+        (1, ("the cat " * 30).strip()),  # dominant transition
+        (2, "zig alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "the cat the cat the cat"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert all(r["avg_logp"] < 0 for r in got.values())
+    assert got[1]["avg_logp"] > got[2]["avg_logp"]
+    assert got[1]["n_bigrams"] == 59
