@@ -1910,3 +1910,49 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_counts(edges)
+
+
+@register("cms_streaming_merge", _CMS_ORACLE, tags=["analytics", "sketch", "streaming"])
+def q_cms_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming proof of CMS mergeability: the events table replays as
+    ~8 micro-batches (maxFilesPerTrigger=1), each batch folds into its
+    OWN d x w partial sketch inside foreachBatch (a per-batch aggregate
+    landing in parquet — kilobytes per batch, nothing at the driver),
+    and the drained partials merge by summing counters per (d, idx).
+    Sum-mergeable counters mean the merged sketch is IDENTICAL to the
+    whole-table sketch, so the same heavy-hitter oracle as
+    cms_heavy_hitters verifies the round trip — the daily-rollup shape
+    (sketch per partition/day, merge at query time) run end-to-end."""
+    import tempfile as _tf
+
+    from streambench_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+    from streambench_spark.sources.replay import stream_table_multifile
+
+    stream = stream_table_multifile(spark, sf_dir, "events", n_files=8)
+    path = _tf.mkdtemp(prefix="sb_cms_parts_")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        count_min_build(batch_df, "user_id", _CMS_D, _CMS_W).write.mode(
+            "append"
+        ).parquet(path)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", _tf.mkdtemp(prefix="sb_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("CMS streaming drain exceeded 300s")
+    merged = (
+        spark.read.parquet(path)
+        .groupBy("d", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    keys = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    est = count_min_estimate(merged, keys, "user_id", _CMS_D, _CMS_W)
+    return est.filter(F.col("est") >= _CMS_T)

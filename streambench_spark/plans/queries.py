@@ -1049,3 +1049,121 @@ def q_zorder_layout_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id"), F.round(F.col("value") * 100).cast("long")
         ).cast("long").alias("zval"),
     )
+
+
+@register(
+    "interval_join_full_outer_streaming",
+    """
+    WITH v AS (SELECT * FROM events
+               WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-29'),
+         p AS (SELECT * FROM events
+               WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-29')
+    SELECT coalesce(v.event_id, -1) AS view_id,
+           coalesce(p.event_id, -1) AS purchase_id,
+           coalesce(v.user_id, p.user_id) AS user_id
+    FROM v FULL JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    tags=["joins", "streaming"],
+)
+def q_interval_join_full_outer_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — the last J3 join-type:
+    matched view→purchase pairs plus -1-sentinel rows for views with no
+    purchase AND purchases with no prior view. Unmatched rows on EITHER
+    side emit only at state eviction, so BOTH sides are clipped to
+    ts < Jan 29 (≥1 day inside the frozen table's range) — the final
+    watermark then provably passes every row's join band and the drained
+    result equals the batch FULL JOIN the oracle runs. State stays
+    O(rows in the 1 h band per side), same as the inner/left variants."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    def side(event_type: str):
+        # clip AFTER the watermark node: the watermark keeps tracking the
+        # unclipped stream (through Jan 30), so every clipped row's join
+        # band provably closes and its outer emission flushes on drain
+        return (
+            stream_table(spark, sf_dir, "events")
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 second")
+            .filter(F.col("ts") < F.lit("2024-01-29").cast("timestamp"))
+        )
+
+    joined = rel.interval_join(
+        side("view"), side("purchase"),
+        key="user_id", left_ts="ts", right_ts="ts",
+        lower="0 seconds", upper="1 hour", how="full_outer",
+    ).select(
+        F.coalesce(F.col("l.event_id"), F.lit(-1)).alias("view_id"),
+        F.coalesce(F.col("r.event_id"), F.lit(-1)).alias("purchase_id"),
+        F.coalesce(F.col("l.user_id"), F.col("r.user_id")).alias("user_id"),
+    )
+    return run_append_to_parquet(spark, joined, state_partitions=8)
+
+
+@register(
+    "session_windows_dynamic_gap",
+    """
+    WITH g AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE event_type WHEN 'purchase' THEN 3600000
+                               WHEN 'view' THEN 600000
+                               ELSE 1200000 END AS gap_ms
+        FROM events
+    ),
+    swept AS (
+        SELECT user_id, ts_ms, gap_ms,
+               max(ts_ms + gap_ms) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM g
+    ),
+    marked AS (
+        SELECT user_id, ts_ms, gap_ms,
+               CASE WHEN prev_end IS NULL OR ts_ms >= prev_end
+                    THEN 1 ELSE 0 END AS new_session
+        FROM swept
+    ),
+    sessions AS (
+        SELECT user_id, ts_ms, gap_ms,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts_ms) AS session_start,
+           max(ts_ms + gap_ms) AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=["windows"],
+)
+def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 with a PER-EVENT gap (Spark dynamic session_window): purchases
+    hold a session open 60 min, views 10, everything else 20 — the
+    engagement-weighted sessionization the fixed-gap variant can't
+    express. The oracle is the interval-union sweep (cumulative max of
+    prior session ends, strict < merge — same half-open boundary the
+    fixed-gap oracle established); the sweep is order-insensitive among
+    equal timestamps because any tie always overlaps its twin. Same
+    plan as fixed-gap: one shuffle on user_id, per-key merge state."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias("session_start"),
+            F.unix_millis(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
