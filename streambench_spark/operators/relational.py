@@ -266,3 +266,75 @@ def semi_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
 
 def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     return left.join(right, on, "left_anti")
+
+
+def asof_join_cogrouped(
+    probes: DataFrame,
+    quotes: DataFrame,
+    key: str,
+    probe_ts: str,
+    quote_ts: str,
+    quote_cols: list[str],
+) -> DataFrame:
+    """As-of join via cogrouped applyInPandas — the Arrow twin of
+    ``asof_join`` for when the per-key matching logic outgrows SQL
+    (pandas merge_asof natively supports tolerance windows, nearest-
+    rather-than-backward matching, multi-column by-keys).
+
+    Both sides cogroup on the key; each key's two Arrow batches meet in
+    one pandas ``merge_asof`` (backward direction = latest quote_ts <=
+    probe_ts, ties inclusive — identical semantics to the sorted-union
+    carry-forward and the DuckDB ASOF oracle). Unmatched probes drop
+    (inner). Cost model: one shuffle per side on the key, then per-key
+    Python; prefer the builtin ``asof_join`` (whole-stage codegen, no
+    Python workers) unless merge_asof's extra semantics are needed —
+    this operator exists to keep that escape hatch tested.
+
+    ``quotes`` must be unique per (key, quote_ts); a key's whole row set
+    must fit one Arrow batch group (bounded per-key cardinality — the
+    same contract applyInPandasWithState state ops carry).
+    """
+    from pyspark.sql import types as T
+
+    p_fields = list(probes.schema.fields)
+    q_fields = [quotes.schema[c] for c in quote_cols]
+    out_schema = T.StructType(p_fields + q_fields)
+    p_cols = probes.columns
+
+    # When probes and quotes derive from the same parent DataFrame, the
+    # cogroup analyzer DEDUPLICATES attributes shared by exprId and the
+    # right side silently loses them (observed: the quote_ts column
+    # vanishing from the pandas input). Aliasing mints fresh attributes,
+    # so every right-side column survives regardless of lineage.
+    q = quotes.select(
+        F.col(key),
+        F.col(quote_ts).alias("__qt"),
+        *[F.col(c).alias(f"__q_{c}") for c in quote_cols],
+    )
+
+    def merge(left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            # one-sided key: inner join emits nothing (empty frames can
+            # arrive column-less, so build the empty result explicitly)
+            return pd.DataFrame({c: [] for c in p_cols + quote_cols})
+        left = left.sort_values(probe_ts, kind="mergesort")
+        right = right.sort_values("__qt", kind="mergesort")
+        r = right[["__qt"] + [f"__q_{c}" for c in quote_cols]].rename(
+            columns={f"__q_{c}": c for c in quote_cols}
+        )
+        m = pd.merge_asof(
+            left, r, left_on=probe_ts, right_on="__qt", direction="backward"
+        )
+        m = m.dropna(subset=[quote_cols[0]])
+        for f in q_fields:  # NaN-widened floats back to declared ints
+            if f.dataType.simpleString() in ("bigint", "int"):
+                m[f.name] = m[f.name].astype("int64")
+        return m[p_cols + quote_cols]
+
+    return (
+        probes.groupBy(key)
+        .cogroup(q.groupBy(key))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -1956,3 +1956,100 @@ def q_cms_streaming_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = load_table(spark, sf_dir, "events").select("user_id").distinct()
     est = count_min_estimate(merged, keys, "user_id", _CMS_D, _CMS_W)
     return est.filter(F.col("est") >= _CMS_T)
+
+
+_RFM_ORACLE = """
+WITH base AS (
+    SELECT user_id,
+           CAST(epoch_ms(max(ts)) AS BIGINT) AS last_ms,
+           CAST(count(*) AS BIGINT) AS frequency,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS monetary_cents
+    FROM events GROUP BY 1
+)
+SELECT user_id, frequency, monetary_cents,
+       CAST(ntile(4) OVER (ORDER BY last_ms DESC, user_id) AS BIGINT) AS r,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f,
+       CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS BIGINT) AS m
+FROM base
+"""
+
+
+@register("rfm_segments", _RFM_ORACLE, tags=["analytics", "behavioral"])
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-user recency / frequency /
+    monetary quartiles (1 = best) via ntile over fully-deterministic
+    orders (metric DESC, user_id tiebreak). One per-user aggregate, then
+    three rank windows over the USER-cardinality frame — the windows
+    never see raw events, so the unpartitioned ntile sort is over groups,
+    not the corpus; at larger user counts swap ntile for percentile
+    thresholds (percent_rank buckets) to avoid the single-partition sort,
+    at the cost of the exact equal-bucket-size property ntile defines.
+    Monetary counts purchases only, in exact integer cents."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.unix_millis(F.max("ts")).alias("last_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("monetary_cents"),
+    )
+    wr = Window.orderBy(F.desc("last_ms"), F.asc("user_id"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
+    return base.select(
+        "user_id", "frequency", "monetary_cents",
+        F.ntile(4).over(wr).cast("long").alias("r"),
+        F.ntile(4).over(wf).cast("long").alias("f"),
+        F.ntile(4).over(wm).cast("long").alias("m"),
+    )
+
+
+@register(
+    "asof_join_cogrouped_attribution",
+    """
+    WITH views AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    purchases AS (SELECT user_id, ts, event_id FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           v.view_id AS view_id,
+           epoch_ms(v.ts) AS view_ts_ms
+    FROM purchases p
+    ASOF JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    tags=["analytics", "joins", "pandas"],
+)
+def q_asof_join_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of attribution join through the COGROUPED applyInPandas
+    path (operators/relational.py:asof_join_cogrouped): per-user Arrow
+    batches merged by pandas merge_asof. Same oracle as the builtin
+    sorted-union twin — the two implementations must agree bit-for-bit;
+    the builtin is the scale default, this one keeps the custom-per-key-
+    logic escape hatch (tolerance/nearest matching) tested."""
+    from streambench_spark.operators.relational import asof_join_cogrouped
+
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.unix_millis("ts").alias("view_ts_ms"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    out = asof_join_cogrouped(
+        purchases, views,
+        key="user_id", probe_ts="ts", quote_ts="ts",
+        quote_cols=["view_id", "view_ts_ms"],
+    )
+    return out.select("purchase_id", "user_id", "view_id", "view_ts_ms")

@@ -1167,3 +1167,28 @@ def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_events",
         )
     )
+
+
+@register(
+    "events_schema_evolution_source",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 1
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE -1 END AS bonus_cents
+    FROM events
+    """,
+    tags=["sources"],
+)
+def q_events_schema_evolution_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source breadth: mixed-schema-version parquet read. Half the table
+    is rewritten WITHOUT and half WITH an added bonus_cents column;
+    mergeSchema=true scans both generations as one frame, old files
+    yielding NULL for the new column (surfaced as -1 — outputs stay
+    NULL-free for the comparator)."""
+    from streambench_spark.sources.replay import schema_evolution_roundtrip
+
+    df = schema_evolution_roundtrip(spark, sf_dir, "events")
+    return df.select(
+        "event_id", F.coalesce(F.col("bonus_cents"), F.lit(-1)).alias("bonus_cents")
+    )

@@ -196,3 +196,37 @@ def partitioned_roundtrip_table(
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
     src.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     return spark.read.parquet(tmp)
+
+
+def schema_evolution_roundtrip(
+    spark: SparkSession, sf_dir: str, name: str = "events"
+) -> DataFrame:
+    """Schema-evolution source: two parquet generations of the same
+    table — an OLD batch without, and a NEW batch with, an added
+    ``bonus_cents`` column — read back as one DataFrame via
+    ``mergeSchema=true`` (old files surface NULL for the added column).
+
+    This is the on-disk reality of any long-lived 100 TB dataset: files
+    written across schema versions must scan as one table without a
+    rewrite. mergeSchema reconciles footers at planning time (pay the
+    footer-listing cost once; at scale, pin the merged schema in a table
+    catalog instead of re-deriving it per query — same read path).
+    The generation split is by event_id parity, so it is deterministic
+    and oracle-replicable; column pruning/pushdown still reach both file
+    generations through the merged schema.
+    """
+    import tempfile
+
+    src = load_table(spark, sf_dir, name)
+    tmp = tempfile.mkdtemp(prefix=f"sb_evo_{name}_")
+    old = src.filter(F.col("event_id") % 2 == 0)
+    new = src.filter(F.col("event_id") % 2 == 1).withColumn(
+        "bonus_cents", F.round(F.col("value") * 100).cast("long")
+    )
+    old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
+    new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(tmp)
+    )

@@ -133,3 +133,33 @@ def test_weighted_sample_is_deterministic_and_weight_sensitive(spark):
     assert len([d for d in s1 if d < 10]) == 10
     # n >= rows returns everything
     assert weighted_topn_sample(df, 500, "w").count() == 200
+
+
+def test_asof_cogrouped_agrees_with_builtin(spark):
+    """The pandas-cogroup as-of twin must agree bit-for-bit with the
+    sorted-union carry-forward on shared-lineage inputs (the exprId
+    dedup trap: both sides derive from ONE parent frame)."""
+    import datetime as dt
+
+    from streambench_spark.operators.relational import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in range(5):
+        for i in range(8):
+            rows.append((u, base + dt.timedelta(minutes=3 * i + u), 100 * u + i,
+                         "q" if i % 2 == 0 else "p"))
+    ev = spark.createDataFrame(rows, ["k", "ts", "eid", "side"])
+    quotes = ev.filter(F.col("side") == "q").select(
+        "k", "ts", F.col("eid").alias("qid"))
+    probes = ev.filter(F.col("side") == "p").select(
+        F.col("eid").alias("pid"), "k", "ts")
+    a = asof_join(probes, quotes, "k", "ts", "ts", ["qid"]).select(
+        "pid", "k", "qid")
+    b = asof_join_cogrouped(probes, quotes, "k", "ts", "ts", ["qid"]).select(
+        "pid", "k", "qid")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 20  # every probe has an earlier quote
