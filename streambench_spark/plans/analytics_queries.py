@@ -2053,3 +2053,90 @@ def q_asof_join_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataF
         quote_cols=["view_id", "view_ts_ms"],
     )
     return out.select("purchase_id", "user_id", "view_id", "view_ts_ms")
+
+
+_TTC_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS v0,
+           min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS p0
+    FROM events GROUP BY 1
+),
+deltas AS (
+    SELECT p0 - v0 AS d_ms FROM firsts
+    WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 >= v0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       min(d_ms) AS min_ms,
+       round(quantile_cont(d_ms, 0.5), 4) AS p50_ms,
+       round(quantile_cont(d_ms, 0.95), 4) AS p95_ms,
+       max(d_ms) AS max_ms
+FROM deltas
+"""
+
+
+@register("funnel_time_to_convert", _TTC_ORACLE, tags=["analytics", "behavioral"])
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, first view → first
+    purchase delta (only users whose first purchase follows their first
+    view), reported as count/min/p50/p95/max. Deltas are exact integer
+    milliseconds from conditional-min aggregates (one shuffle on
+    user_id); the exact percentile interpolates identical sorted
+    integers in both engines, rounded to 4dp. The companion to
+    funnel_conversion's step counts — the 'how fast', not the
+    'how many'."""
+    ev = load_table(spark, sf_dir, "events")
+    ms = F.unix_millis(F.col("ts"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", ms)).alias("v0"),
+        F.min(F.when(F.col("event_type") == "purchase", ms)).alias("p0"),
+    )
+    deltas = firsts.filter(
+        F.col("v0").isNotNull() & F.col("p0").isNotNull()
+        & (F.col("p0") >= F.col("v0"))
+    ).select((F.col("p0") - F.col("v0")).alias("d_ms"))
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("d_ms").alias("min_ms"),
+        F.round(F.expr("percentile(d_ms, 0.5)"), 4).alias("p50_ms"),
+        F.round(F.expr("percentile(d_ms, 0.95)"), 4).alias("p95_ms"),
+        F.max("d_ms").alias("max_ms"),
+    )
+
+
+_BLOOM_PRUNE_ORACLE = """
+SELECT e.event_id, e.user_id
+FROM events e
+WHERE e.user_id IN (
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+"""
+
+
+@register("bloom_join_prune", _BLOOM_PRUNE_ORACLE, tags=["analytics", "sketch"])
+def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated semi-join with EXACT semantics: the BUILDING-
+    segment customer keys fold into a Bloom filter; the events fact
+    probes the broadcast filter first (no false negatives — no qualifying
+    row can be lost) and only the survivors — matches plus ~1% false
+    positives — reach the exact broadcast semi-join that removes the FPs.
+    The oracle is the plain semi-join: the sketch is a pure optimization,
+    invisible in the result. At 100 TB this is the runtime-filter shape
+    (Spark's own bloom runtime filter does the same inside Catalyst;
+    building it explicitly makes the pruning portable to sinks/sources
+    that can't accept a join, e.g. pre-filtering a Kafka drain)."""
+    from streambench_spark.operators.sketches import bloom_build, bloom_probe
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    bloom = bloom_build(dim.select(F.col("user_id").alias("h")), "h", 256, 3)
+    survivors = bloom_probe(
+        ev.select("event_id", F.col("user_id").alias("h")), bloom, "h", 256, 3
+    ).select("event_id", F.col("h").alias("user_id"))
+    return survivors.join(F.broadcast(dim), "user_id", "left_semi").select(
+        "event_id", "user_id"
+    )
