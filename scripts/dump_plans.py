@@ -137,6 +137,35 @@ FLAGSHIPS = {
         "aggregates (multi-distinct planning), instead of one scan per "
         "profiled column; output unpivoted by a Generate (stack)."
     ),
+    "cms_heavy_hitters": (
+        "Sketch build: Generate (inline coords) -> partial+final "
+        "HashAggregate on (d, idx) — the ONLY corpus-sized exchange "
+        "carries at most d*w rows per map partition. Estimate side joins "
+        "the sketch via BroadcastExchange (probe never shuffles for the "
+        "lookup); final per-key min is group-cardinality."
+    ),
+    "bloom_join_prune": (
+        "The bloom word-map collapses to ONE row cross-broadcast onto "
+        "the fact; membership is a row-local Filter (element_at + "
+        "bitwise) — ZERO fact-side Exchange anywhere in the plan. The "
+        "exact dim side is a BroadcastExchange LeftSemi after the "
+        "probe-bit filter, so FP rows die before the join."
+    ),
+    "copurchase_triangles": (
+        "Edge build is the one lineitem self-join on l_orderkey; degree "
+        "stamp + wedge + closing joins are all equi-joins exchanged on "
+        "node ids (no broadcast of node-cardinality frames, no cartesian "
+        "node). Wedge fan-out bounded by the degree-ordered orientation."
+    ),
+    "bigram_lm_score": (
+        "Bigram extraction: Generate over the cheap index sequence (no "
+        "recomputed-array trap). Model joins carry NO FORCED broadcast "
+        "hint — Catalyst/AQE picks broadcast at bench SF (model fits) "
+        "and falls back to a shuffled join when the vocabulary outgrows "
+        "the threshold at scale (the tfidf_top_terms lesson); only the "
+        "1-row V aggregate is explicitly broadcast. Per-doc fold is one "
+        "ObjectHashAggregate on doc_id."
+    ),
 }
 
 

@@ -132,30 +132,30 @@ def bloom_probe(
 ) -> DataFrame:
     """Filter `hashes` to rows whose value tests positive in `bloom`.
 
-    Probe shape: each hash expands to its k (widx, bit) probes, joins the
-    BROADCAST filter words, and survives iff all k bits are set — the
-    big probe side never shuffles for membership. Standard one-sided
-    error: no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k.
-    Columns of `hashes` pass through unchanged.
+    Probe shape: the filter's word frame collapses to ONE map-column row
+    (widx → word, at most m_words entries) cross-broadcast onto the
+    probe side, and each row checks its k bit positions with row-local
+    element_at/bitwise expressions — a pure Filter over the probe scan,
+    NO probe-side shuffle, no generate, no re-aggregation (an earlier
+    explode+join+groupBy draft shuffled the fact on (row, hash): the
+    plan audit is why this is a map lookup). Standard one-sided error:
+    no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k. Row
+    multiplicity and columns of `hashes` pass through unchanged.
     """
     m_bits = m_words * BITS_PER_WORD
     pos = _bloom_pos_exprs(h_col, k, m_bits)
-    probes = hashes.select(
-        "*", F.expr(f"posexplode(array({', '.join(pos)})) AS (_i, _pos)")
-    ).select(
-        "*",
-        (F.col("_pos") / BITS_PER_WORD).cast("long").alias("widx"),
-        F.expr(f"shiftleft(1L, CAST(_pos % {BITS_PER_WORD} AS INT))").alias("_bit"),
+    words = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("widx", "word"))
+        ).alias("_bf")
     )
-    hit = (
-        probes.join(F.broadcast(bloom), "widx")
-        .filter(F.expr("(word & _bit) = _bit"))
-        .groupBy(*hashes.columns)
-        # count DISTINCT probe indexes that hit — robust to duplicate
-        # input rows and to coinciding probe positions (double hashing
-        # mod m can repeat a position); membership = all k probes set.
-        .agg(F.count_distinct(F.col("_i")).alias("_k_hit"))
-        .filter(F.col("_k_hit") == k)
-        .drop("_k_hit")
+    conds = " AND ".join(
+        f"(coalesce(element_at(_bf, CAST(({p}) DIV {BITS_PER_WORD} AS BIGINT)), 0L)"
+        f" & shiftleft(1L, CAST(({p}) % {BITS_PER_WORD} AS INT))) != 0L"
+        for p in pos
     )
-    return hit
+    return (
+        hashes.join(F.broadcast(words))
+        .filter(F.expr(conds))
+        .drop("_bf")
+    )

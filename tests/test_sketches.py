@@ -87,14 +87,13 @@ def test_bloom_merge_is_bitwise_or(spark):
     assert bloom_probe(a.unionAll(b), merged, "h", 128, 3).count() == 600
 
 
-def test_bloom_probe_handles_duplicate_rows(spark):
-    """count(DISTINCT probe-index) keeps membership correct when the
-    same (row, hash) appears twice in the probe input."""
+def test_bloom_probe_preserves_row_multiplicity(spark):
+    """The row-local probe is a pure filter: duplicate input rows pass
+    through as duplicates (no silent grouping)."""
     members = spark.range(50).select(F.col("id").alias("h"))
     bloom = bloom_build(members, "h", 64, 3)
     dup = members.unionAll(members)
-    # output is distinct on the input columns (grouped), all members
-    assert bloom_probe(dup, bloom, "h", 64, 3).count() == 50
+    assert bloom_probe(dup, bloom, "h", 64, 3).count() == 100
 
 
 def test_triangle_counts_known_graph(spark):
