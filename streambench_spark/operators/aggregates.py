@@ -120,3 +120,52 @@ def kmv_distinct(
             .alias("estimate"),
         )
     )
+
+
+def kmv_retained(
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+) -> DataFrame:
+    """The KMV sketch ITSELF: per group, the k smallest distinct portable
+    hashes of ``col`` as plain (group..., _h) rows. This is the mergeable
+    representation — union retained frames from any partitioning of the
+    data (days, shards, engines) and re-take the k smallest per group to
+    get the sketch of the union, exactly (no approximation is introduced
+    by merging). ``kmv_distinct`` = estimator over this frame."""
+    from pyspark.sql import Window
+
+    from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
+
+    h = spark_hash32(f"CAST({col} AS STRING)")
+    hashed = df.select(
+        *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
+    ).distinct()
+    w = Window.partitionBy(*group_keys).orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_estimate(
+    retained: DataFrame, group_keys: list[str], k: int = 32
+) -> DataFrame:
+    """(group..., n_kept, estimate) from a retained-hash frame: exact
+    count below k, else the (k-1)*P/kth_smallest estimator."""
+    from streambench_spark.llm.hashing import MERSENNE_P
+
+    return (
+        retained.groupBy(*group_keys)
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
+        .select(
+            *group_keys,
+            "n_kept",
+            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1)) * F.lit(float(MERSENNE_P)) / F.col("_kth"), 6
+                )
+            )
+            .alias("estimate"),
+        )
+    )

@@ -2140,3 +2140,183 @@ def q_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.join(F.broadcast(dim), "user_id", "left_semi").select(
         "event_id", "user_id"
     )
+
+
+_KMV_ROLLUP_ORACLE = """
+WITH hashed AS (
+    SELECT DISTINCT CAST(epoch_ms(ts) // 86400000 AS BIGINT) * 86400000
+               AS bucket_ms,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 2147483647 AS h
+    FROM events
+),
+rn AS (
+    SELECT bucket_ms, h,
+           row_number() OVER (PARTITION BY bucket_ms ORDER BY h) AS rn
+    FROM hashed
+),
+retained AS (SELECT bucket_ms, h FROM rn WHERE rn <= 32),
+per_day AS (
+    SELECT bucket_ms, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+    FROM retained GROUP BY 1
+),
+merged AS (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM retained)
+),
+total AS (
+    SELECT CAST(-1 AS BIGINT) AS bucket_ms,
+           CAST(count(*) AS BIGINT) AS n_kept, max(h) AS kth
+    FROM merged WHERE rn <= 32
+)
+SELECT bucket_ms, n_kept,
+       CASE WHEN n_kept < 32 THEN CAST(n_kept AS DOUBLE)
+            ELSE round(31.0 * 2147483647.0 / kth, 6) END AS estimate
+FROM (SELECT * FROM per_day UNION ALL SELECT * FROM total)
+"""
+
+
+@register("kmv_daily_rollup", _KMV_ROLLUP_ORACLE, tags=["analytics", "sketch"])
+def q_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch x window composition: a KMV-32 distinct-user sketch PER DAY
+    plus the MERGED whole-month sketch (bucket_ms = -1) computed from the
+    daily retained sets alone — never re-touching the raw data. Union the
+    retained hashes, re-take the 32 smallest, estimate: merging sketches
+    is lossless for KMV, which is exactly the continuous-aggregate /
+    daily-rollup contract (store 32 longs per day, answer month-distinct
+    later). Raw data is scanned ONCE; every later frame is
+    day-cardinality."""
+    from streambench_spark.operators.aggregates import kmv_estimate, kmv_retained
+
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        (F.unix_millis(F.col("ts")) / 86400000).cast("long") * 86400000
+    ).alias("bucket_ms")
+    retained = kmv_retained(ev.select(day, "user_id"), ["bucket_ms"], "user_id", 32)
+    per_day = kmv_estimate(retained, ["bucket_ms"], 32)
+    from pyspark.sql import Window as _W
+
+    merged = (
+        retained.select("_h").distinct()
+        .withColumn("_rn", F.row_number().over(_W.orderBy("_h")))
+        .filter(F.col("_rn") <= 32)
+        .select(F.lit(-1).cast("long").alias("bucket_ms"), "_h")
+    )
+    total = kmv_estimate(merged, ["bucket_ms"], 32)
+    return per_day.unionAll(total)
+
+
+_MODAL_ORACLE = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+           count(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT event_type, cents, cnt,
+           row_number() OVER (
+               PARTITION BY event_type ORDER BY cnt DESC, cents ASC) AS rn
+    FROM c
+)
+SELECT event_type, cents AS modal_cents, CAST(cnt AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+
+@register("modal_value_by_type", _MODAL_ORACLE, tags=["analytics", "stats"])
+def q_modal_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group with a DETERMINISTIC tie-break (highest count,
+    then smallest value) — Spark's builtin mode() picks an arbitrary
+    winner on ties, so the portable form is count-then-rank: one
+    map-side-combined aggregate on (group, value), one rank window over
+    the value-cardinality counts frame."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("cents"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("cents").alias("modal_cents"), F.col("cnt").alias("n"))
+    )
+
+
+_EQUIDEPTH_ORACLE = """
+WITH c AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS cnt
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT cents, cnt,
+           sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS n
+    FROM c
+),
+b AS (
+    SELECT min(CASE WHEN cum >= CAST(ceil(0.25 * n) AS BIGINT) THEN cents END) AS b1,
+           min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN cents END) AS b2,
+           min(CASE WHEN cum >= CAST(ceil(0.75 * n) AS BIGINT) THEN cents END) AS b3
+    FROM cum
+)
+SELECT CAST(1 + CAST(cents > b1 AS INT) + CAST(cents > b2 AS INT)
+            + CAST(cents > b3 AS INT) AS BIGINT) AS bucket,
+       CAST(sum(cnt) AS BIGINT) AS n,
+       min(cents) AS lo_cents, max(cents) AS hi_cents
+FROM c CROSS JOIN b
+GROUP BY 1
+"""
+
+
+@register("equidepth_histogram", _EQUIDEPTH_ORACLE, tags=["analytics", "stats"])
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (quartile-boundary) histogram of the value column,
+    integer-exact end to end: boundaries are DISCRETE percentiles (the
+    smallest cents whose cumulative count reaches ceil(p*n)) computed
+    from a value-cardinality counts frame — no float interpolation, so
+    no boundary can drift between engines. The cumulative window runs
+    over distinct VALUES (domain-bounded), not rows, and the three
+    boundaries broadcast back onto the counts frame: the raw table is
+    scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = c.select(
+        "cents", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    b = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias(f"b{i}")
+            for i, p in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    bucket = (
+        F.lit(1)
+        + (F.col("cents") > F.col("b1")).cast("int")
+        + (F.col("cents") > F.col("b2")).cast("int")
+        + (F.col("cents") > F.col("b3")).cast("int")
+    ).cast("long")
+    return (
+        c.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )

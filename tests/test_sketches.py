@@ -162,3 +162,31 @@ def test_asof_cogrouped_agrees_with_builtin(spark):
         "pid", "k", "qid")
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     assert a.count() == 20  # every probe has an earlier quote
+
+
+def test_kmv_retained_merge_is_lossless(spark):
+    """Union of per-shard retained sets, re-topped to k, equals the
+    whole-data sketch — KMV merge introduces NO approximation."""
+    from pyspark.sql import Window
+
+    from streambench_spark.operators.aggregates import (
+        kmv_estimate,
+        kmv_retained,
+    )
+
+    df = spark.range(2000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    a = df.filter(F.col("v") < 1200)   # overlapping shards
+    b = df.filter(F.col("v") >= 800)
+    merged = (
+        kmv_retained(a, ["g"], "v", 32)
+        .unionAll(kmv_retained(b, ["g"], "v", 32))
+        .select("g", "_h").distinct()
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("g").orderBy("_h")))
+        .filter(F.col("_rn") <= 32)
+        .select("g", "_h")
+    )
+    whole = kmv_retained(df, ["g"], "v", 32)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    est = kmv_estimate(whole, ["g"], 32).first()
+    assert est["n_kept"] == 32 and 1300 <= est["estimate"] <= 2700
