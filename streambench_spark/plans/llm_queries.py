@@ -1560,3 +1560,54 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabularies are corpus-sized); the per-doc sum is a position-sorted
     left fold so the float total is engine-exact."""
     return text.bigram_logprob_scores(_docs(spark, sf_dir))
+
+
+_NORM_STATS_ORACLE = """
+WITH norms AS (
+    SELECT label,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+    FROM embeddings
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       min(nrm) AS min_norm, max(nrm) AS max_norm,
+       round(CAST(sum(CAST(nrm AS DECIMAL(18, 6))) AS DOUBLE) / count(*), 6)
+           AS avg_norm
+FROM norms GROUP BY 1
+"""
+
+
+@register("embedding_norm_stats", _NORM_STATS_ORACLE, tags=["llm", "embeddings"])
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics over the embedding column — the
+    sanity profile run before any cosine pipeline (unnormalized or
+    zero vectors break cosine silently). The per-row norm is a LEFT FOLD
+    over the array (element order is part of the row, so the float sum
+    is deterministic); the cross-row mean is made order-independent by
+    summing the 6dp-rounded norms as DECIMAL(18,6) — decimal addition is
+    exact and associative, so any partitioning yields the identical
+    aggregate, where a double SUM would drift in the last bits. Min/max
+    are order-free already. One scan, one group aggregate."""
+    embs = _embs(spark, sf_dir)
+    norms = embs.select(
+        "label",
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(embedding, CAST(0 AS DOUBLE), "
+                    "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+                )
+            ),
+            6,
+        ).alias("nrm"),
+    )
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+    )

@@ -1192,3 +1192,42 @@ def q_events_schema_evolution_source(spark: SparkSession, sf_dir: str) -> DataFr
     return df.select(
         "event_id", F.coalesce(F.col("bonus_cents"), F.lit(-1)).alias("bonus_cents")
     )
+
+
+@register(
+    "observed_metrics",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_views,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM events
+    """,
+    tags=["harness", "metrics"],
+)
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M-family via Spark's Observation API (the declarative successor to
+    accumulator counters): metrics piggyback on the query's OWN pass —
+    `.observe()` attaches aggregates to the plan and the listener
+    delivers them when the action completes, so instrumenting a
+    production pipeline costs ZERO extra scans (the reference's
+    ThroughputLogger flatMap — YahooBenchmark.scala:109-141 — pays a
+    per-record closure for the same telemetry). The observed values are
+    returned as the result frame to make them oracle-checkable."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("ev_metrics")
+    instrumented = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("event_type") == "view").cast("long")).alias("n_views"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+    instrumented.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_views"], got["sum_cents"])],
+        "n_rows long, n_views long, sum_cents long",
+    )

@@ -170,3 +170,36 @@ def test_profile_columns_single_scan(spark):
     plan = _plan(spark, "profile_columns")
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
     assert "Expand" in plan
+
+
+def test_bloom_join_prune_fact_never_shuffles(spark):
+    """The row-local bloom probe + broadcast semi-join plan: every
+    Exchange in the plan is a BroadcastExchange (sketch words, dim) or
+    sits inside a dim-sized build — the events fact reaches the output
+    through Filter + broadcast joins with zero fact-side shuffle."""
+    plan = _plan(spark, "bloom_join_prune")
+    assert "BroadcastHashJoin LeftSemi" in plan
+    # fact branch: scan -> ... -> output with no hashpartitioning on
+    # event columns; the only hash exchanges aggregate the tiny dim/bloom
+    for m in re.finditer(r"Arguments: hashpartitioning\(([^,]+),", plan):
+        assert m.group(1).strip().startswith(("user_id", "widx")), plan
+
+
+def test_exchange_reuse_for_shared_aggregate(spark):
+    """A self-joined aggregate reuses ONE shuffle (ReusedExchange):
+    Catalyst dedups identical exchange subtrees, so the per-type counts
+    computed twice cost one."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    top = agg.agg(F.max("n").alias("mx"))
+    joined = agg.crossJoin(top).filter(F.col("n") == F.col("mx"))
+    joined.collect()  # exchange reuse is applied during ADAPTIVE execution
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        joined._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
