@@ -2320,3 +2320,131 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cents").alias("hi_cents"),
         )
     )
+
+
+_PATHS_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>')
+               AS path
+    FROM events GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users
+FROM seq GROUP BY 1
+ORDER BY n_users DESC, path ASC LIMIT 10
+"""
+
+
+@register("top_event_paths", _PATHS_ORACLE, tags=["analytics", "behavioral"])
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: each user's first five events (deterministic
+    (ts, event_id) order) joined into a '>'-path, ranked by frequency —
+    the entry-journey report behind funnel design. One per-user
+    collect (state = 5 strings per user after the slice), one
+    path-cardinality count, global TopK. The sorted collect_list rides
+    the same user_id shuffle the aggregate needs anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(slice(transform(array_sort("
+                "collect_list(struct(ts, event_id, event_type))), "
+                "x -> x.event_type), 1, 5), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        seq.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )
+
+
+_VALIDATE_ORACLE = """
+SELECT 'null_user' AS rule,
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+FROM events
+UNION ALL
+SELECT 'value_out_of_range',
+       CAST(sum(CASE WHEN value < 0 OR value > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'unknown_event_type',
+       CAST(sum(CASE WHEN event_type NOT IN
+                ('view', 'click', 'purchase', 'signup', 'error')
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'orphan_user_fk', CAST(count(*) AS BIGINT)
+FROM events e WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id
+)
+"""
+
+
+@register("validate_events", _VALIDATE_ORACLE, tags=["analytics", "quality"])
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation audit: per-rule violation counts — null
+    keys, range bounds, enum membership, and referential integrity
+    (events.user_id ⊆ customer.c_custkey via LEFT ANTI join). The three
+    row-local rules fold into ONE scan (conditional sums in a single
+    aggregate would also work; kept as a union of independent rules so
+    rules can be added/removed compositionally); the FK rule is an
+    anti-join against the broadcast dim — the only rule that needs a
+    second table, still no fact shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+
+    def rule(name: str, cond):
+        return ev.agg(
+            F.sum(cond.cast("long")).alias("n_bad")
+        ).select(F.lit(name).alias("rule"), "n_bad")
+
+    r1 = rule("null_user", F.col("user_id").isNull())
+    r2 = rule("value_out_of_range", (F.col("value") < 0) | (F.col("value") > 1000))
+    r3 = rule(
+        "unknown_event_type",
+        ~F.col("event_type").isin("view", "click", "purchase", "signup", "error"),
+    )
+    r4 = (
+        ev.join(F.broadcast(cust), "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_bad"))
+        .select(F.lit("orphan_user_fk").alias("rule"), "n_bad")
+    )
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4)
+
+
+_SHARE_ORACLE = """
+WITH t AS (
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+)
+SELECT event_type, cents,
+       round(CAST(cents AS DOUBLE) / (SELECT sum(cents) FROM t), 6) AS share
+FROM t
+"""
+
+
+@register("revenue_share_by_type", _SHARE_ORACLE, tags=["analytics", "stats"])
+def q_revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total contribution per event type: exact integer-cent
+    numerators and denominator (the single float division happens on
+    final group rows). The window-over-() total runs on the
+    group-cardinality frame, not the fact."""
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    return t.select(
+        "event_type", "cents",
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(Window.partitionBy()),
+            6,
+        ).alias("share"),
+    )
