@@ -142,9 +142,11 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     enumeration (the correctness oracle) yields identical counts.
 
     Shape: degree aggregate → two hash joins to stamp endpoint degrees →
-    wedge self-join on the middle node → closing-edge semi-equi-join →
-    per-corner explode + count. Every join is an equi-join on a node id;
-    nothing is broadcast (the degree frame is node-cardinality).
+    per-node oriented adjacency arrays → two node-keyed joins to put both
+    endpoints' arrays on each edge → row-local array_intersect. Every
+    join is an equi-join on a node id; nothing is broadcast (the degree
+    frame is node-cardinality); per-node state is the oriented neighbor
+    array, bounded by the orientation's O(sqrt E) out-degree.
     """
     deg = (
         edges.select(F.col("src").alias("n"))
@@ -160,25 +162,60 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(
             (F.col("ds") < F.col("dd"))
             | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
-            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+            F.struct(
+                F.col("src").alias("u"), F.col("dst").alias("v"),
+                F.col("dd").alias("dv"),
+            ),
         )
-        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .otherwise(
+            F.struct(
+                F.col("dst").alias("u"), F.col("src").alias("v"),
+                F.col("ds").alias("dv"),
+            )
+        )
         .alias("e")
     ).select("e.u", "e.v")
-    # wedges u→v, u→w with v "before" w in the same orientation order;
-    # the closing edge v→w must then also be oriented v→w.
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = o1.join(o2, F.expr("o1.u = o2.u AND o1.v <> o2.v")).select(
-        F.col("o1.u").alias("a"), F.col("o1.v").alias("b"), F.col("o2.v").alias("c")
+    # Adjacency-intersection enumeration (no wedge materialization): a
+    # triangle's oriented form is u→v, u→w, v→w, so at edge (u, v) the
+    # third corners are exactly N+(u) ∩ N+(v). Materializing wedges
+    # costs sum(outdeg²) rows (~300M on the sf0.1 co-purchase graph —
+    # measured, 18 s); intersecting per-edge neighbor ARRAYS costs
+    # sum over edges of (outdeg_u + outdeg_v) with bounded arrays
+    # (outdeg ≤ O(sqrt E) under the degree orientation) — one
+    # collect_list per node, two node-keyed joins, row-local intersect.
+    adj = oriented.groupBy("u").agg(
+        F.array_sort(F.collect_list("v")).alias("nbrs")
     )
-    closing = oriented.select(
-        F.col("u").alias("b"), F.col("v").alias("c")
+    e2 = (
+        oriented.select("u", "v")
+        .join(adj.select(F.col("u"), F.col("nbrs").alias("nu")), "u")
+        .join(
+            adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv")),
+            "v",
+            "left",
+        )
+        .select(
+            "u", "v",
+            F.array_intersect(
+                F.col("nu"), F.coalesce(F.col("nv"), F.expr("array()"))
+            ).alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
     )
-    tris = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
-    corners = (
-        tris.select(F.col("a").alias("node"))
-        .unionAll(tris.select(F.col("b").alias("node")))
-        .unionAll(tris.select(F.col("c").alias("node")))
+    # one corner pass: a UNION of three projections re-executes the whole
+    # edge pipeline per branch (Spark doesn't share the subtree); instead
+    # build each edge's corner contributions as one array and explode it
+    corners = e2.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "array(struct(u AS node, size(ws) AS c), "
+                    "struct(v AS node, size(ws) AS c))"
+                ),
+                F.expr("transform(ws, w -> struct(w AS node, 1 AS c))"),
+            )
+        ).alias("x")
+    ).select("x.node", "x.c")
+    return corners.groupBy("node").agg(
+        F.sum("c").cast("long").alias("n_triangles")
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
