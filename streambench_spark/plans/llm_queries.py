@@ -1611,3 +1611,98 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_norm"),
     )
+
+
+_COV_ORACLE = """
+WITH pairs AS (
+    SELECT label, r1.i AS i, r2.j AS j,
+           round(CAST(embedding[r1.i + 1] AS DOUBLE)
+                 * CAST(embedding[r2.j + 1] AS DOUBLE), 12) AS p
+    FROM embeddings, range(64) r1(i), range(64) r2(j)
+    WHERE r2.j >= r1.i
+),
+sums AS (
+    SELECT label, i, j,
+           CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) AS sp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2, 3
+),
+means AS (
+    SELECT label, r.i AS i,
+           CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+                         AS DECIMAL(28, 12))) AS DOUBLE) AS sm
+    FROM embeddings, range(64) r(i) GROUP BY 1, 2
+)
+SELECT s.label, s.i, s.j,
+       round(s.sp / s.n - (mi.sm / s.n) * (mj.sm / s.n), 6) + 0.0 AS cov
+FROM sums s
+JOIN means mi ON mi.label = s.label AND mi.i = s.i
+JOIN means mj ON mj.label = s.label AND mj.i = s.j
+"""
+
+
+@register("embedding_covariance", _COV_ORACLE, tags=["llm", "embeddings"])
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed covariance matrix per label (upper triangle, 64x64)
+    — the linear-algebra substrate for PCA/whitening over an embedding
+    corpus. Product terms x_i*x_j of float32 values are EXACT doubles
+    (24-bit mantissas multiply into 53 bits losslessly); rounding each
+    term to 12dp and summing as DECIMAL(28,12) makes the cross-row sums
+    order-independent, so any partitioning — and the oracle — lands on
+    identical covariances. Shape: two cheap-index Generates expand the
+    (i, j<=i) pairs per row (never an expensive computed array below a
+    generator), the array column is projected away BEFORE the aggregate,
+    and the only shuffles carry (label, i, j) partial sums — d^2/2 keys,
+    independent of corpus size. Means ride a second d-key aggregate
+    joined back on (label, dim)."""
+    embs = _embs(spark, sf_dir)
+    pairs = (
+        embs.select("label", "embedding", F.explode(F.expr("sequence(0, 63)")).alias("i"))
+        .select("label", "embedding", "i", F.explode(F.expr("sequence(i, 63)")).alias("j"))
+        .select(
+            "label", "i", "j",
+            F.expr(
+                "CAST(round(CAST(embedding[i] AS DOUBLE) "
+                "* CAST(embedding[j] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+            ).alias("p"),
+        )
+    )
+    sums = pairs.groupBy("label", "i", "j").agg(
+        F.sum("p").cast("double").alias("sp"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    means = (
+        embs.select("label", "embedding", F.explode(F.expr("sequence(0, 63)")).alias("i"))
+        .select(
+            "label", "i",
+            F.expr(
+                "CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+            ).alias("x"),
+        )
+        .groupBy("label", "i")
+        .agg(F.sum("x").cast("double").alias("sm"))
+    )
+    mi = means.select(
+        F.col("label"), F.col("i"), F.col("sm").alias("smi")
+    )
+    mj = means.select(
+        F.col("label"), F.col("i").alias("j"), F.col("sm").alias("smj")
+    )
+    return (
+        sums.join(mi, ["label", "i"])
+        .join(mj, ["label", "j"])
+        .select(
+            "label", "i", "j",
+            # + 0.0 folds IEEE negative zero to +0.0: a tiny epsilon can
+            # round to -0.0 in one engine and +0.0 in the other, and the
+            # comparator's repr-keyed sort treats them as different rows
+            (
+                F.round(
+                    F.col("sp") / F.col("n")
+                    - (F.col("smi") / F.col("n")) * (F.col("smj") / F.col("n")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cov"),
+        )
+    )
