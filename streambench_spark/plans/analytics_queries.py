@@ -2448,3 +2448,84 @@ def q_revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+_HSKETCH_ORACLE = """
+WITH bins AS (
+    SELECT CAST(round(value * 100) AS BIGINT) // 160 AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1
+),
+cum AS (
+    SELECT bin, cnt,
+           sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS n
+    FROM bins
+),
+ps AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS p),
+hit AS (
+    SELECT p, min(bin) AS bin
+    FROM ps JOIN cum ON cum.cum >= CAST(ceil(p * cum.n) AS BIGINT)
+    GROUP BY 1
+)
+SELECT h.p,
+       round(h.bin * 160 + 160.0
+             * (CAST(ceil(h.p * c.n) AS BIGINT) - (c.cum - c.cnt)) / c.cnt,
+             4) AS est_cents
+FROM hit h JOIN cum c ON c.bin = h.bin
+"""
+
+
+@register("histogram_sketch_quantiles", _HSKETCH_ORACLE, tags=["analytics", "sketch"])
+def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a MERGEABLE fixed-bin histogram sketch:
+    64 equal-width bins of the cents domain (sum-mergeable across
+    partitions/days like the CMS), p50/p95/p99 interpolated inside the
+    target bin from exact integer (cum, cnt, n). The oracle-checkable
+    complement to percentile_approx (whose internal sketch is
+    engine-private): accuracy is bounded by bin width, determinism is
+    total. Bin frame is domain-bounded (64 rows), so every post-scan
+    stage is O(bins), one corpus aggregate total."""
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.select(
+            (F.round(F.col("value") * 100).cast("long") / 160)
+            .cast("long")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "cnt",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))).alias("p")
+    )
+    hit = (
+        ps.join(
+            cum,
+            F.col("cum") >= F.ceil(F.col("p") * F.col("n")).cast("long"),
+        )
+        .groupBy("p")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return (
+        hit.join(cum, "bin")
+        .select(
+            "p",
+            F.round(
+                F.col("bin") * 160
+                + 160.0
+                * (
+                    F.ceil(F.col("p") * F.col("n")).cast("long")
+                    - (F.col("cum") - F.col("cnt"))
+                )
+                / F.col("cnt"),
+                4,
+            ).alias("est_cents"),
+        )
+    )

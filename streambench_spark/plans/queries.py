@@ -1231,3 +1231,32 @@ def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(got["n_rows"], got["n_views"], got["sum_cents"])],
         "n_rows long, n_views long, sum_cents long",
     )
+
+
+@register(
+    "compacted_events_source",
+    """
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    tags=["sources", "sinks"],
+)
+def q_compacted_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round trip: the events table is first
+    shattered into 64 files (a streaming sink's worth of fragments),
+    compacted back to ~target-size files via the shuffle-free coalesce
+    path (sinks.compact_small_files), and read from the compacted
+    layout — proving compaction is content-neutral. The file-count
+    assertions live in tests/test_streaming.py; here the oracle checks
+    the bytes."""
+    import tempfile as _tf
+
+    from streambench_spark.sinks.sinks import compact_small_files
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    frag = _tf.mkdtemp(prefix="sb_frag_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    dst = _tf.mkdtemp(prefix="sb_compact_")
+    compact_small_files(spark, frag, dst, target_mb=128)
+    return spark.read.parquet(dst)

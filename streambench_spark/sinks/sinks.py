@@ -279,3 +279,34 @@ def idempotent_parquet_sink(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_small_files(
+    spark, src_path: str, dst_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files of
+    ~``target_mb`` each and return the output file count.
+
+    The operational fix for streaming sinks and over-parallel writes
+    (each micro-batch/task leaves a file; a 10k-file day kills scan
+    planning: footer reads, scheduler overhead, no row-group locality).
+    Sizing comes from the SOURCE bytes on disk (Hadoop FS content
+    summary — no data pass), then one coalesce-write: ``coalesce`` is
+    used rather than ``repartition`` so compaction is a narrow,
+    shuffle-free re-grouping of existing partitions. Row content is
+    byte-identical (proven by the registry oracle); only layout changes.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(conf)
+    total_bytes = fs.getContentSummary(src).getLength()
+    n_files = max(1, int(total_bytes / (target_mb * 1024 * 1024)) or 1)
+    df = spark.read.parquet(src_path)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for f in fs.listStatus(dst)
+        if f.getPath().getName().endswith(".parquet")
+    )

@@ -589,3 +589,24 @@ def test_checkpoint_restart_resumes_not_recomputes(spark, tmp_path):
     )
     batch = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     assert _rows(final) == _rows(batch)
+
+
+def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
+    from streambench_spark.sinks.sinks import compact_small_files
+
+    import pyspark.sql.functions as F
+
+    df = spark.range(50_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    frag = str(tmp_path / "frag")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    import os
+    n_before = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_before == 64
+    dst = str(tmp_path / "compact")
+    n_after = compact_small_files(spark, frag, dst, target_mb=128)
+    assert n_after < n_before and n_after >= 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 50_000
+    assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
