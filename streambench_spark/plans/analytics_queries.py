@@ -2529,3 +2529,113 @@ def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_cents"),
         )
     )
+
+
+_CI_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS k
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+)
+SELECT segment, n, k,
+       round(CAST(k AS DOUBLE) / n, 6) AS rate,
+       round((k + 1.9208) / (n + 3.8416)
+             - 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)
+               / (n + 3.8416), 6) AS ci_lo,
+       round((k + 1.9208) / (n + 3.8416)
+             + 1.96 * sqrt((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)
+               / (n + 3.8416), 6) AS ci_hi
+FROM seg
+"""
+
+
+@register("conversion_rate_ci", _CI_ORACLE, tags=["analytics", "stats"])
+def q_conversion_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment purchase-rate with a 95% Wilson score interval — the
+    A/B-readout statistic that stays sane at small n where the normal
+    approximation lies. Numerators/denominators are exact integers from
+    one broadcast-dim join + one aggregate; the interval formula
+    (z=1.96; 1.9208 = z²/2, 3.8416 = z², 0.9604 = z²/4) runs on
+    group-cardinality rows only, identical literals both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    seg = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("k"),
+        )
+    )
+    center = (F.col("k") + 1.9208) / (F.col("n") + 3.8416)
+    half = (
+        F.lit(1.96)
+        * F.sqrt(
+            (F.col("k").cast("double") * (F.col("n") - F.col("k"))) / F.col("n")
+            + 0.9604
+        )
+        / (F.col("n") + 3.8416)
+    )
+    return seg.select(
+        "segment", "n", "k",
+        F.round(F.col("k").cast("double") / F.col("n"), 6).alias("rate"),
+        F.round(center - half, 6).alias("ci_lo"),
+        F.round(center + half, 6).alias("ci_hi"),
+    )
+
+
+_CMS_JOINSIZE_ORACLE = f"""
+WITH probes AS (
+    SELECT d,
+           CAST(CAST('0x' || substring(md5('cms' || CAST(d AS VARCHAR) || ':'
+                || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                % {_CMS_W} AS INT) AS idx
+    FROM events, range({_CMS_D}) r(d)
+),
+sketch AS (SELECT d, idx, count(*) AS cnt FROM probes GROUP BY 1, 2),
+inner_est AS (
+    SELECT min(s) AS est FROM (
+        SELECT d, sum(cnt * cnt) AS s FROM sketch GROUP BY 1
+    )
+),
+exact AS (
+    SELECT sum(c * c) AS ex FROM (
+        SELECT count(*) AS c FROM events GROUP BY user_id
+    )
+)
+SELECT CAST(est AS BIGINT) AS est_join_size,
+       CAST(ex AS BIGINT) AS exact_join_size
+FROM inner_est CROSS JOIN exact
+"""
+
+
+@register("cms_join_size_estimate", _CMS_JOINSIZE_ORACLE, tags=["analytics", "sketch"])
+def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation by sketch algebra: |R ⋈_k R| equals
+    Σ_k cnt(k)², and the CMS INNER PRODUCT (min over rows of Σ_w
+    cnt[w]²) upper-bounds it without touching per-key state — the
+    AMS/CMS estimate a cost-based optimizer uses to pick join strategy
+    BEFORE running the join. Both the estimate (d sums over the d×w
+    sketch) and the exact check are emitted side by side; est >= exact
+    always (collision terms only add). Sketch build is the usual single
+    map-side-combined aggregate; everything after is O(sketch)."""
+    from streambench_spark.operators.sketches import count_min_build
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = count_min_build(ev, "user_id", _CMS_D, _CMS_W)
+    est = (
+        sketch.groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+        .agg(F.min("s").cast("long").alias("est_join_size"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)

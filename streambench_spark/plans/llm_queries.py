@@ -1706,3 +1706,64 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+_COVERAGE_ORACLE = f"""
+WITH split AS (
+    SELECT doc_id, text,
+           CASE WHEN {_D_KEYHASH} % 100 < 90 THEN 'train'
+                WHEN {_D_KEYHASH} % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+toks AS (SELECT split, {_D_TOKENS.format(col='text')} AS tk FROM split),
+sh AS (SELECT split,
+              list_distinct(list_transform(
+                  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   for i in range(1, len(tk) - 1)],
+                  s -> {_D_H32.format(s='s')} % {MERSENNE_P})) AS hsh
+       FROM toks),
+grams AS (SELECT DISTINCT split, unnest(hsh) AS h FROM sh),
+tr AS (SELECT DISTINCT h FROM grams WHERE split = 'train'),
+ev AS (SELECT split, h FROM grams WHERE split <> 'train')
+SELECT ev.split,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_covered,
+       round(CAST(sum(CASE WHEN tr.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS coverage
+FROM ev LEFT JOIN tr USING (h)
+GROUP BY 1
+"""
+
+
+@register("split_ngram_coverage", _COVERAGE_ORACLE, tags=["llm", "sampling"])
+def q_split_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-split coverage of held-out trigrams: what fraction of the
+    val/test splits' distinct 3-grams the train split has seen — the
+    novelty/coverage readout paired with decontaminate (there: any
+    8-gram overlap flags a doc; here: aggregate 3-gram coverage rates
+    the split's health). Shape: the hash split is row-local; per-split gram
+    sets are one postings aggregate; the coverage probe LEFT-joins the
+    held-out grams (small side) to the train set on the gram hash."""
+    from streambench_spark.llm.sampling import with_split
+
+    docs = with_split(_docs(spark, sf_dir))
+    posts = dedup.shingle_postings(
+        docs.withColumn("doc_id", F.col("split")), 3
+    ).withColumnRenamed("doc_id", "split").distinct()
+    tr = posts.filter(F.col("split") == "train").select("h").distinct()
+    ev = posts.filter(F.col("split") != "train")
+    return (
+        ev.join(tr.withColumn("_hit", F.lit(1)), "h", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_covered"),
+            F.round(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
