@@ -1767,3 +1767,154 @@ def q_split_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+def _global_cov_frame(embs: DataFrame, dp: int) -> DataFrame:
+    """FULL (both triangles) global covariance matrix (i, j, a) over all
+    embeddings, rounded to `dp` — the deterministic-construction shared
+    by embedding_covariance (per label, upper triangle) and the PCA
+    power iteration (label-free, needs A·v so both triangles)."""
+    pairs = (
+        embs.select("embedding", F.explode(F.expr("sequence(0, 63)")).alias("i"))
+        .select("embedding", "i", F.explode(F.expr("sequence(i, 63)")).alias("j"))
+        .select(
+            "i", "j",
+            F.expr(
+                "CAST(round(CAST(embedding[i] AS DOUBLE) "
+                "* CAST(embedding[j] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+            ).alias("p"),
+        )
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum("p").cast("double").alias("sp"), F.count(F.lit(1)).alias("n")
+    )
+    means = (
+        embs.select("embedding", F.explode(F.expr("sequence(0, 63)")).alias("i"))
+        .select(
+            "i",
+            F.expr(
+                "CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+            ).alias("x"),
+        )
+        .groupBy("i")
+        .agg(F.sum("x").cast("double").alias("sm"))
+    )
+    covu = (
+        sums.join(means.select("i", F.col("sm").alias("smi")), "i")
+        .join(means.select(F.col("i").alias("j"), F.col("sm").alias("smj")), "j")
+        .select(
+            "i", "j",
+            F.round(
+                F.col("sp") / F.col("n")
+                - (F.col("smi") / F.col("n")) * (F.col("smj") / F.col("n")),
+                dp,
+            ).alias("a"),
+        )
+    )
+    return covu.unionAll(
+        covu.filter(F.col("j") > F.col("i")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "a"
+        )
+    )
+
+
+def _pca_oracle(iters: int = 6) -> str:
+    cov_core = """
+pairs AS (
+    SELECT r1.i AS i, r2.j AS j,
+           round(CAST(embedding[r1.i + 1] AS DOUBLE)
+                 * CAST(embedding[r2.j + 1] AS DOUBLE), 12) AS p
+    FROM embeddings, range(64) r1(i), range(64) r2(j)
+    WHERE r2.j >= r1.i
+),
+sums AS (
+    SELECT i, j, CAST(sum(CAST(p AS DECIMAL(28, 12))) AS DOUBLE) AS sp,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY 1, 2
+),
+means AS (
+    SELECT r.i AS i,
+           CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+                         AS DECIMAL(28, 12))) AS DOUBLE) AS sm
+    FROM embeddings, range(64) r(i) GROUP BY 1
+),
+covu AS (
+    SELECT s.i, s.j,
+           round(s.sp / s.n - (mi.sm / s.n) * (mj.sm / s.n), 9) AS a
+    FROM sums s
+    JOIN means mi ON mi.i = s.i
+    JOIN means mj ON mj.i = s.j
+),
+A AS (
+    SELECT i, j, a FROM covu
+    UNION ALL
+    SELECT j AS i, i AS j, a FROM covu WHERE j > i
+),
+v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS val FROM range(64) r(i))"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+w{k} AS (
+    SELECT A.i AS i,
+           CAST(sum(CAST(round(A.a * v{k-1}.val, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS w
+    FROM A JOIN v{k-1} ON A.j = v{k-1}.i GROUP BY 1
+),
+m{k} AS (SELECT max(abs(w)) AS m FROM w{k}),
+v{k} AS (SELECT i, round(w / m, 9) AS val FROM w{k} CROSS JOIN m{k})""")
+    return (
+        "WITH " + cov_core + "," + ",".join(steps)
+        + f"""
+SELECT CAST(i AS BIGINT) AS dim, round(val, 6) + 0.0 AS loading,
+       round((SELECT m FROM m{iters}), 4) AS eigenvalue
+FROM v{iters}
+"""
+    )
+
+
+@register("pca_top_component", _pca_oracle(6), tags=["llm", "embeddings"])
+def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    power iteration (6 steps) over the exact covariance matrix — the
+    third iterative algorithm beside connected components and PageRank,
+    and the whitening/PCA primitive an embedding pipeline needs.
+    Determinism at every step: mat-vec terms round to 12dp and sum as
+    DECIMAL(30,12) (exact, associative — a double sum would drift with
+    join order), the infinity-norm normalizer is an order-free max, and
+    each iterate rounds to 9dp, so Spark and the oracle walk IDENTICAL
+    vectors. Scale: A is d x d (corpus-size-independent after the one
+    covariance pass); each step is a d^2-row join + d-row aggregate with
+    localCheckpoint lineage truncation, the pagerank pattern."""
+    embs = _embs(spark, sf_dir)
+    A = _global_cov_frame(embs, 9).localCheckpoint(eager=True)
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0).alias("val")
+    )
+    m_final = None
+    for _ in range(6):
+        w = (
+            A.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .select(
+                "i",
+                F.expr(
+                    "CAST(round(a * val, 12) AS DECIMAL(30, 12))"
+                ).alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select("i", F.round(F.col("w") / F.col("m"), 9).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+        m_final = m
+    return (
+        v.crossJoin(F.broadcast(m_final.select(F.round("m", 4).alias("eigenvalue"))))
+        .select(
+            F.col("i").cast("long").alias("dim"),
+            (F.round("val", 6) + F.lit(0.0)).alias("loading"),
+            "eigenvalue",
+        )
+    )

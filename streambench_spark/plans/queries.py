@@ -1260,3 +1260,76 @@ def q_compacted_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dst = _tf.mkdtemp(prefix="sb_compact_")
     compact_small_files(spark, frag, dst, target_mb=128)
     return spark.read.parquet(dst)
+
+
+@register(
+    "session_windows_dynamic_gap_streaming",
+    """
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 1000 AS wm_ms FROM events),
+    g AS (
+        SELECT user_id, epoch_ms(ts) AS ts_ms,
+               CASE event_type WHEN 'purchase' THEN 3600000
+                               WHEN 'view' THEN 600000
+                               ELSE 1200000 END AS gap_ms
+        FROM events
+    ),
+    swept AS (
+        SELECT user_id, ts_ms, gap_ms,
+               max(ts_ms + gap_ms) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM g
+    ),
+    marked AS (
+        SELECT user_id, ts_ms, gap_ms,
+               CASE WHEN prev_end IS NULL OR ts_ms >= prev_end
+                    THEN 1 ELSE 0 END AS new_session
+        FROM swept
+    ),
+    sessions AS (
+        SELECT user_id, ts_ms, gap_ms,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts_ms
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts_ms) AS session_start,
+           max(ts_ms + gap_ms) AS session_end,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    HAVING session_end <= (SELECT wm_ms FROM wm)
+    """,
+    tags=["streaming", "windows"],
+)
+def q_session_windows_dynamic_gap_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic-gap session windows through Structured Streaming: the
+    per-event gap column drives the state-store session merge, append
+    mode emits sessions only when the watermark passes their (dynamic)
+    end — the engagement-weighted sessionization running with evicting
+    state. Oracle = the interval-union sweep with the same
+    watermark-finalized cutoff as the fixed-gap streaming twin."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    stream = stream_table(spark, sf_dir, "events")
+    gap = (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start"),
+            F.unix_millis("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return run_append_to_parquet(spark, agg, state_partitions=8)
