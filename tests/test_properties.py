@@ -208,3 +208,87 @@ def test_containment_matches_bruteforce(spark, texts):
             if c >= 0.5:
                 want[(a, b)] = c
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sketch properties vs pure-Python models (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_cms(keys, depth, width):
+    cells = {}
+    for k in keys:
+        for d in range(depth):
+            idx = _h32(f"cms{d}:{k}") % width
+            cells[(d, idx)] = cells.get((d, idx), 0) + 1
+    return cells
+
+
+@given(st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60))
+@settings(max_examples=8, deadline=None)
+def test_cms_matches_python_model(spark, keys):
+    from pyspark.sql import functions as F
+
+    from streambench_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    sketch = count_min_build(df, "k", depth=3, width=32)
+    got = {(r["d"], r["idx"]): r["cnt"] for r in sketch.collect()}
+    assert got == _py_cms(keys, 3, 32)
+    # estimator: min over rows of the model's cells, never undercounts
+    est = {
+        r["k"]: r["est"]
+        for r in count_min_estimate(
+            sketch, df.select("k").distinct(), "k", depth=3, width=32
+        ).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(keys)
+    model = _py_cms(keys, 3, 32)
+    for k, c in exact.items():
+        want = min(model[(d, _h32(f"cms{d}:{k}") % 32)] for d in range(3))
+        assert est[k] == want >= c
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40,
+             unique=True),
+    st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_matches_python_model(spark, members, probes):
+    from streambench_spark.operators.sketches import (
+        BITS_PER_WORD,
+        bloom_build,
+        bloom_probe,
+    )
+
+    m_words, k = 16, 3
+    m_bits = m_words * BITS_PER_WORD
+
+    def positions(h):
+        h1 = _h32(f"bf1:{h}")
+        h2 = _h32(f"bf2:{h}")
+        return [(h1 + i * (h2 % m_bits)) % m_bits for i in range(k)]
+
+    bits = set()
+    for h in members:
+        bits.update(positions(h))
+    want = {p for p in probes if all(pos in bits for pos in positions(p))}
+
+    mdf = spark.createDataFrame([(h,) for h in members], "h long")
+    pdf = spark.createDataFrame([(h,) for h in set(probes)], "h long")
+    bloom = bloom_build(mdf, "h", m_words, k)
+    got = {r["h"] for r in bloom_probe(pdf, bloom, "h", m_words, k).collect()}
+    assert got == want
+    assert set(members) <= got | (set(members) - set(probes))  # no false negatives
