@@ -2038,18 +2038,24 @@ def q_asof_join_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataF
     from streambench_spark.operators.relational import asof_join_cogrouped
 
     ev = load_table(spark, sf_dir, "events")
+    # epoch-millis LONGs cross the Arrow boundary, not timestamps: the
+    # per-batch timestamp/timezone conversion TRIPLES applyInPandas cost
+    # (measured 6.5 s vs 2.1 s for a noop at sf0.1); merge_asof orders
+    # int64 identically
     views = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("view_id"))
-        .select("user_id", "ts", "view_id", F.unix_millis("ts").alias("view_ts_ms"))
+        .select("user_id", "view_id", F.unix_millis("ts").alias("view_ts_ms"))
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("ts_ms"),
     )
     out = asof_join_cogrouped(
         purchases, views,
-        key="user_id", probe_ts="ts", quote_ts="ts",
+        key="user_id", probe_ts="ts_ms", quote_ts="view_ts_ms",
         quote_cols=["view_id", "view_ts_ms"],
     )
     return out.select("purchase_id", "user_id", "view_id", "view_ts_ms")
@@ -2639,3 +2645,76 @@ def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_join_size"))
     )
     return est.crossJoin(exact)
+
+
+_ITEMPAIRS_ORACLE = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM baskets),
+item_cnt AS (
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1
+),
+pair_cnt AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(count(*) AS BIGINT) AS cab
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT pa, pb, cab,
+       round(CAST(cab AS DOUBLE) / n.n, 6) AS support,
+       round(CAST(cab AS DOUBLE) / ia.c, 6) AS confidence,
+       round(CAST(cab AS DOUBLE) * n.n / (CAST(ia.c AS DOUBLE) * ib.c), 6)
+           AS lift
+FROM pair_cnt
+JOIN item_cnt ia ON ia.l_partkey = pa
+JOIN item_cnt ib ON ib.l_partkey = pb
+CROSS JOIN n_orders n
+WHERE cab >= 2
+"""
+
+
+@register("frequent_itempairs", _ITEMPAIRS_ORACLE, tags=["analytics", "mining"])
+def q_frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining over order baskets: co-purchased part
+    pairs with support, confidence (pa→pb), and lift from exact integer
+    counts (floats only in the final per-pair divisions). The pair join
+    is the bounded-basket self-join (order line counts are small, so no
+    hot key); min-support pruning (cab >= 2) happens at the aggregate —
+    at 100 TB the a-priori trick adds an item-count pre-filter so only
+    items above support enter the pair join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n")
+    )
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    pair_cnt = (
+        baskets.alias("a")
+        .join(
+            baskets.alias("b"),
+            F.expr("a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 2)
+    )
+    ia = item_cnt.select(F.col("l_partkey").alias("pa"), F.col("c").alias("ca"))
+    ib = item_cnt.select(F.col("l_partkey").alias("pb"), F.col("c").alias("cb"))
+    return (
+        pair_cnt.join(ia, "pa")
+        .join(ib, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa", "pb", "cab",
+            F.round(F.col("cab").cast("double") / F.col("n"), 6).alias("support"),
+            F.round(F.col("cab").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("cab").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
