@@ -2718,3 +2718,55 @@ def q_frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_GINI_ORACLE = """
+WITH c AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+r AS (
+    SELECT cnt,
+           row_number() OVER (ORDER BY cnt ASC, user_id ASC) AS rk,
+           count(*) OVER () AS n,
+           sum(cnt) OVER () AS tot
+    FROM c
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+       CAST(any_value(tot) AS BIGINT) AS n_events,
+       round(CAST(2 * sum(rk * cnt) - (any_value(n) + 1) * any_value(tot)
+                  AS DOUBLE)
+             / (any_value(n) * any_value(tot)), 6) AS gini
+FROM r
+"""
+
+
+@register("activity_gini", _GINI_ORACLE, tags=["analytics", "stats"])
+def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic: Gini coefficient of per-user event counts via
+    the rank formula G = (2·Σ r_i·c_i − (n+1)·Σc) / (n·Σc) — exact
+    integers until the single final division. 0 = uniform load, →1 =
+    one celebrity user; the number an operator reads before deciding
+    whether a key needs salting. The rank window runs over the
+    USER-cardinality counts frame, not events."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    r = c.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.asc("cnt"), F.asc("user_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+    )
+    return r.agg(
+        F.any_value("n").cast("long").alias("n_users"),
+        F.any_value("tot").cast("long").alias("n_events"),
+        F.round(
+            (
+                2 * F.sum(F.col("rk") * F.col("cnt"))
+                - (F.any_value("n") + 1) * F.any_value("tot")
+            ).cast("double")
+            / (F.any_value("n") * F.any_value("tot")),
+            6,
+        ).alias("gini"),
+    )

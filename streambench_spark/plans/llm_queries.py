@@ -1918,3 +1918,89 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eigenvalue",
         )
     )
+
+
+def _pca_variance_oracle(iters: int = 6) -> str:
+    base = _pca_oracle(iters)
+    # reuse everything up to the final SELECT; recompute the final pieces
+    head = base[: base.rindex("SELECT CAST(i AS BIGINT)")]
+    return head.rstrip() + f""",
+rayleigh AS (
+    SELECT CAST(sum(CAST(round(A.a * vi.val * vj.val, 12)
+                         AS DECIMAL(30, 12))) AS DOUBLE) AS vav
+    FROM A
+    JOIN v{iters} vi ON vi.i = A.i
+    JOIN v{iters} vj ON vj.i = A.j
+),
+vnorm AS (
+    SELECT CAST(sum(CAST(round(val * val, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS vv
+    FROM v{iters}
+),
+tr AS (SELECT sum(a) AS trace FROM covu WHERE i = j)
+SELECT round(vav / vv, 4) AS lambda1,
+       round(trace, 4) AS total_variance,
+       round((vav / vv) / trace, 6) AS variance_explained
+FROM rayleigh CROSS JOIN vnorm CROSS JOIN tr
+"""
+
+
+@register(
+    "pca_variance_explained", _pca_variance_oracle(6), tags=["llm", "embeddings"]
+)
+def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the embedding corpus the top component captures:
+    Rayleigh quotient v'Av / v'v of the power-iteration vector over the
+    trace of the covariance (total variance). Same determinism ledger as
+    pca_top_component — decimal sums of 12dp-rounded products — plus the
+    trace, which is a 64-term exact-rounded sum. One extra d^2-row join
+    after the iteration; nothing corpus-sized."""
+    embs = _embs(spark, sf_dir)
+    A = _global_cov_frame(embs, 9).localCheckpoint(eager=True)
+    v = spark.range(64).select(
+        F.col("id").cast("int").alias("i"), F.lit(1.0).alias("val")
+    )
+    for _ in range(6):
+        w = (
+            A.join(v.select(F.col("i").alias("j"), "val"), "j")
+            .select(
+                "i",
+                F.expr("CAST(round(a * val, 12) AS DECIMAL(30, 12))").alias("t"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t").cast("double").alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select("i", F.round(F.col("w") / F.col("m"), 9).alias("val"))
+            .localCheckpoint(eager=True)
+        )
+    vav = (
+        A.join(v.select(F.col("i"), F.col("val").alias("vi")), "i")
+        .join(v.select(F.col("i").alias("j"), F.col("val").alias("vj")), "j")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(a * vi * vj, 12) AS DECIMAL(30, 12))")
+            )
+            .cast("double")
+            .alias("vav")
+        )
+    )
+    vv = v.agg(
+        F.sum(F.expr("CAST(round(val * val, 12) AS DECIMAL(30, 12))"))
+        .cast("double")
+        .alias("vv")
+    )
+    tr = A.filter(F.col("i") == F.col("j")).agg(F.sum("a").alias("trace"))
+    return (
+        vav.crossJoin(F.broadcast(vv))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            F.round(F.col("vav") / F.col("vv"), 4).alias("lambda1"),
+            F.round(F.col("trace"), 4).alias("total_variance"),
+            F.round((F.col("vav") / F.col("vv")) / F.col("trace"), 6).alias(
+                "variance_explained"
+            ),
+        )
+    )
