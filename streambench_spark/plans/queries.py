@@ -1333,3 +1333,164 @@ def q_session_windows_dynamic_gap_streaming(
         )
     )
     return run_append_to_parquet(spark, agg, state_partitions=8)
+
+
+@register(
+    "recursive_date_spine",
+    """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(epoch_ms(min(ts)) // 86400000 AS BIGINT) AS d0,
+               CAST(epoch_ms(max(ts)) // 86400000 AS BIGINT) AS d1
+        FROM events
+    ),
+    spine(d) AS (
+        SELECT d0 FROM bounds
+        UNION ALL
+        SELECT d + 1 FROM spine, bounds WHERE d < d1
+    ),
+    agg AS (
+        SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.d * 86400000 AS bucket_ms, coalesce(a.n, 0) AS n_purchases
+    FROM spine s LEFT JOIN agg a ON a.d = s.d
+    """,
+    tags=["sql", "timeseries"],
+)
+def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-frontier breadth: WITH RECURSIVE (Spark 4) generating the
+    daily spine between the table's min and max day, left-joined to
+    purchase counts — the recursive twin of timeseries_gapfill's
+    sequence() spine, run as the SAME SQL text in both engines. The
+    recursion depth is the day span (bounded by the calendar, not the
+    data volume); the fact contributes one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(unix_millis(min(ts)) DIV 86400000 AS BIGINT) AS d0,
+                   CAST(unix_millis(max(ts)) DIV 86400000 AS BIGINT) AS d1
+            FROM events
+        ),
+        spine(d) AS (
+            SELECT d0 FROM bounds
+            UNION ALL
+            SELECT d + 1 FROM spine, bounds WHERE d < d1
+        ),
+        agg AS (
+            SELECT CAST(unix_millis(ts) DIV 86400000 AS BIGINT) AS d,
+                   count(*) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        )
+        SELECT s.d * 86400000 AS bucket_ms, coalesce(a.n, CAST(0 AS BIGINT)) AS n_purchases
+        FROM spine s LEFT JOIN agg a ON a.d = s.d
+        """
+    )
+
+
+@register(
+    "variant_json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+               AS k_bucket
+    FROM events
+    """,
+    tags=["sql", "semistructured"],
+)
+def q_variant_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns through Spark 4's VARIANT type:
+    parse_json once, then typed variant_get extractions — the
+    open-schema path that replaces per-access string re-parsing
+    (get_json_object) with a parsed binary encoding; the shredded
+    access pattern a lakehouse uses for telemetry columns."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id", F.expr("parse_json(props)").alias("pv")
+    )
+    return v.select(
+        "event_id",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+        (F.expr("variant_get(pv, '$.k', 'bigint')") % 10).alias("k_bucket"),
+    )
+
+
+@register(
+    "lateral_top_orders",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.total_cents
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) t
+    """,
+    tags=["sql", "joins"],
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 orders per customer) — the
+    SQL-standard spelling of per-group TopK, run as the same text in
+    both engines. Catalyst decorrelates the lateral into the
+    window-rank plan (DecorrelateInnerQuery), so it costs the same one
+    shuffle as the explicit row_number() form (rank_top_orders_per_
+    customer), which stays the API-level twin."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.total_cents
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@register(
+    "collated_event_types",
+    """
+    SELECT lower(etype_mixed) AS etype, CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                    ELSE event_type END AS etype_mixed
+        FROM events
+    )
+    GROUP BY 1
+    """,
+    tags=["sql", "strings"],
+)
+def q_collated_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 COLLATE): a synthesized
+    mixed-case type column groups case-insensitively under UTF8_LCASE —
+    the collation engine does what ad-hoc lower() wrapping did, and the
+    comparison/hash semantics apply inside joins and aggregates
+    engine-wide. The oracle is the lower() rewrite (DuckDB collations
+    don't reach GROUP BY keys portably); output is lowercased on both
+    sides for a stable display form."""
+    ev = load_table(spark, sf_dir, "events")
+    mixed = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper(F.col("event_type"))
+        )
+        .otherwise(F.col("event_type"))
+        .alias("etype_mixed")
+    )
+    return (
+        mixed.select(F.expr("etype_mixed COLLATE UTF8_LCASE").alias("etype_ci"))
+        .groupBy("etype_ci")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower(F.col("etype_ci")).alias("etype"), "n")
+    )
