@@ -2770,3 +2770,81 @@ def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+_NULLSEM_ORACLE = """
+WITH base AS (
+    SELECT user_id, event_type,
+           CASE WHEN value < 5.0 THEN NULL
+                ELSE CAST(round(value * 100) AS BIGINT) END AS cents
+    FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(cents) AS BIGINT) AS n_nonnull,
+       CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_nonnull,
+       CAST(count(DISTINCT cents) AS BIGINT) AS n_distinct_nonnull,
+       CAST(sum(CASE WHEN cents IS NOT DISTINCT FROM NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null
+FROM base GROUP BY 1
+"""
+
+
+@register("null_semantics_audit", _NULLSEM_ORACLE, tags=["analytics", "semantics"])
+def q_null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL semantics pinned per group on a synthesized nullable
+    column: count(*) counts rows, count(col) skips NULLs, SUM ignores
+    them (coalesced to 0 for a NULL-free output), DISTINCT excludes the
+    NULL, and the null-safe comparator (<=> / IS NOT DISTINCT FROM)
+    treats NULL = NULL as TRUE — the exact aggregate/NULL interactions
+    both engines must (and do) agree on. One scan, one aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.when(F.col("value") < 5.0, F.lit(None))
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("cents"),
+    )
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("cents").alias("n_nonnull"),
+        F.sum(F.col("cents").isNull().cast("long")).alias("n_null"),
+        F.coalesce(F.sum("cents"), F.lit(0)).alias("sum_nonnull"),
+        F.count_distinct("cents").alias("n_distinct_nonnull"),
+        F.sum(F.expr("CAST(cents <=> NULL AS LONG)")).alias("n_nullsafe_eq_null"),
+    )
+
+
+_MAPAGG_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       '{' || string_agg('"' || event_type || '":' || n, ','
+                         ORDER BY event_type) || '}' AS type_counts_json
+FROM c GROUP BY 1
+"""
+
+
+@register("user_activity_map", _MAPAGG_ORACLE, tags=["analytics", "types"])
+def q_user_activity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType aggregation: each user's event_type → count as one MAP
+    column (map_from_entries over the key-sorted collected pairs),
+    emitted as canonical JSON for the comparator (map equality isn't
+    order-defined across engines). The per-user map is the feature-store
+    row shape — bounded by the type domain, built on the same user_id
+    shuffle the counts need anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("type_counts")
+    )
+    return m.select(
+        "user_id",
+        F.to_json(F.col("type_counts")).alias("type_counts_json"),
+    )
