@@ -157,6 +157,27 @@ FLAGSHIPS = {
         "node ids (no broadcast of node-cardinality frames, no cartesian "
         "node). Wedge fan-out bounded by the degree-ordered orientation."
     ),
+    "pca_top_component": (
+        "Covariance pass: two cheap-index Generates expand (i, j<=i) "
+        "pairs, the embedding array is projected away BEFORE the "
+        "aggregate, and the shuffle carries only (i, j) decimal "
+        "partials. Each power-iteration step is a d^2-row join + d-row "
+        "aggregate over a localCheckpoint (no lineage growth); the "
+        "1-row infinity-norm broadcast-joins back."
+    ),
+    "frequent_itempairs": (
+        "Pair counts ride the bounded-basket self-join on l_orderkey "
+        "(order line counts are small — no hot key); min-support prunes "
+        "AT the aggregate; item counts and the 1-row basket total join "
+        "back per pair (total broadcast, item counts key-joined)."
+    ),
+    "kmv_daily_rollup": (
+        "ONE raw scan, eager at the retained-frame localCheckpoint "
+        "(the plan shows only Scan ExistingRDD: both the per-day and "
+        "the merged-total branches read the checkpointed day*k-row "
+        "frame, never the parquet twice); every post-scan frame is "
+        "day- or k-cardinality."
+    ),
     "bigram_lm_score": (
         "Bigram extraction: Generate over the cheap index sequence (no "
         "recomputed-array trap). Model joins carry NO FORCED broadcast "

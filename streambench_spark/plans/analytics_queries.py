@@ -2198,7 +2198,12 @@ def q_kmv_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     day = (
         (F.unix_millis(F.col("ts")) / 86400000).cast("long") * 86400000
     ).alias("bucket_ms")
-    retained = kmv_retained(ev.select(day, "user_id"), ["bucket_ms"], "user_id", 32)
+    # localCheckpoint: both the per-day estimates and the merged total
+    # derive from this day*k-row frame — without it each branch re-runs
+    # the raw scan (the UNION subtree isn't shared; seen in PLANS.md)
+    retained = kmv_retained(
+        ev.select(day, "user_id"), ["bucket_ms"], "user_id", 32
+    ).localCheckpoint(eager=True)
     per_day = kmv_estimate(retained, ["bucket_ms"], 32)
     from pyspark.sql import Window as _W
 
