@@ -2853,3 +2853,51 @@ def q_user_activity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.to_json(F.col("type_counts")).alias("type_counts_json"),
     )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                          1, 1) AS BIGINT) AS digit
+    FROM events WHERE value >= 0.01
+),
+obs AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n, sum(count(*)) OVER () AS tot
+    FROM d GROUP BY 1
+)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS observed_p,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM obs WHERE digit BETWEEN 1 AND 9
+"""
+
+
+@register("benford_digit_test", _BENFORD_ORACLE, tags=["analytics", "quality"])
+def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screening of the value column: observed leading-
+    digit frequencies beside the log10(1 + 1/d) expectation — the
+    classic fabricated-data detector for financial columns. Digit
+    extraction is a row-local string op on exact integer cents; the
+    output frame is 9 rows from one aggregate. (Synthetic uniform data
+    deliberately does NOT follow Benford — the point is the comparison
+    columns, which an auditor thresholds.)"""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.filter(F.col("value") >= 0.01).select(
+        F.substring(
+            F.round(F.col("value") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy()
+    return (
+        obs.filter(F.col("digit").between(1, 9))
+        .select(
+            "digit", "n",
+            F.round(
+                F.col("n").cast("double") / F.sum("n").over(tot), 6
+            ).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+    )
