@@ -610,3 +610,51 @@ def test_compact_small_files_reduces_count_and_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 50_000
     assert back.agg(F.sum("id")).first()[0] == df.agg(F.sum("id")).first()[0]
+
+
+def test_foreachbatch_rereads_dim_per_batch(spark, tmp_path):
+    """The slowly-changing-broadcast pattern: a foreachBatch handler
+    re-resolves the dimension on every micro-batch, so a dim refresh
+    lands mid-stream without restarting the query. Deterministic stand-in
+    for the refresh: the handler picks the dim version by batch_id; the
+    assertion is that BOTH versions appear in the output (a plan that
+    resolved the dim once would stamp a single version)."""
+    import pyspark.sql.functions as F
+
+    dim_v1 = spark.createDataFrame([(t, "v1") for t in
+        ["view", "click", "purchase", "signup", "error"]], ["event_type", "dim_ver"])
+    dim_v2 = dim_v1.withColumn("dim_ver", F.lit("v2"))
+    p1, p2 = str(tmp_path / "dim1"), str(tmp_path / "dim2")
+    dim_v1.write.parquet(p1)
+    dim_v2.write.parquet(p2)
+
+    src = str(tmp_path / "events_src")
+    ev = spark.range(200).select(
+        F.col("id").alias("event_id"),
+        F.expr("element_at(array('view','click','purchase'), CAST(id % 3 AS INT) + 1)")
+        .alias("event_type"),
+    )
+    ev.repartition(4).write.parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def handle(batch_df, batch_id):
+        dim = batch_df.sparkSession.read.parquet(p1 if batch_id % 2 == 0 else p2)
+        batch_df.join(F.broadcast(dim), "event_type").write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # every event joined exactly once
+    vers = {r["dim_ver"] for r in got.select("dim_ver").distinct().collect()}
+    assert vers == {"v1", "v2"}  # dim re-resolved per batch, not once
