@@ -2901,3 +2901,48 @@ def q_benford_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
         )
     )
+
+
+_GSETS_ORACLE = """
+SELECT coalesce(o_orderstatus, '<all>') AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("grouping_sets_revenue", _GSETS_ORACLE, tags=["analytics", "rollup"])
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the a-la-carte sibling of rollup/cube:
+    exactly the (status), (priority), and grand-total groupings in ONE
+    pass (Expand feeds a single hash aggregate), skipping the (status,
+    priority) cross cube would also compute. grouping_id disambiguates
+    subtotal rows from real NULL keys; keys coalesce to a sentinel for
+    NULL-free output."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderstatus", "o_orderpriority", cents.alias("cents"))
+        .groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.expr(
+                "CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)"
+                " AS BIGINT)"
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias("priority"),
+            "gid", "n", "total_cents",
+        )
+    )

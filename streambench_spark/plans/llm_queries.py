@@ -2004,3 +2004,125 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CENTROID_ORACLE = """
+WITH x AS (
+    SELECT label, r.i AS dim,
+           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+    FROM embeddings, range(64) r(i)
+)
+SELECT label, dim,
+       round(CAST(sum(CAST(v AS DECIMAL(28, 12))) AS DOUBLE) / count(*), 6)
+           + 0.0 AS centroid
+FROM x GROUP BY 1, 2
+"""
+
+
+@register("embedding_centroids", _CENTROID_ORACLE, tags=["llm", "embeddings"])
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the k-means/classification prototype
+    table): per-dimension means via 12dp-rounded DECIMAL sums — exact
+    and associative, so any partitioning matches the oracle. The dim
+    explode is the cheap-index generator; shuffle keys are
+    (label, dim) = k*d rows regardless of corpus size."""
+    embs = _embs(spark, sf_dir)
+    x = embs.select(
+        "label", F.explode(F.expr("sequence(0, 63)")).alias("dim"),
+        F.col("embedding"),
+    ).select(
+        "label", "dim",
+        F.expr(
+            "CAST(round(CAST(embedding[dim] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+        ).alias("v"),
+    )
+    return x.groupBy("label", "dim").agg(
+        (
+            F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6)
+            + F.lit(0.0)
+        ).alias("centroid")
+    )
+
+
+_KMEANS_ORACLE = """
+WITH cent AS (
+    SELECT label AS c, r.i AS dim,
+           round(CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+                              AS DECIMAL(28, 12))) AS DOUBLE) / count(*), 9)
+               AS m
+    FROM embeddings, range(64) r(i) GROUP BY 1, 2
+),
+x AS (
+    SELECT vec_id, label, r.i AS dim,
+           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+    FROM embeddings, range(64) r(i)
+),
+d AS (
+    SELECT x.vec_id, x.label, cent.c,
+           CAST(sum(CAST(round((x.v - cent.m) * (x.v - cent.m), 9)
+                         AS DECIMAL(30, 9))) AS DOUBLE) AS dist
+    FROM x JOIN cent ON cent.dim = x.dim
+    GROUP BY 1, 2, 3
+),
+best AS (
+    SELECT vec_id, label, c AS assigned,
+           row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+    FROM d
+)
+SELECT label, assigned, CAST(count(*) AS BIGINT) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2
+"""
+
+
+@register("kmeans_assign_step", _KMEANS_ORACLE, tags=["llm", "embeddings"])
+def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step, label-seeded: every vector goes to
+    its nearest per-label centroid, reported as the (true label,
+    assigned) confusion counts — the clustering primitive plus an
+    intrinsic embedding-quality readout (diagonal mass = labels are
+    geometrically coherent). Distances sum 9dp-rounded squared terms as
+    DECIMAL(30,9): exact, associative, tie-broken by centroid id, so
+    the argmin can never flip between engines. This relational spelling
+    explodes dims x k per row (fine at bench scale, transparent to the
+    oracle); the 100 TB path is the BLAS batch in similarity.py's
+    applyInPandas — same assignments, opaque to SQL."""
+    embs = _embs(spark, sf_dir)
+    xall = embs.select(
+        "vec_id", "label", F.explode(F.expr("sequence(0, 63)")).alias("dim"),
+        F.col("embedding"),
+    ).select(
+        "vec_id", "label", "dim",
+        F.expr(
+            "round(CAST(embedding[dim] AS DOUBLE), 12)"
+        ).alias("v"),
+    )
+    cent = (
+        xall.select("label", "dim",
+                    F.expr("CAST(v AS DECIMAL(28, 12))").alias("vd"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(
+                F.sum("vd").cast("double") / F.count(F.lit(1)), 9
+            ).alias("m")
+        )
+        .select(F.col("label").alias("c"), "dim", "m")
+    )
+    d = (
+        xall.join(F.broadcast(cent), "dim")
+        .select(
+            "vec_id", "label", "c",
+            F.expr(
+                "CAST(round((v - m) * (v - m), 9) AS DECIMAL(30, 9))"
+            ).alias("t"),
+        )
+        .groupBy("vec_id", "label", "c")
+        .agg(F.sum("t").cast("double").alias("dist"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c"))
+    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.groupBy("label", F.col("c").alias("assigned")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
