@@ -2126,3 +2126,129 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy("label", F.col("c").alias("assigned")).agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _kmeans_iter_oracle() -> str:
+    x = """
+x AS (
+    SELECT vec_id, label, r.i AS dim,
+           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+    FROM embeddings, range(64) r(i)
+)"""
+
+    def assign(cent: str, name: str) -> str:
+        return f"""
+d_{name} AS (
+    SELECT x.vec_id, {cent}.c,
+           CAST(sum(CAST(round((x.v - {cent}.m) * (x.v - {cent}.m), 9)
+                         AS DECIMAL(30, 9))) AS DOUBLE) AS dist
+    FROM x JOIN {cent} ON {cent}.dim = x.dim
+    GROUP BY 1, 2
+),
+{name} AS (
+    SELECT vec_id, c, dist FROM (
+        SELECT vec_id, c, dist,
+               row_number() OVER (
+                   PARTITION BY vec_id ORDER BY dist ASC, c ASC) AS rn
+        FROM d_{name}
+    ) WHERE rn = 1
+)"""
+
+    def update(assign_name: str, cent_name: str) -> str:
+        return f"""
+{cent_name} AS (
+    SELECT a.c, x.dim,
+           round(CAST(sum(CAST(x.v AS DECIMAL(28, 12))) AS DOUBLE)
+                 / count(*), 9) AS m
+    FROM x JOIN {assign_name} a ON a.vec_id = x.vec_id
+    GROUP BY 1, 2
+)"""
+
+    return f"""
+WITH {x},
+cent0 AS (
+    SELECT label AS c, dim,
+           round(CAST(sum(CAST(v AS DECIMAL(28, 12))) AS DOUBLE) / count(*), 9)
+               AS m
+    FROM x GROUP BY 1, 2
+),{assign("cent0", "a1")},{update("a1", "cent1")},{assign("cent1", "a2")}
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(round(dist, 6) AS DECIMAL(30, 6))) AS DOUBLE), 4)
+           AS inertia
+FROM a2 GROUP BY 1
+"""
+
+
+@register("kmeans_iterations", _kmeans_iter_oracle(), tags=["llm", "embeddings"])
+def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-means loop, run distributed for two update rounds:
+    label-seeded centroids → assign → recompute centroids from the
+    assignments → re-assign; output per-cluster sizes and inertia. The
+    fourth iterative algorithm (after CC, PageRank, PCA) — and the one
+    with data-dependent control flow, since clusters can lose all
+    members and drop out. Every floating step keeps the decimal ledger:
+    9dp-rounded squared terms and 12dp values sum as DECIMALs, argmin
+    ties break on cluster id, per-vector dists round to 6dp before the
+    inertia sum — both engines walk identical assignments through both
+    rounds. Spark side localCheckpoints each frame so the lineage stays
+    flat; frames after the explode are (k*d)- or corpus-row bounded."""
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    x = embs.select(
+        "vec_id", F.explode(F.expr("sequence(0, 63)")).alias("dim"),
+        F.col("embedding"),
+    ).select(
+        "vec_id", "dim",
+        F.expr("round(CAST(embedding[dim] AS DOUBLE), 12)").alias("v"),
+    ).localCheckpoint(eager=True)
+    lab = embs.select("vec_id", F.col("label").alias("c"))
+
+    def update(assign_df):
+        return (
+            x.join(assign_df.select("vec_id", "c"), "vec_id")
+            .select(
+                "c", "dim", F.expr("CAST(v AS DECIMAL(28, 12))").alias("vd")
+            )
+            .groupBy("c", "dim")
+            .agg(
+                F.round(
+                    F.sum("vd").cast("double") / F.count(F.lit(1)), 9
+                ).alias("m")
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    def assign(cent_df):
+        d = (
+            x.join(F.broadcast(cent_df), "dim")
+            .select(
+                "vec_id", "c",
+                F.expr(
+                    "CAST(round((v - m) * (v - m), 9) AS DECIMAL(30, 9))"
+                ).alias("t"),
+            )
+            .groupBy("vec_id", "c")
+            .agg(F.sum("t").cast("double").alias("dist"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c"))
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c", "dist")
+            .localCheckpoint(eager=True)
+        )
+
+    cent0 = update(lab)
+    a1 = assign(cent0)
+    cent1 = update(a1)
+    a2 = assign(cent1)
+    return a2.groupBy(F.col("c").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.expr("CAST(round(dist, 6) AS DECIMAL(30, 6))")).cast(
+                "double"
+            ),
+            4,
+        ).alias("inertia"),
+    )
