@@ -2946,3 +2946,47 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n", "total_cents",
         )
     )
+
+
+_TWAP_ORACLE = """
+WITH seq AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           epoch_ms(ts) AS ts_ms,
+           lead(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_ms
+    FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(next_ms - ts_ms) AS BIGINT) AS total_ms,
+       round(CAST(sum(cents * (next_ms - ts_ms)) AS DOUBLE)
+             / sum(next_ms - ts_ms), 6) AS twap_cents
+FROM seq WHERE next_ms IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("twap_value_per_user", _TWAP_ORACLE, tags=["analytics", "timeseries"])
+def q_twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    holds until the next one, weighted by its holding interval — the
+    financial/metering aggregate a plain AVG gets wrong under irregular
+    sampling. Weights and values are exact integers (ms x cents fits
+    BIGINT comfortably); the one float is the final per-user division.
+    One lead() window and one aggregate, both on the user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
+    ).filter(F.col("next_ms").isNotNull())
+    dt = F.col("next_ms") - F.col("ts_ms")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(dt).alias("total_ms"),
+        F.round(
+            F.sum(F.col("cents") * dt).cast("double") / F.sum(dt), 6
+        ).alias("twap_cents"),
+    )
