@@ -1494,3 +1494,130 @@ def q_collated_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower(F.col("etype_ci")).alias("etype"), "n")
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH v1 AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events),
+    v2 AS (SELECT event_id,
+                  CASE WHEN event_id % 100 = 0 THEN cents * 2 ELSE cents END
+                      AS cents
+           FROM v1 WHERE event_id % 97 <> 0
+           UNION ALL
+           SELECT event_id + 10000000, cents FROM v1 WHERE event_id % 101 = 0),
+    d AS (
+        SELECT coalesce(v1.event_id, v2.event_id) AS event_id,
+               CASE WHEN v1.event_id IS NULL THEN 'added'
+                    WHEN v2.event_id IS NULL THEN 'removed'
+                    WHEN v1.cents <> v2.cents THEN 'changed'
+                    ELSE 'unchanged' END AS change_type
+        FROM v1 FULL JOIN v2 ON v1.event_id = v2.event_id
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1
+    """,
+    tags=["sinks", "quality"],
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: FULL OUTER join two table versions on
+    the key and classify every row added / removed / changed / unchanged
+    — the audit between a replicated copy and its source, or two
+    pipeline runs. The synthetic v2 drops every 97th row, doubles every
+    100th value, and inserts fresh keys so all four classes appear. One co-partitioned join on
+    the key; at scale both snapshots usually share layout, so the join
+    is bucketed/shuffle-free."""
+    ev = load_table(spark, sf_dir, "events")
+    v1 = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    v2 = (
+        v1.filter(F.col("event_id") % 97 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 100 == 0, F.col("cents") * 2)
+            .otherwise(F.col("cents"))
+            .alias("cents"),
+        )
+        .unionAll(
+            v1.filter(F.col("event_id") % 101 == 0).select(
+                (F.col("event_id") + 10000000).alias("event_id"), "cents"
+            )
+        )
+    )
+    j = v1.alias("a").join(
+        v2.alias("b"), F.expr("a.event_id = b.event_id"), "full_outer"
+    )
+    ct = (
+        F.when(F.col("a.event_id").isNull(), "added")
+        .when(F.col("b.event_id").isNull(), "removed")
+        .when(F.col("a.cents") != F.col("b.cents"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(ct.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "table_checksums",
+    """
+    SELECT 'events' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           bit_xor(CAST('0x' || substring(md5(
+               CAST(event_id AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)
+               || '|' || event_type || '|'
+               || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS checksum
+    FROM events
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           bit_xor(CAST('0x' || substring(md5(
+               CAST(o_orderkey AS VARCHAR) || '|'
+               || CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+           ), 1, 15) AS BIGINT))
+    FROM orders
+    UNION ALL
+    SELECT 'customer', CAST(count(*) AS BIGINT),
+           bit_xor(CAST('0x' || substring(md5(
+               CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment
+           ), 1, 15) AS BIGINT))
+    FROM customer
+    """,
+    tags=["sinks", "quality"],
+)
+def q_table_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table checksums: XOR-fold of a portable per-row
+    md5 over canonical '|'-joined columns — the replication/migration
+    verification handshake two DIFFERENT engines can both compute (this
+    oracle literally is the other engine computing it). XOR is
+    commutative/associative, so the aggregate is partitioning-proof and
+    map-side combined; 60-bit hash prefix keeps every value positive in
+    signed 64-bit on both sides."""
+    def cks(df: DataFrame, tbl: str, expr: str) -> DataFrame:
+        h = f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(f"bit_xor({h})").alias("checksum"),
+        ).select(F.lit(tbl).alias("tbl"), "n_rows", "checksum")
+
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        cks(
+            ev, "events",
+            "concat(CAST(event_id AS STRING), '|', CAST(user_id AS STRING), "
+            "'|', event_type, '|', "
+            "CAST(CAST(round(value * 100) AS BIGINT) AS STRING))",
+        )
+        .unionAll(cks(
+            o, "orders",
+            "concat(CAST(o_orderkey AS STRING), '|', "
+            "CAST(o_custkey AS STRING), '|', o_orderstatus)",
+        ))
+        .unionAll(cks(
+            c, "customer",
+            "concat(CAST(c_custkey AS STRING), '|', c_mktsegment)",
+        ))
+    )
