@@ -2252,3 +2252,68 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("inertia"),
     )
+
+
+_VOCAB_OVERLAP_ORACLE = f"""
+WITH toks AS (
+    SELECT source, {_D_TOKENS.format(col='text')} AS tk FROM documents
+),
+v AS (
+    SELECT DISTINCT source,
+           {_D_H32.format(s='w')} % {MERSENNE_P} AS h
+    FROM (SELECT source, unnest(tk) AS w FROM toks)
+),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+inter AS (
+    SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS i
+    FROM v a JOIN v b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT sa, sb, i AS n_shared,
+       round(CAST(i AS DOUBLE) / (na.n + nb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.source = sa
+JOIN sizes nb ON nb.source = sb
+"""
+
+
+@register("source_vocab_overlap", _VOCAB_OVERLAP_ORACLE, tags=["llm", "text"])
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mixture
+    diagnostic (high-overlap sources are near-duplicated feeds; low
+    overlap flags domain shift). Same inverted-index shape as the
+    document near-dup family but keyed by SOURCE: the token self-join's
+    per-token bucket is bounded by the SOURCE COUNT (~tens), not
+    document count, so the quadratic term is quadratic in sources only.
+    Set sizes join back on the pair ends; one float division per pair."""
+    docs = _docs(spark, sf_dir)
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    from streambench_spark.llm.hashing import spark_hash32
+
+    h = spark_hash32("w")
+    v = (
+        docs.select("source", F.explode(F.expr(tk)).alias("w"))
+        .select("source", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        v.alias("a")
+        .join(v.alias("b"), F.expr("a.h = b.h AND a.source < b.source"))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .select(
+            "sa", "sb", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
