@@ -79,16 +79,23 @@ def stratified_rate_sample(
     stratum_col: str = "lang",
     key_col: str = "doc_id",
     buckets: int = 100,
+    salt: str = "",
 ) -> DataFrame:
     """Deterministic per-stratum Bernoulli-style sampling: keep a document
-    iff H32(key) mod buckets < rate[stratum]. ``rates`` maps stratum value
-    to a per-cent keep rate (0..buckets).
+    iff H32(salt || key) mod buckets < rate[stratum]. ``rates`` maps
+    stratum value to a per-cent keep rate (0..buckets).
 
     This is the 100 TB mixture-weighting path: the rates table is a tiny
     broadcast dim (one row per language/source), the decision is a
     row-local hash compare, and the plan is scan → broadcast join →
     filter with NO shuffle of the corpus. Expected counts only (exact to
     ±binomial noise); use stratified_topn_sample for exact quotas.
+
+    ``salt`` decorrelates the draw from OTHER hash-of-key decisions in
+    the same pipeline — composing an unsalted sample after the
+    with_split train filter would intersect two `H(key) mod 100 < t`
+    conditions on the SAME hash, collapsing to min(t1, t2) instead of
+    an independent sub-sample.
     """
     spark = docs.sparkSession
     rates_df = F.broadcast(
@@ -97,7 +104,8 @@ def stratified_rate_sample(
             f"{stratum_col} string, _rate int",
         )
     )
-    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    key = f"CAST({key_col} AS STRING)"
+    h = spark_hash32(f"concat('{salt}', {key})" if salt else key)
     return (
         docs.join(rates_df, stratum_col)
         .filter(F.expr(f"{h} % {buckets}") < F.col("_rate"))

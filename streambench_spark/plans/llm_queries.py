@@ -2317,3 +2317,78 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _training_mix_oracle(n: int = 8) -> str:
+    grams = " || ' ' || ".join(f"tk[i+{j}]" for j in range(n))
+    h = _D_H32.format(s="s")
+    mix_h = _D_H32.format(s="'mix:' || CAST(doc_id AS VARCHAR)")
+    rate_case = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIXTURE_RATES.items()
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, source, text, length(text) AS n_chars,
+           {_D_TOKENS.format(col='text')} AS tk
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, lang, source, text, n_chars, tk FROM toks
+    WHERE n_chars >= 100
+      AND len(tk) BETWEEN 20 AND 1000
+      AND len(list_distinct(tk)) * 1.0 / len(tk) >= 0.2
+),
+trsh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               [{grams} for i in range(1, len(tk) - {n - 2})],
+               s -> {h} % {MERSENNE_P})) AS hsh
+    FROM kept WHERE source <> 'src0'
+),
+besh AS (
+    SELECT list_distinct(list_transform(
+               [{grams} for i in range(1, len(tk) - {n - 2})],
+               s -> {h} % {MERSENNE_P})) AS hsh
+    FROM toks WHERE source = 'src0'
+),
+tr AS (SELECT doc_id, unnest(hsh) AS hh FROM trsh),
+be AS (SELECT DISTINCT unnest(hsh) AS hh FROM besh),
+contam AS (SELECT DISTINCT tr.doc_id FROM tr JOIN be USING (hh)),
+clean AS (
+    SELECT k.doc_id, k.lang, k.n_chars FROM kept k
+    WHERE k.source <> 'src0'
+      AND NOT EXISTS (SELECT 1 FROM contam c WHERE c.doc_id = k.doc_id)
+),
+train AS (SELECT * FROM clean WHERE {_D_KEYHASH} % 100 < 90),
+mix AS (SELECT * FROM train WHERE {mix_h} % 100
+            < CASE lang {rate_case} END)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM mix GROUP BY 1
+"""
+
+
+@register("training_mix_pipeline", _training_mix_oracle(8), tags=["llm", "pipeline"])
+def q_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data assembly, composed end to end from the
+    library operators: quality filter → benchmark decontamination
+    (8-gram, src0 as the eval suite) → stable hash split (train) →
+    SALTED per-language mixture sampling → per-language doc/char totals.
+    One lazy plan: Catalyst shares the scan across stages; the corpus
+    never shuffles (broadcast gram probe, row-local split and mixture
+    decisions) until the final group-cardinality aggregate. The salt on
+    the mixture draw matters: unsalted, it would reuse the split's
+    H(doc_id) mod 100 and collapse the intersection to min(rate, 90)
+    instead of an independent sub-sample of train."""
+    docs = _docs(spark, sf_dir)
+    kept = text.quality_kept(docs, "doc_id", "lang", "source", "text", "n_chars")
+    bench = docs.filter(F.col("source") == "src0")
+    cand = kept.filter(F.col("source") != "src0")
+    contam = sampling.contaminated_docs(cand, bench, n=8).select("doc_id")
+    clean = cand.join(contam, "doc_id", "left_anti")
+    train = sampling.with_split(clean).filter(F.col("split") == "train")
+    mix = sampling.stratified_rate_sample(train, _MIXTURE_RATES, salt="mix:")
+    return mix.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
