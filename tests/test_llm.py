@@ -529,3 +529,32 @@ def test_bigram_lm_scores_frequent_transitions_higher(spark):
     assert all(r["avg_logp"] < 0 for r in got.values())
     assert got[1]["avg_logp"] > got[2]["avg_logp"]
     assert got[1]["n_bigrams"] == 59
+
+
+def test_rate_sample_salt_decorrelates_from_split(spark):
+    """Composing an UNSALTED rate sample after the train-split filter
+    reuses the same H(key) mod 100 draw: the intersection collapses to
+    min(rate, 90) and (for rate <= 90) the sample keeps every row of the
+    subset below the rate threshold. A salted draw is independent."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.llm.sampling import (
+        stratified_rate_sample,
+        with_split,
+    )
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    train = with_split(docs).filter(F.col("split") == "train")
+    rates = {"en": 50}
+    unsalted = stratified_rate_sample(train, rates)
+    salted = stratified_rate_sample(train, rates, salt="mix:")
+    n_train = train.count()
+    # unsalted: exactly the hash<50 subset of hash<90 -> ~50/90 of train
+    assert abs(unsalted.count() / n_train - 50 / 90) < 0.05
+    # salted: an independent 50% of train
+    assert abs(salted.count() / n_train - 0.50) < 0.05
+    # and the two select materially different sets
+    both = unsalted.select("doc_id").intersect(salted.select("doc_id")).count()
+    assert both < min(unsalted.count(), salted.count())
