@@ -2990,3 +2990,90 @@ def q_twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cents") * dt).cast("double") / F.sum(dt), 6
         ).alias("twap_cents"),
     )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts)
+           RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS trailing_hour_cents,
+       first_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS first_type,
+       coalesce(nth_value(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '<none>')
+           AS second_type,
+       last_value(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS last_type
+FROM events
+"""
+
+
+@register("range_frame_analytics", _RANGE_FRAME_ORACLE, tags=["analytics", "windows"])
+def q_range_frame_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVER-clause frame breadth: a VALUE-RANGE frame (each event's
+    trailing-hour revenue — the frame is defined by the ms timestamp
+    distance, not a row count) beside first_value / nth_value /
+    last_value positional functions with their frame pitfalls spelled
+    out (last_value needs the full-partition frame or it degenerates to
+    CURRENT ROW; nth_value is null until the frame holds n rows,
+    coalesced to a sentinel). One user_id shuffle serves all four
+    windows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, 0)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wcur = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(cents).over(wr).alias("trailing_hour_cents"),
+        F.first("event_type").over(wo).alias("first_type"),
+        F.coalesce(
+            F.nth_value("event_type", 2).over(wcur), F.lit("<none>")
+        ).alias("second_type"),
+        F.last("event_type").over(wfull).alias("last_type"),
+    )
+
+
+_INTERARRIVAL_ORACLE = """
+WITH d AS (
+    SELECT epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dt
+    FROM events
+)
+SELECT CAST(floor(log2(dt)) AS BIGINT) AS log2_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       min(dt) AS min_ms, max(dt) AS max_ms
+FROM d WHERE dt IS NOT NULL AND dt > 0
+GROUP BY 1
+"""
+
+
+@register("interarrival_histogram", _INTERARRIVAL_ORACLE, tags=["analytics", "timeseries"])
+def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed inter-arrival-time distribution per user stream —
+    the burstiness profile (an exponential process fills adjacent
+    buckets geometrically; spikes reveal batch replays). Bucket
+    boundaries are exact powers of two, where log2 of an exact-integer
+    power is exact in both engines, so no boundary flip is possible;
+    zero deltas (same-ms events) are excluded as unbucketable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = ev.select(
+        (F.unix_millis("ts") - F.lag(F.unix_millis("ts")).over(w)).alias("dt")
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return d.groupBy(
+        F.floor(F.log2("dt")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("dt").alias("min_ms"),
+        F.max("dt").alias("max_ms"),
+    )
