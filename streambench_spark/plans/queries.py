@@ -1364,7 +1364,11 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase counts — the recursive twin of timeseries_gapfill's
     sequence() spine, run as the SAME SQL text in both engines. The
     recursion depth is the day span (bounded by the calendar, not the
-    data volume); the fact contributes one aggregate."""
+    data volume); the fact contributes one aggregate. Cost note: Spark
+    executes each recursion step as its own job (~0.2 s/step — measured
+    6 s for 30 days vs 0.2 s for the sequence() spine), so recursion is
+    for genuinely self-referential queries; for plain spines prefer
+    timeseries_gapfill's generator."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     return spark.sql(
