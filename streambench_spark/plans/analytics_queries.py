@@ -3077,3 +3077,107 @@ def q_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dt").alias("min_ms"),
         F.max("dt").alias("max_ms"),
     )
+
+
+_MOMENTS_ORACLE = """
+WITH base AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+    FROM events WHERE value >= 0.01
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(c) AS s1,
+           sum(c * c) AS s2,
+           sum(c * c * c) AS s3,
+           CAST(sum(CAST(c * c * c * c AS DECIMAL(38, 0))) AS DOUBLE) AS s4,
+           CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 12)
+                         AS DECIMAL(30, 12))) AS DOUBLE) AS sln,
+           CAST(sum(CAST(round(1.0 / c, 15) AS DECIMAL(30, 15)))
+                AS DOUBLE) AS sinv
+    FROM base GROUP BY 1
+)
+SELECT event_type, n,
+       round(CAST(s1 AS DOUBLE) / n, 4) AS mean_cents,
+       round((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1), 4)
+           AS var_cents,
+       round((CAST(s3 AS DOUBLE) / n
+              - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+              + 2.0 * pow(CAST(s1 AS DOUBLE) / n, 3))
+             / pow((CAST(s2 AS DOUBLE) / n)
+                   - pow(CAST(s1 AS DOUBLE) / n, 2), 1.5), 6) + 0.0
+           AS skewness,
+       round((s4 / n
+              - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+              + 6.0 * pow(CAST(s1 AS DOUBLE) / n, 2) * (CAST(s2 AS DOUBLE) / n)
+              - 3.0 * pow(CAST(s1 AS DOUBLE) / n, 4))
+             / pow((CAST(s2 AS DOUBLE) / n)
+                   - pow(CAST(s1 AS DOUBLE) / n, 2), 2) - 3.0, 6) + 0.0
+           AS excess_kurtosis,
+       round(exp(sln / n), 4) AS geo_mean_cents,
+       round(n / sinv, 4) AS harm_mean_cents
+FROM s
+"""
+
+
+@register("moments_by_type", _MOMENTS_ORACLE, tags=["analytics", "stats"])
+def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment descriptive statistics per group: mean, sample
+    variance, skewness, excess kurtosis from EXACT integer power sums
+    (S1..S3 exact BIGINT; S4's per-row c^4 is still exact BIGINT but the
+    cross-row total would overflow, so it sums as DECIMAL(38,0) — exact
+    and order-independent like every other ledger sum), plus
+    geometric and harmonic means whose log/reciprocal sums ride the
+    decimal ledger. Population-moment formulas, matching what the raw
+    sums define rather than any engine builtin (Spark's skewness() and
+    DuckDB's disagree on bias correction — computing from sums
+    sidesteps the whole question). One aggregate pass."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("value") >= 0.01).select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    c = F.col("c")
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+        F.sum(c * c * c).alias("s3"),
+        # c^4 <= ~1e16 stays exact in BIGINT (bound: c < 55109 cents);
+        # only the cross-row sum needs DECIMAL — a double sum of c^4
+        # terms is order-dependent above 2^53
+        F.sum(F.expr("CAST(c * c * c * c AS DECIMAL(38, 0))"))
+        .cast("double")
+        .alias("s4"),
+        F.sum(
+            F.expr("CAST(round(ln(CAST(c AS DOUBLE)), 12) AS DECIMAL(30, 12))")
+        ).cast("double").alias("sln"),
+        F.sum(
+            F.expr("CAST(round(1.0 / c, 15) AS DECIMAL(30, 15))")
+        ).cast("double").alias("sinv"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n
+    m3 = F.col("s3").cast("double") / n
+    m4 = F.col("s4") / n
+    var_pop = m2 - m1 * m1
+    return s.select(
+        "event_type", "n",
+        F.round(m1, 4).alias("mean_cents"),
+        F.round(
+            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
+            / (n - 1),
+            4,
+        ).alias("var_cents"),
+        (F.round(
+            (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(var_pop, 1.5), 6
+        ) + F.lit(0.0)).alias("skewness"),
+        (F.round(
+            (m4 - 4.0 * m1 * m3 + 6.0 * F.pow(m1, 2) * m2 - 3.0 * F.pow(m1, 4))
+            / F.pow(var_pop, 2)
+            - 3.0,
+            6,
+        ) + F.lit(0.0)).alias("excess_kurtosis"),
+        F.round(F.exp(F.col("sln") / n), 4).alias("geo_mean_cents"),
+        F.round(n / F.col("sinv"), 4).alias("harm_mean_cents"),
+    )
