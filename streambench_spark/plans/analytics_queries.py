@@ -3181,3 +3181,48 @@ def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.col("sln") / n), 4).alias("geo_mean_cents"),
         F.round(n / F.col("sinv"), 4).alias("harm_mean_cents"),
     )
+
+
+_CDC_DELETES_ORACLE = """
+WITH latest AS (
+    SELECT user_id,
+           max({'ts_ms': epoch_ms(ts), 'event_id': event_id,
+                'is_delete': CASE WHEN event_type = 'error' THEN 1 ELSE 0 END,
+                'cents': CAST(round(value * 100) AS BIGINT)}) AS m
+    FROM events GROUP BY 1
+)
+SELECT user_id, m['ts_ms'] AS ts_ms, m['event_id'] AS event_id,
+       m['cents'] AS cents
+FROM latest WHERE m['is_delete'] = 0
+"""
+
+
+@register("cdc_with_deletes", _CDC_DELETES_ORACLE, tags=["streaming", "analytics"])
+def q_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog compaction with DELETE tombstones: 'error' events act
+    as deletes, so a key whose LATEST change is a tombstone drops out of
+    the final state entirely — the full upsert-or-delete CDC contract
+    (cdc_latest_state is the upsert-only half). Same single-struct-per-
+    key streaming state; the delete flag rides inside the struct-max so
+    the keep/drop decision falls out of the same monotonic reduction,
+    and late-arriving older updates can never resurrect a deleted key."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_update_to_parquet
+
+    stream = stream_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct(
+            F.unix_millis(F.col("ts")).alias("ts_ms"),
+            F.col("event_id").alias("event_id"),
+            (F.col("event_type") == "error").cast("int").alias("is_delete"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ).alias("chg"),
+    )
+    latest = stream.groupBy("user_id").agg(F.max("chg").alias("m"))
+    emissions = run_update_to_parquet(spark, latest, state_partitions=8)
+    return (
+        emissions.groupBy("user_id")
+        .agg(F.max("m").alias("m"))
+        .filter(F.col("m.is_delete") == 0)
+        .select("user_id", "m.ts_ms", "m.event_id", "m.cents")
+    )
