@@ -3226,3 +3226,121 @@ def q_cdc_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("m.is_delete") == 0)
         .select("user_id", "m.ts_ms", "m.event_id", "m.cents")
     )
+
+
+_DIVISION_ORACLE = """
+WITH types AS (SELECT count(DISTINCT event_type) AS nt FROM events)
+SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events
+GROUP BY user_id
+HAVING count(DISTINCT event_type) = (SELECT nt FROM types)
+"""
+
+
+@register("relational_division", _DIVISION_ORACLE, tags=["analytics", "relational"])
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION (the eighth classical operator): users who
+    performed EVERY event type observed in the corpus — 'suppliers who
+    supply all parts' in textbook form. Spelled as the count-distinct
+    equality rewrite (one aggregate + a 1-row broadcast of the divisor
+    cardinality), which beats the double-NOT-EXISTS correlated form by
+    never touching a per-(user, type) anti-join."""
+    ev = load_table(spark, sf_dir, "events")
+    nt = ev.agg(F.count_distinct("event_type").alias("nt"))
+    per_user = ev.groupBy("user_id").agg(
+        F.count_distinct("event_type").alias("n_types")
+    )
+    return (
+        per_user.crossJoin(F.broadcast(nt))
+        .filter(F.col("n_types") == F.col("nt"))
+        .select("user_id", "n_types")
+    )
+
+
+_KMV_SETOPS_ORACLE = """
+WITH hashed AS (
+    SELECT DISTINCT event_type,
+           CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 2147483647 AS h
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+ret AS (
+    SELECT event_type, h FROM (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hashed
+    ) WHERE rn <= 32
+),
+uni AS (
+    SELECT h, dup, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h, count(*) AS dup FROM ret GROUP BY 1)
+),
+topu AS (SELECT h, dup FROM uni WHERE rn <= 32),
+est AS (
+    SELECT CAST(count(*) AS BIGINT) AS k_u, max(h) AS kth,
+           CAST(sum(CASE WHEN dup = 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared
+    FROM topu
+),
+exact AS (
+    SELECT (SELECT count(DISTINCT user_id) FROM events
+            WHERE event_type IN ('view', 'purchase')) AS ex_union,
+           (SELECT count(*) FROM (
+               SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+               INTERSECT
+               SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+           )) AS ex_inter
+)
+SELECT round(31.0 * 2147483647.0 / (SELECT kth FROM est), 2) AS union_est,
+       round((SELECT CAST(shared AS DOUBLE) / k_u FROM est)
+             * 31.0 * 2147483647.0 / (SELECT kth FROM est), 2) AS inter_est,
+       CAST((SELECT ex_union FROM exact) AS BIGINT) AS union_exact,
+       CAST((SELECT ex_inter FROM exact) AS BIGINT) AS inter_exact
+"""
+
+
+@register("kmv_set_operations", _KMV_SETOPS_ORACLE, tags=["analytics", "sketch"])
+def q_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |viewers ∪ buyers| and |viewers ∩ buyers|
+    estimated from the two 32-hash KMV sketches ALONE — union by
+    re-topping the merged retained sets, intersection via the KMV
+    Jaccard estimator (the fraction of the union's k smallest present
+    in BOTH sketches scales the union estimate). Exact values sit
+    beside the estimates. This is the audience-overlap question
+    answered from per-segment sketches without re-touching raw data —
+    the distinct-count analog of the CMS join-size estimate."""
+    from streambench_spark.operators.aggregates import kmv_retained
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    two = ev.filter(F.col("event_type").isin("view", "purchase"))
+    ret = kmv_retained(two, ["event_type"], "user_id", 32)
+    uni = (
+        ret.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("dup"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("_h")))
+        .filter(F.col("rn") <= 32)
+    )
+    P = 2147483647.0
+    est = uni.agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.max("_h").alias("kth"),
+        F.sum((F.col("dup") == 2).cast("long")).alias("shared"),
+    ).select(
+        F.round(F.lit(31.0) * P / F.col("kth"), 2).alias("union_est"),
+        F.round(
+            (F.col("shared").cast("double") / F.col("k_u"))
+            * 31.0 * P / F.col("kth"),
+            2,
+        ).alias("inter_est"),
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exact = (
+        viewers.unionAll(buyers)
+        .agg(F.count_distinct("user_id").alias("union_exact"))
+        .crossJoin(
+            viewers.intersect(buyers)
+            .agg(F.count(F.lit(1)).alias("inter_exact"))
+        )
+    )
+    return est.crossJoin(F.broadcast(exact))
