@@ -3344,3 +3344,116 @@ def q_kmv_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return est.crossJoin(F.broadcast(exact))
+
+
+_BANDS_ORACLE = """
+WITH d AS (
+    SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT bucket_ms,
+       round(quantile_cont(cents, 0.1), 4) AS p10_cents,
+       round(quantile_cont(cents, 0.5), 4) AS p50_cents,
+       round(quantile_cont(cents, 0.9), 4) AS p90_cents
+FROM d GROUP BY 1
+"""
+
+
+@register("daily_value_bands", _BANDS_ORACLE, tags=["analytics", "timeseries"])
+def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 daily value bands — the BI fan-chart feed. Exact
+    percentiles interpolate identical sorted integer-cent inputs per
+    day; one day-keyed aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ((F.unix_millis("ts") / 86400000).cast("long") * 86400000).alias(
+        "bucket_ms"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        ev.select(day, cents.alias("cents"))
+        .groupBy("bucket_ms")
+        .agg(
+            F.round(F.expr("percentile(cents, 0.1)"), 4).alias("p10_cents"),
+            F.round(F.expr("percentile(cents, 0.5)"), 4).alias("p50_cents"),
+            F.round(F.expr("percentile(cents, 0.9)"), 4).alias("p90_cents"),
+        )
+    )
+
+
+_CUM_UNIQUE_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id,
+           min(CAST(epoch_ms(ts) // 86400000 AS BIGINT)) * 86400000
+               AS bucket_ms
+    FROM events GROUP BY 1
+),
+daily AS (
+    SELECT bucket_ms, CAST(count(*) AS BIGINT) AS new_users
+    FROM first_seen GROUP BY 1
+)
+SELECT bucket_ms, new_users,
+       CAST(sum(new_users) OVER (
+           ORDER BY bucket_ms ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_users
+FROM daily
+"""
+
+
+@register("cumulative_unique_users", _CUM_UNIQUE_ORACLE, tags=["analytics", "behavioral"])
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day via the FIRST-SEEN rewrite: a
+    naive per-day cumulative COUNT(DISTINCT) recomputes a growing set
+    every day (quadratic state); min(first day) per user + a running
+    sum over the DAY-cardinality frame is one user-keyed aggregate and
+    a 30-row window — the growth-curve feed at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        (
+            (F.min(F.unix_millis("ts") / 86400000)).cast("long") * 86400000
+        ).alias("bucket_ms")
+    )
+    daily = first_seen.groupBy("bucket_ms").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("bucket_ms").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "bucket_ms", "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+_DAU_MAU_ORACLE = """
+WITH dau AS (
+    SELECT CAST(epoch_ms(ts) // 86400000 AS BIGINT) * 86400000 AS bucket_ms,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1
+),
+mau AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM events)
+SELECT bucket_ms, dau, (SELECT mau FROM mau) AS mau,
+       round(CAST(dau AS DOUBLE) / (SELECT mau FROM mau), 6) AS stickiness
+FROM dau
+"""
+
+
+@register("dau_mau_stickiness", _DAU_MAU_ORACLE, tags=["analytics", "behavioral"])
+def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU stickiness per day over the month-long table: daily
+    distinct users against the period's distinct total (1-row broadcast)
+    — the engagement ratio product teams track. At rolling-window scale
+    the MAU side becomes the KMV rollup (kmv_daily_rollup) instead of an
+    exact global distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ((F.unix_millis("ts") / 86400000).cast("long") * 86400000).alias(
+        "bucket_ms"
+    )
+    dau = ev.select(day, "user_id").groupBy("bucket_ms").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    mau = ev.agg(F.count_distinct("user_id").alias("mau"))
+    return dau.crossJoin(F.broadcast(mau)).select(
+        "bucket_ms", "dau", "mau",
+        F.round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )
