@@ -3457,3 +3457,121 @@ def q_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stickiness"
         ),
     )
+
+
+_WOW_ORACLE = """
+WITH w AS (
+    SELECT CAST(epoch_ms(ts) // 604800000 AS BIGINT) * 604800000 AS week_ms,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+)
+SELECT week_ms, cents,
+       coalesce(lag(cents) OVER (ORDER BY week_ms), -1) AS prev_cents,
+       round(CASE WHEN lag(cents) OVER (ORDER BY week_ms) > 0
+                  THEN CAST(cents - lag(cents) OVER (ORDER BY week_ms)
+                            AS DOUBLE)
+                       / lag(cents) OVER (ORDER BY week_ms)
+                  END, 6) AS wow_growth
+FROM w
+"""
+
+
+@register("weekly_revenue_growth", _WOW_ORACLE, tags=["analytics", "timeseries"])
+def q_weekly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week purchase-revenue growth: exact integer weekly
+    sums, lag over the WEEK-cardinality frame, one float division per
+    week (NULL growth on the first week survives the comparator via the
+    shared norm; prev coalesces to a sentinel)."""
+    ev = load_table(spark, sf_dir, "events")
+    week = ((F.unix_millis("ts") / 604800000).cast("long") * 604800000).alias(
+        "week_ms"
+    )
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("long"),
+    ).otherwise(F.lit(0))
+    w = (
+        ev.select(week, cents.alias("c"))
+        .groupBy("week_ms")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wo = Window.orderBy("week_ms")
+    prev = F.lag("cents").over(wo)
+    return w.select(
+        "week_ms", "cents",
+        F.coalesce(prev, F.lit(-1)).alias("prev_cents"),
+        F.round(
+            F.when(prev > 0, (F.col("cents") - prev).cast("double") / prev),
+            6,
+        ).alias("wow_growth"),
+    )
+
+
+_PARETO_ORACLE = """
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM events GROUP BY 1
+),
+r AS (
+    SELECT cents,
+           row_number() OVER (ORDER BY cents DESC, user_id ASC) AS rk,
+           count(*) OVER () AS n, sum(cents) OVER () AS tot
+    FROM u
+)
+SELECT CAST(p AS BIGINT) AS top_pct,
+       CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS cents,
+       round(CAST(sum(cents) AS DOUBLE) / any_value(tot), 6) AS revenue_share
+FROM r CROSS JOIN (SELECT unnest([10, 20, 50]) AS p)
+WHERE rk <= CAST(ceil(n * p / 100.0) AS BIGINT)
+GROUP BY 1
+"""
+
+
+@register("revenue_pareto", _PARETO_ORACLE, tags=["analytics", "behavioral"])
+def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto): the share of purchase revenue
+    held by the top 10/20/50% of users — the 80/20 check beside the
+    Gini coefficient's single number. Ranking runs over the
+    user-cardinality totals frame with a deterministic tie order; each
+    threshold is a ceil of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents")
+    )
+    r = u.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("user_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(20), F.lit(50))).alias("p")
+    )
+    return (
+        r.crossJoin(F.broadcast(ps))
+        .filter(
+            F.col("rk")
+            <= F.ceil(F.col("n") * F.col("p") / 100.0).cast("long")
+        )
+        .groupBy(F.col("p").cast("long").alias("top_pct"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("cents").alias("cents"),
+            F.round(
+                F.sum("cents").cast("double") / F.any_value("tot"), 6
+            ).alias("revenue_share"),
+        )
+    )
