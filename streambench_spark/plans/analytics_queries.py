@@ -3575,3 +3575,66 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+_CLAMPED_ORACLE = """
+WITH d AS (
+    SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+           CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT)
+                WHEN event_type = 'error'
+                THEN -CAST(round(value * 100) AS BIGINT)
+                ELSE 0 END AS delta
+    FROM events
+),
+seq AS (
+    SELECT user_id,
+           list(delta ORDER BY ts_ms, event_id) AS deltas
+    FROM d GROUP BY 1
+)
+SELECT user_id,
+       CAST(len(deltas) AS BIGINT) AS n_events,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), deltas),
+                        (acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))
+            AS BIGINT) AS final_balance
+FROM seq
+"""
+
+
+@register("clamped_running_balance", _CLAMPED_ORACLE, tags=["analytics", "stateful"])
+def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance per user (credits from purchases,
+    debits from errors, balance never below zero): bal = max(0, bal + d)
+    is a NON-LINEAR recurrence no window SUM can express — the clamp
+    makes each step depend on the clamped history, exactly the class of
+    per-key logic that otherwise forces applyInPandasWithState. Here it
+    stays relational: an ordered collect per user + a left fold
+    (aggregate / list_reduce), integer-exact, deterministic by the
+    (ts, event_id) total order. Per-user state = the event list —
+    bounded by per-key activity, riding the same user_id shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id", F.unix_millis("ts").alias("ts_ms"), "event_id",
+        F.when(F.col("event_type") == "purchase", cents)
+        .when(F.col("event_type") == "error", -cents)
+        .otherwise(F.lit(0))
+        .alias("delta"),
+    )
+    return (
+        d.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "struct(ts_ms, event_id, delta))), x -> x.delta)"
+            ).alias("deltas")
+        )
+        .select(
+            "user_id",
+            F.size("deltas").cast("long").alias("n_events"),
+            F.expr(
+                "aggregate(deltas, CAST(0 AS BIGINT), "
+                "(acc, x) -> greatest(CAST(0 AS BIGINT), acc + x))"
+            ).alias("final_balance"),
+        )
+    )
