@@ -3638,3 +3638,152 @@ def q_clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("final_balance"),
         )
     )
+
+
+_PSI_ORACLE = """
+WITH labeled AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS wk
+    FROM events
+),
+wks AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM labeled),
+ref AS (SELECT cents FROM labeled, wks WHERE wk = w0),
+cur AS (SELECT cents FROM labeled, wks WHERE wk = w1),
+cnts AS (
+    SELECT cents, count(*) AS cnt FROM ref GROUP BY 1
+),
+cum AS (
+    SELECT cents,
+           sum(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER () AS n
+    FROM cnts
+),
+b AS (
+    SELECT d,
+           min(CASE WHEN cum >= CAST(ceil(d * n / 10.0) AS BIGINT)
+                    THEN cents END) AS hi
+    FROM cum CROSS JOIN (SELECT unnest(range(1, 10)) AS d)
+    GROUP BY 1
+),
+edges AS (SELECT list(hi ORDER BY d) AS e FROM b),
+binned AS (
+    SELECT 'ref' AS side,
+           1 + len(list_filter(e, x -> cents > x)) AS bin
+    FROM ref CROSS JOIN edges
+    UNION ALL
+    SELECT 'cur', 1 + len(list_filter(e, x -> cents > x))
+    FROM cur CROSS JOIN edges
+),
+bc AS (
+    SELECT bin,
+           CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS c_ref,
+           CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS c_cur
+    FROM binned GROUP BY 1
+),
+tot AS (SELECT sum(c_ref) AS tr, sum(c_cur) AS tc FROM bc),
+terms AS (
+    SELECT bin,
+           (CAST(c_cur AS DOUBLE) / tc - CAST(c_ref AS DOUBLE) / tr)
+           * ln((CAST(c_cur AS DOUBLE) / tc) / (CAST(c_ref AS DOUBLE) / tr))
+               AS term
+    FROM bc CROSS JOIN tot
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       round(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY bin)),
+           (a, x) -> a + x), 6) AS psi
+FROM terms
+"""
+
+
+@register("psi_value_drift", _PSI_ORACLE, tags=["analytics", "quality"])
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and last week's
+    value distributions — the ML-monitoring drift alarm (PSI > 0.2 =
+    retrain). Decile edges come from the reference week via the
+    discrete-percentile cumulative-count method (integer-exact, no
+    interpolation); bin assignment counts edges below each value
+    row-locally; +1 Laplace smoothing keeps empty bins finite; the
+    10-term float sum is a bin-ordered left fold. Everything after the
+    two scans is bin- or value-domain-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
+    )
+    wks = labeled.agg(
+        F.min("wk").alias("w0"), F.max("wk").alias("w1")
+    )
+    lw = labeled.crossJoin(F.broadcast(wks))
+    ref = lw.filter(F.col("wk") == F.col("w0")).select("cents")
+    cur = lw.filter(F.col("wk") == F.col("w1")).select("cents")
+    cnts = ref.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnts.select(
+        "cents",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").alias("d"))
+    b = (
+        cum.crossJoin(F.broadcast(ds))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.col("d") * F.col("n") / 10.0).cast("long"),
+                    F.col("cents"),
+                )
+            ).alias("hi")
+        )
+    )
+    edges = b.agg(
+        F.expr("transform(array_sort(collect_list(struct(d, hi))), x -> x.hi)")
+        .alias("e")
+    )
+    def binned(side_df, side):
+        return (
+            side_df.crossJoin(F.broadcast(edges))
+            .select(
+                F.lit(side).alias("side"),
+                (
+                    1 + F.size(F.expr("filter(e, x -> cents > x)"))
+                ).alias("bin"),
+            )
+        )
+    bc = (
+        binned(ref, "ref").unionAll(binned(cur, "cur"))
+        .groupBy("bin")
+        .agg(
+            (F.sum((F.col("side") == "ref").cast("long")) + 1).alias("c_ref"),
+            (F.sum((F.col("side") == "cur").cast("long")) + 1).alias("c_cur"),
+        )
+    )
+    tot = bc.agg(
+        F.sum("c_ref").alias("tr"), F.sum("c_cur").alias("tc")
+    )
+    terms = bc.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        (
+            (F.col("c_cur").cast("double") / F.col("tc")
+             - F.col("c_ref").cast("double") / F.col("tr"))
+            * F.log(
+                (F.col("c_cur").cast("double") / F.col("tc"))
+                / (F.col("c_ref").cast("double") / F.col("tr"))
+            )
+        ).alias("term"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(bin, term))), x -> x.term), CAST(0 AS DOUBLE), "
+                "(a, x) -> a + x)"
+            ),
+            6,
+        ).alias("psi"),
+    )
