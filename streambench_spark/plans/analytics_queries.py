@@ -3088,9 +3088,10 @@ s AS (
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            sum(c) AS s1,
-           sum(c * c) AS s2,
-           sum(c * c * c) AS s3,
-           CAST(sum(CAST(c * c * c * c AS DECIMAL(38, 0))) AS DOUBLE) AS s4,
+           CAST(sum(CAST(c * c AS DECIMAL(38, 0))) AS DOUBLE) AS s2,
+           CAST(sum(CAST(c * c * c AS DECIMAL(38, 0))) AS DOUBLE) AS s3,
+           CAST(sum(CAST(c * c AS DECIMAL(19, 0)) * (c * c)) AS DOUBLE)
+               AS s4,
            CAST(sum(CAST(round(ln(CAST(c AS DOUBLE)), 12)
                          AS DECIMAL(30, 12))) AS DOUBLE) AS sln,
            CAST(sum(CAST(round(1.0 / c, 15) AS DECIMAL(30, 15)))
@@ -3140,12 +3141,13 @@ def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(c).alias("s1"),
-        F.sum(c * c).alias("s2"),
-        F.sum(c * c * c).alias("s3"),
-        # c^4 <= ~1e16 stays exact in BIGINT (bound: c < 55109 cents);
-        # only the cross-row sum needs DECIMAL — a double sum of c^4
-        # terms is order-dependent above 2^53
-        F.sum(F.expr("CAST(c * c * c * c AS DECIMAL(38, 0))"))
+        # power sums accumulate as DECIMAL: at sf0.1 max cents is 56021,
+        # so c^4 overflows BIGINT per-row (bound 55108) and even sum(c^3)
+        # overflows across 1e5 rows; c^2 stays exact per row, and
+        # decimal(19,0) * bigint keeps c^4 exact inside decimal space
+        F.sum(F.expr("CAST(c * c AS DECIMAL(38, 0))")).cast("double").alias("s2"),
+        F.sum(F.expr("CAST(c * c * c AS DECIMAL(38, 0))")).cast("double").alias("s3"),
+        F.sum(F.expr("CAST(c * c AS DECIMAL(19, 0)) * (c * c)"))
         .cast("double")
         .alias("s4"),
         F.sum(
@@ -3165,7 +3167,7 @@ def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.round(m1, 4).alias("mean_cents"),
         F.round(
-            (F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / n)
+            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / n)
             / (n - 1),
             4,
         ).alias("var_cents"),
