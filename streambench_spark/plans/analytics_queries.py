@@ -3719,8 +3719,17 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("wk").alias("w0"), F.max("wk").alias("w1")
     )
     lw = labeled.crossJoin(F.broadcast(wks))
-    ref = lw.filter(F.col("wk") == F.col("w0")).select("cents")
-    cur = lw.filter(F.col("wk") == F.col("w1")).select("cents")
+    # checkpoint the two week slices: ref feeds the decile build AND the
+    # binning, cur feeds the binning — without this each branch re-scans
+    # the raw table (measured 8.5 s -> ~3 s at sf0.1 for a 1-row result)
+    ref = (
+        lw.filter(F.col("wk") == F.col("w0")).select("cents")
+        .localCheckpoint(eager=True)
+    )
+    cur = (
+        lw.filter(F.col("wk") == F.col("w1")).select("cents")
+        .localCheckpoint(eager=True)
+    )
     cnts = ref.groupBy("cents").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = cnts.select(
