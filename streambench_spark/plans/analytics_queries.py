@@ -3798,3 +3798,82 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi"),
     )
+
+
+_KS_ORACLE = """
+WITH labeled AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS wk
+    FROM events
+),
+wks AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM labeled),
+sides AS (
+    SELECT cents,
+           CAST(sum(CASE WHEN wk = (SELECT w0 FROM wks) THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(sum(CASE WHEN wk = (SELECT w1 FROM wks) THEN 1 ELSE 0 END)
+                AS BIGINT) AS b
+    FROM labeled
+    WHERE wk IN ((SELECT w0 FROM wks), (SELECT w1 FROM wks))
+    GROUP BY 1
+),
+cum AS (
+    SELECT cents,
+           sum(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb,
+           sum(a) OVER () AS na, sum(b) OVER () AS nb
+    FROM sides
+)
+SELECT CAST(any_value(na) AS BIGINT) AS n_ref,
+       CAST(any_value(nb) AS BIGINT) AS n_cur,
+       round(max(abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)), 6)
+           AS ks_d
+FROM cum
+"""
+
+
+@register("ks_value_drift", _KS_ORACLE, tags=["analytics", "quality"])
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the first and last
+    week's value distributions — the binning-free drift test beside
+    PSI (PSI quantizes into deciles; KS takes the sup over every
+    observed value). Both CDFs ride ONE cumulative window over the
+    merged value-domain counts frame; every fraction divides exact
+    integers and the max is order-free. Value-domain cardinality
+    bounds all post-scan work."""
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
+    )
+    wks = labeled.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    sides = (
+        labeled.crossJoin(F.broadcast(wks))
+        .filter((F.col("wk") == F.col("w0")) | (F.col("wk") == F.col("w1")))
+        .groupBy("cents")
+        .agg(
+            F.sum((F.col("wk") == F.col("w0")).cast("long")).alias("a"),
+            F.sum((F.col("wk") == F.col("w1")).cast("long")).alias("b"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = sides.select(
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.sum("a").over(tot).alias("na"),
+        F.sum("b").over(tot).alias("nb"),
+    )
+    return cum.agg(
+        F.any_value("na").cast("long").alias("n_ref"),
+        F.any_value("nb").cast("long").alias("n_cur"),
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_d"),
+    )
