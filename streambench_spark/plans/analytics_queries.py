@@ -3877,3 +3877,106 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_d"),
     )
+
+
+_MWU_ORACLE = """
+WITH labeled AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(epoch_ms(ts) // 604800000 AS BIGINT) AS wk
+    FROM events
+),
+wks AS (SELECT min(wk) AS w0, max(wk) AS w1 FROM labeled),
+sides AS (
+    SELECT cents,
+           CAST(sum(CASE WHEN wk = (SELECT w0 FROM wks) THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(sum(CASE WHEN wk = (SELECT w1 FROM wks) THEN 1 ELSE 0 END)
+                AS BIGINT) AS b
+    FROM labeled
+    WHERE wk IN ((SELECT w0 FROM wks), (SELECT w1 FROM wks))
+    GROUP BY 1
+),
+cum AS (
+    SELECT cents, a, b, a + b AS t,
+           coalesce(sum(a + b) OVER (
+               ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS before_
+    FROM sides
+),
+agg AS (
+    SELECT sum(a) AS n1, sum(b) AS n2,
+           sum(a * (2 * before_ + t + 1)) AS r1x2,
+           sum(t * t * t - t) AS tie3
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+       CAST(r1x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+       round((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1)
+                       - CAST(tie3 AS DOUBLE)
+                         / ((n1 + n2) * (n1 + n2 - 1)))), 4) + 0.0 AS z
+FROM agg
+"""
+
+
+@register("mannwhitney_value_drift", _MWU_ORACLE, tags=["analytics", "stats"])
+def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the first and last week's
+    values — the nonparametric location test completing the drift
+    toolkit (PSI: binned divergence; KS: sup-CDF; MWU: rank shift with
+    a p-value-ready z). Tie handling is exact by construction: doubled
+    average ranks (2*cum_before + t + 1) keep every rank sum an
+    INTEGER through ties, and the tie-corrected variance divides exact
+    integer sums only at the final z. All post-scan work is
+    value-domain-cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    labeled = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
+    )
+    wks = labeled.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    sides = (
+        labeled.crossJoin(F.broadcast(wks))
+        .filter((F.col("wk") == F.col("w0")) | (F.col("wk") == F.col("w1")))
+        .groupBy("cents")
+        .agg(
+            F.sum((F.col("wk") == F.col("w0")).cast("long")).alias("a"),
+            F.sum((F.col("wk") == F.col("w1")).cast("long")).alias("b"),
+        )
+    )
+    wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    cum = sides.select(
+        "a", "b", (F.col("a") + F.col("b")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("a") + F.col("b")).over(wb), F.lit(0)
+        ).alias("before_"),
+    )
+    agg = cum.agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum(F.col("a") * (2 * F.col("before_") + F.col("t") + 1)).alias("r1x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    u1x2 = F.col("r1x2") - n1 * (n1 + 1)
+    var = (
+        n1.cast("double") * n2 / 12.0
+        * (
+            (n1 + n2 + 1)
+            - F.col("tie3").cast("double") / ((n1 + n2) * (n1 + n2 - 1))
+        )
+    )
+    return agg.select(
+        n1.cast("long").alias("n_ref"),
+        n2.cast("long").alias("n_cur"),
+        u1x2.cast("long").alias("u1_x2"),
+        (
+            F.round(
+                (u1x2.cast("double") / 2 - n1.cast("double") * n2 / 2)
+                / F.sqrt(var),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("z"),
+    )
