@@ -3980,3 +3980,94 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("z"),
     )
+
+
+_WEEKDAY_ORACLE = """
+WITH d AS (
+    SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,  -- DuckDB Sun=0; Spark Sun=1
+           CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+)
+SELECT dow, CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(cents) AS DOUBLE) / count(*), 4) AS mean_cents,
+       round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (), 6)
+           AS traffic_share
+FROM d GROUP BY 1
+"""
+
+
+@register("weekday_seasonality", _WEEKDAY_ORACLE, tags=["analytics", "timeseries"])
+def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: traffic share and mean value per
+    weekday — the calendar pattern a forecast must strip. Spark's
+    dayofweek and DuckDB's dayofweek both index Sunday=1 over the same
+    UTC session, so the bucket is portable; everything else is exact
+    integers into a 7-row frame."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    g = d.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    return g.select(
+        "dow", "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("mean_cents"),
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy()), 6
+        ).alias("traffic_share"),
+    )
+
+
+_BOUNCE_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), marked AS (
+    SELECT user_id, ts,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sessions AS (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+), sizes AS (
+    SELECT user_id, sid, count(*) AS n FROM sessions GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_rate
+FROM sizes
+"""
+
+
+@register("session_bounce_rate", _BOUNCE_ORACLE, tags=["analytics", "behavioral"])
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate over the 30-minute sessionization: the share of
+    sessions containing exactly one event — the engagement-quality
+    number on top of session_windows' same gaps-and-islands frame; one
+    extra session-cardinality aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sizes = (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum((F.col("n") == 1).cast("long")).alias("n_bounces"),
+        F.round(
+            F.sum((F.col("n") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )

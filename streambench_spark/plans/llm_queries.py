@@ -2392,3 +2392,42 @@ def q_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+_HAPAX_ORACLE = f"""
+WITH toks AS (
+    SELECT source, unnest({_D_TOKENS.format(col='text')}) AS w FROM documents
+),
+tf AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio
+FROM tf GROUP BY 1
+"""
+
+
+@register("hapax_ratio_by_source", _HAPAX_ORACLE, tags=["llm", "text"])
+def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: the hapax-legomenon share (tokens
+    occurring exactly once) of each source's vocabulary — high ratios
+    flag noisy/OCR feeds, low ones boilerplate mills. One token
+    aggregate keyed on (source, token) with map-side combine, then a
+    source-cardinality rollup."""
+    docs = _docs(spark, sf_dir)
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    tf = (
+        docs.select("source", F.explode(F.expr(tk)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum((F.col("c") == 1).cast("long")).alias("hapax"),
+        F.round(
+            F.sum((F.col("c") == 1).cast("long")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )
