@@ -4071,3 +4071,61 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("bounce_rate"),
     )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+t AS (
+    SELECT user_id, event_type, n,
+           sum(n) OVER (PARTITION BY user_id) AS tot
+    FROM c
+),
+terms AS (
+    SELECT user_id, event_type,
+           -(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot) AS term
+    FROM t
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(list_reduce(
+                 list_prepend(CAST(0 AS DOUBLE),
+                              list(term ORDER BY event_type)),
+                 (a, x) -> a + x), 6) AS entropy
+FROM terms GROUP BY user_id
+"""
+
+
+@register("user_behavior_entropy", _ENTROPY_ORACLE, tags=["analytics", "behavioral"])
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the behavioral-
+    diversity feature (0 = single-action bots, ln(5) = uniform across
+    all types). Each term is a pure function of exact integer counts;
+    the per-user sum is a type-ordered left fold, so the handful of
+    float terms add in the same order in both engines. Rides the same
+    (user, type) aggregate the activity matrix uses."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("user_id"))
+    )
+    terms = t.select(
+        "user_id", "event_type",
+        (
+            -(F.col("n").cast("double") / F.col("tot"))
+            * F.log(F.col("n").cast("double") / F.col("tot"))
+        ).alias("term"),
+    )
+    return terms.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(event_type, term))), x -> x.term), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+            ),
+            6,
+        ).alias("entropy"),
+    )
