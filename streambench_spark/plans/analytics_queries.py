@@ -4129,3 +4129,102 @@ def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+_STREAK_ORACLE = """
+WITH days AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d
+    FROM events
+),
+isl AS (
+    SELECT user_id, d,
+           d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+    FROM days
+),
+runs AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+    FROM isl GROUP BY user_id, grp
+)
+SELECT user_id,
+       max(run_len) AS longest_streak,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY 1
+"""
+
+
+@register("longest_active_streak", _STREAK_ORACLE, tags=["analytics", "behavioral"])
+def q_longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user — the classic
+    gaps-and-islands: day_number minus its rank is constant within a
+    consecutive run, so one window + two aggregates on the (user, day)
+    distinct frame give every streak. All integers; the engagement
+    feature behind streak-based retention mechanics."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", (F.unix_millis("ts") / 86400000).cast("long").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+_ABC_ORACLE = """
+WITH p AS (
+    SELECT l_partkey,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM lineitem GROUP BY 1
+),
+r AS (
+    SELECT l_partkey, cents,
+           sum(cents) OVER (
+               ORDER BY cents DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING)
+               AS cum,
+           sum(cents) OVER () AS tot
+    FROM p
+),
+c AS (
+    SELECT l_partkey, cents,
+           CASE WHEN cum * 10 <= tot * 8 THEN 'A'
+                WHEN cum * 100 <= tot * 95 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM r
+)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(cents) AS BIGINT) AS cents
+FROM c GROUP BY 1
+"""
+
+
+@register("abc_classification", _ABC_ORACLE, tags=["analytics", "mining"])
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, classed A
+    while cumulative share <= 80%, B to 95%, else C — with the share
+    boundaries tested as INTEGER cross-multiplications (cum*10 <=
+    tot*8), so no float division can flip a class. The cumulative
+    window runs over the part-cardinality revenue frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = p.select(
+        "l_partkey", "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    )
+    abc = (
+        F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return r.select(abc.alias("abc"), "cents").groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"), F.sum("cents").alias("cents")
+    )
