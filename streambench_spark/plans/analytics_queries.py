@@ -4228,3 +4228,111 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(abc.alias("abc"), "cents").groupBy("abc").agg(
         F.count(F.lit(1)).alias("n_parts"), F.sum("cents").alias("cents")
     )
+
+
+_AFFINITY_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sess AS (
+    SELECT user_id, event_type,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+), st AS (
+    SELECT DISTINCT user_id, sid, event_type FROM sess
+),
+n_sess AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n
+           FROM st),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY 1),
+pairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb,
+           CAST(count(*) AS BIGINT) AS cab
+    FROM st a JOIN st b
+      ON a.user_id = b.user_id AND a.sid = b.sid
+     AND a.event_type < b.event_type
+    GROUP BY 1, 2
+)
+SELECT ta, tb, cab,
+       round(CAST(cab AS DOUBLE) * (SELECT n FROM n_sess)
+             / (CAST(ca.c AS DOUBLE) * cb.c), 6) AS lift
+FROM pairs
+JOIN tc ca ON ca.event_type = ta
+JOIN tc cb ON cb.event_type = tb
+"""
+
+
+@register("session_type_affinity", _AFFINITY_ORACLE, tags=["analytics", "behavioral"])
+def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session event-type affinity: lift of type pairs co-
+    occurring in the same 30-minute session — market-basket analysis
+    where the basket is a session, the behavioral sibling of
+    frequent_itempairs' order baskets. The per-session distinct type
+    set is bounded by the type domain, so the pair self-join's bucket
+    is O(|types|) per session; counts exact, one division per pair."""
+    ev = load_table(spark, sf_dir, "events")
+    # sessionize per USER (a grouped session_window keyed on (user, type)
+    # would merge each type separately and the sessions never align);
+    # the lag/running-sum sweep matches the fixed-gap session oracle
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id", "ts", "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
+                >= 1800000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    st = sess.select("user_id", F.col("sid").alias("s0"), "event_type").distinct()
+    n_sess = st.select("user_id", "s0").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tc = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (
+        st.alias("a")
+        .join(
+            st.alias("b"),
+            F.expr(
+                "a.user_id = b.user_id AND a.s0 = b.s0 "
+                "AND a.event_type < b.event_type"
+            ),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("ta"), F.col("b.event_type").alias("tb")
+        )
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    ca = tc.select(F.col("event_type").alias("ta"), F.col("c").alias("ca"))
+    cb = tc.select(F.col("event_type").alias("tb"), F.col("c").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .crossJoin(F.broadcast(n_sess))
+        .select(
+            "ta", "tb", "cab",
+            F.round(
+                F.col("cab").cast("double") * F.col("n")
+                / (F.col("ca").cast("double") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
