@@ -4336,3 +4336,123 @@ def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_NEWRET_ORACLE = """
+WITH first_seen AS (
+    SELECT user_id, min(CAST(epoch_ms(ts) // 86400000 AS BIGINT)) AS d0
+    FROM events GROUP BY 1
+),
+daily AS (
+    SELECT DISTINCT user_id, CAST(epoch_ms(ts) // 86400000 AS BIGINT) AS d
+    FROM events
+)
+SELECT d * 86400000 AS bucket_ms,
+       CAST(sum(CASE WHEN d = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN d > d0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS returning_users
+FROM daily JOIN first_seen USING (user_id)
+GROUP BY 1
+"""
+
+
+@register("new_vs_returning_daily", _NEWRET_ORACLE, tags=["analytics", "behavioral"])
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning split: each active (user, day) classified
+    by whether it is the user's FIRST day — the acquisition/retention
+    decomposition of the DAU line. first-seen is one user aggregate
+    joined back onto the distinct (user, day) frame; all integers."""
+    ev = load_table(spark, sf_dir, "events")
+    day = (F.unix_millis("ts") / 86400000).cast("long")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    daily = ev.select("user_id", day.alias("d")).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy((F.col("d") * 86400000).alias("bucket_ms"))
+        .agg(
+            F.sum((F.col("d") == F.col("d0")).cast("long")).alias("new_users"),
+            F.sum((F.col("d") > F.col("d0")).cast("long")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+_SESS_CONV_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, ts, event_type,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+), marked AS (
+    SELECT user_id, ts, event_type,
+           CASE WHEN prev_ts IS NULL
+                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+), sess AS (
+    SELECT user_id, event_type,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+    FROM marked
+), flags AS (
+    SELECT user_id, sid,
+           max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS has_view,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_buy
+    FROM sess GROUP BY 1, 2
+)
+SELECT CAST(sum(has_view) AS BIGINT) AS view_sessions,
+       CAST(sum(CASE WHEN has_view = 1 AND has_buy = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS converting_sessions,
+       round(CAST(sum(CASE WHEN has_view = 1 AND has_buy = 1
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(has_view), 6) AS session_conversion
+FROM flags
+"""
+
+
+@register("session_conversion_rate", _SESS_CONV_ORACLE, tags=["analytics", "behavioral"])
+def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-session conversion: of sessions containing a view, the share
+    that also contain a purchase — the tightest funnel scope (the user-
+    level funnel credits conversions across days; this one demands the
+    intent and the purchase share a session). Per-user sweep
+    sessionization + one flags aggregate per session."""
+    ev = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id", "ts", "event_type",
+        F.when(
+            F.lag("ts").over(wo).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
+                >= 1800000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = marked.withColumn(
+        "sid",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    flags = sess.groupBy("user_id", "sid").agg(
+        F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("has_buy"),
+    )
+    return flags.agg(
+        F.sum("has_view").cast("long").alias("view_sessions"),
+        F.sum(
+            ((F.col("has_view") == 1) & (F.col("has_buy") == 1)).cast("long")
+        ).alias("converting_sessions"),
+        F.round(
+            F.sum(
+                ((F.col("has_view") == 1) & (F.col("has_buy") == 1)).cast(
+                    "long"
+                )
+            ).cast("double")
+            / F.sum("has_view"),
+            6,
+        ).alias("session_conversion"),
+    )
