@@ -4456,3 +4456,110 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("session_conversion"),
     )
+
+
+_CCF_ORACLE = """
+WITH h AS (
+    SELECT CAST(epoch_ms(ts) // 3600000 AS BIGINT) AS bh,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS p,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS e
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT bh, p, e, lg.lag AS lag,
+           lead(e, 2) OVER w AS e_m2, lead(e, 1) OVER w AS e_m1,
+           lag(e, 1) OVER w AS e_p1, lag(e, 2) OVER w AS e_p2
+    FROM h CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS lag) lg(lag)
+    WINDOW w AS (PARTITION BY lg.lag ORDER BY bh)
+),
+pairs AS (
+    SELECT lag, p AS x,
+           CASE lag WHEN -2 THEN e_m2 WHEN -1 THEN e_m1 WHEN 0 THEN e
+                    WHEN 1 THEN e_p1 ELSE e_p2 END AS y
+    FROM lagged
+),
+s AS (
+    SELECT lag, CAST(count(*) AS BIGINT) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM pairs WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0 AS ccf
+FROM s
+"""
+
+
+@register("hourly_ccf_purchase_error", _CCF_ORACLE, tags=["analytics", "timeseries"])
+def q_hourly_ccf_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the hourly purchase and error
+    series at lags -2..+2 — does load lead failures or trail them? Each
+    lag's Pearson r comes from exact BIGINT sums (the value_autocorr
+    pattern, crossed between two series); the lag shift is a per-lag
+    window over the hour-cardinality frame."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            (F.unix_millis("ts") / 3600000).cast("long").alias("bh"),
+            "event_type",
+        )
+        .groupBy("bh")
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("p"),
+            F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+        )
+    )
+    lags = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(v) for v in (-2, -1, 0, 1, 2)])
+        ).alias("lag")
+    )
+    wl = Window.partitionBy("lag").orderBy("bh")
+    lagged = h.crossJoin(F.broadcast(lags)).select(
+        "bh", "p", "e", "lag",
+        F.lead("e", 2).over(wl).alias("e_m2"),
+        F.lead("e", 1).over(wl).alias("e_m1"),
+        F.lag("e", 1).over(wl).alias("e_p1"),
+        F.lag("e", 2).over(wl).alias("e_p2"),
+    )
+    y = (
+        F.when(F.col("lag") == -2, F.col("e_m2"))
+        .when(F.col("lag") == -1, F.col("e_m1"))
+        .when(F.col("lag") == 0, F.col("e"))
+        .when(F.col("lag") == 1, F.col("e_p1"))
+        .otherwise(F.col("e_p2"))
+    )
+    pairs = lagged.select("lag", F.col("p").alias("x"), y.alias("y")).filter(
+        F.col("y").isNotNull()
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("lag").cast("long").alias("lag"), "n",
+        (
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                    * (
+                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ccf"),
+    )
