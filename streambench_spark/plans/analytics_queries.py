@@ -4563,3 +4563,53 @@ def q_hourly_ccf_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ccf"),
     )
+
+
+_DEGREE_ORACLE = """
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT n, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+    GROUP BY 1
+)
+SELECT CAST(floor(log2(d)) AS BIGINT) AS log2_degree,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       min(d) AS min_degree, max(d) AS max_degree
+FROM deg GROUP BY 1
+"""
+
+
+@register("copurchase_degree_distribution", _DEGREE_ORACLE, tags=["analytics", "graph"])
+def q_copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the co-purchase graph — the
+    skew profile read BEFORE choosing a join/orientation strategy (a
+    heavy power-law tail is what makes the degree-ordered triangle
+    orientation and salted joins necessary). Bucket boundaries are
+    exact powers of two; one edge build + one node aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.expr(
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(
+        F.floor(F.log2("d")).cast("long").alias("log2_degree")
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("d").alias("min_degree"),
+        F.max("d").alias("max_degree"),
+    )

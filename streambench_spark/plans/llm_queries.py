@@ -2431,3 +2431,62 @@ def q_hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+_DISPERSION_ORACLE = f"""
+WITH tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT doc_id, unnest({_D_TOKENS.format(col='text')}) AS w
+          FROM documents)
+    GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+s AS (
+    SELECT w, CAST(sum(c) AS BIGINT) AS tot,
+           CAST(sum(c * c) AS BIGINT) AS ss,
+           CAST(count(*) AS BIGINT) AS df
+    FROM tf GROUP BY 1
+),
+top AS (
+    SELECT w, tot, ss, df FROM s
+    ORDER BY tot DESC, w ASC LIMIT 20
+)
+SELECT w AS token, tot AS n_occurrences, df AS n_docs,
+       round((CAST(ss AS DOUBLE) / (SELECT n FROM nd)
+              - pow(CAST(tot AS DOUBLE) / (SELECT n FROM nd), 2))
+             / (CAST(tot AS DOUBLE) / (SELECT n FROM nd)), 6) AS vmr
+FROM top
+"""
+
+
+@register("token_dispersion", _DISPERSION_ORACLE, tags=["llm", "text"])
+def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of the top-20 corpus tokens: variance-to-mean ratio of
+    per-document counts (Poisson scatter ~= 1; topical/bursty tokens
+    well above — the Church-Gale dispersion signal separating function
+    words from content words). Per-token sums are exact integers off
+    one (doc, token) aggregate; the top-20 selection tie-breaks on the
+    token itself."""
+    docs = _docs(spark, sf_dir)
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    tf = (
+        docs.select("doc_id", F.explode(F.expr(tk)).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    s = tf.groupBy("w").agg(
+        F.sum("c").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    top = s.orderBy(F.desc("tot"), F.asc("w")).limit(20)
+    mean = F.col("tot").cast("double") / F.col("n")
+    return top.crossJoin(F.broadcast(nd)).select(
+        F.col("w").alias("token"),
+        F.col("tot").alias("n_occurrences"),
+        F.col("df").alias("n_docs"),
+        F.round(
+            (F.col("ss").cast("double") / F.col("n") - mean * mean) / mean, 6
+        ).alias("vmr"),
+    )
