@@ -2490,3 +2490,95 @@ def q_token_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss").cast("double") / F.col("n") - mean * mean) / mean, 6
         ).alias("vmr"),
     )
+
+
+_ZIPF_ORACLE = f"""
+WITH tf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest({_D_TOKENS.format(col='text')}) AS w FROM documents)
+    GROUP BY 1
+),
+top AS (
+    SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rk
+    FROM tf ORDER BY c DESC, w ASC LIMIT 100
+),
+terms AS (
+    SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+    FROM top
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(x ORDER BY rk)), (a, v) -> a + v) AS sx,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(y ORDER BY rk)), (a, v) -> a + v) AS sy,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(x * x ORDER BY rk)), (a, v) -> a + v) AS sxx,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(x * y ORDER BY rk)), (a, v) -> a + v) AS sxy
+    FROM terms
+)
+SELECT n AS n_tokens,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s
+"""
+
+
+@register("zipf_slope", _ZIPF_ORACLE, tags=["llm", "text"])
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-100 token frequencies: the OLS slope
+    of ln(freq) on ln(rank) — natural corpora sit near -1; synthetic or
+    templated text drifts shallow (this corpus reports its own
+    deviation). Each (x, y) term is a pure function of exact counts and
+    a deterministic rank; the four float sums are rank-ordered folds,
+    so both engines fit the identical line. One token aggregate, a
+    100-row TopK, a 1-row result."""
+    docs = _docs(spark, sf_dir)
+    tk = dedup.TOKENS_EXPR.format(col="text")
+    tf = (
+        docs.select(F.explode(F.expr(tk)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        tf.orderBy(F.desc("c"), F.asc("w"))
+        .limit(100)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+        )
+    )
+    terms = top.select(
+        "rk",
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    folds = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.expr(
+                f"aggregate(transform(array_sort(collect_list("
+                f"struct(rk, {expr}))), t -> t.col2), CAST(0 AS DOUBLE), "
+                f"(a, v) -> a + v)"
+            ).alias(name)
+            for name, expr in [
+                ("sx", "x AS col2"),
+                ("sy", "y AS col2"),
+                ("sxx", "x * x AS col2"),
+                ("sxy", "x * y AS col2"),
+            ]
+        ],
+    )
+    n, sx, sy, sxx, sxy = (
+        F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return folds.select(
+        n.alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )
