@@ -148,6 +148,89 @@ def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
     return {"copies": copies, **res}
 
 
+def _skew_probe(spark, sf_dir: str) -> dict:
+    """Adversarial-skew probe (SCALE.md's skew claims, measured): remap
+    user_id so ONE user owns ~10% of all events, then time the plain vs
+    skew-safe twins on the identical frame — groupBy vs salted_grouped_agg
+    (operators/aggregates.py:24) and interval_join vs interval_join_banded
+    (operators/relational.py:54,116). AQE's skew-join splitting is ON (the
+    session default), so "plain" is Spark's best unaided effort; the probe
+    records what explicit salting/banding buys ON TOP at this scale. The
+    equality of results is pytest-enforced (tests/test_invariance.py);
+    here only wall-clock is recorded, into BENCH_FULL's skew_probe block."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.operators.aggregates import salted_grouped_agg
+    from streambench_spark.operators.relational import (
+        interval_join,
+        interval_join_banded,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(0)).otherwise(
+                F.col("user_id") + 1
+            ),
+        )
+        .select(
+            "event_id", "user_id", "ts", "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        # freeze the skewed frame so each timed run measures the operator,
+        # not the remap scan
+        .localCheckpoint()
+    )
+
+    def timed(build):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    out = {
+        "hot_key_share": 0.1,
+        "plain_agg_s": timed(
+            lambda: ev.groupBy("user_id").agg(
+                F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n")
+            )
+        ),
+        "salted_agg_s": timed(
+            lambda: salted_grouped_agg(
+                ev,
+                keys=["user_id"],
+                partial_aggs=[
+                    F.sum("cents").alias("ps"),
+                    F.count(F.lit(1)).alias("pn"),
+                ],
+                final_aggs=[
+                    F.sum("ps").alias("s"),
+                    F.sum("pn").alias("n"),
+                ],
+            )
+        ),
+        "plain_interval_join_s": timed(
+            lambda: interval_join(
+                purchases, views, key="user_id",
+                left_ts="pts", right_ts="ts", upper="5 minutes",
+            )
+        ),
+        "banded_interval_join_s": timed(
+            lambda: interval_join_banded(
+                purchases, views, key="user_id",
+                left_ts="pts", right_ts="ts", upper="5 minutes",
+            )
+        ),
+    }
+    ev.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -197,6 +280,12 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
 
+    skew: dict = {}
+    try:
+        skew = _skew_probe(spark, sf_dir)
+    except Exception as exc:
+        print(f"bench error in skew probe: {exc!r}", file=sys.stderr)
+
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "0"))
     scaled: dict = {}
     if replicate > 1:
@@ -216,6 +305,7 @@ def main() -> None:
                 "sf": sf_val,
                 "queries": timings,
                 "streaming_ysb": streaming,
+                "skew_probe": skew,
                 "scaled": scaled,
             },
             fh,
@@ -255,7 +345,27 @@ def main() -> None:
             k: v for k, v in streaming.items() if not k.startswith("replay_")
         }
         out = json.dumps(line)
-    print(out)
+    # Tail hygiene: the driver records only a ~2000-char stdout TAIL, so the
+    # JSON line must be the last thing any thread writes. BENCH_r02 was
+    # nulled by a truncated tail and r03's tail carried a JVM stack trace
+    # printed by a late streaming-teardown thread right before the line —
+    # so: stop every active streaming query, silence the JVM logger, tear
+    # the whole session down, and only then print. With the JVM gone,
+    # nothing can interleave with or follow the line.
+    try:
+        for q in spark.streams.active:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        spark.sparkContext.setLogLevel("OFF")
+        spark.stop()
+    except Exception:
+        pass
+    sys.stderr.flush()
+    sys.stdout.flush()
+    time.sleep(1)  # let any last JVM/log writer threads drain first
+    print(out, flush=True)
 
 
 if __name__ == "__main__":

@@ -78,6 +78,7 @@ def pagerank_exact(
     iterations: int = 3,
     scale: int = 1_000_000,
     edges_distinct: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Scaled-integer PageRank (damping 0.85), bit-exact across engines.
 
@@ -116,15 +117,15 @@ def pagerank_exact(
             .groupBy(F.col("b").alias("a"))
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            deg.join(contrib, "a", "left")
-            .select(
-                "a",
-                (base + F.expr("85 * coalesce(s, 0L) DIV 100").cast("long")).alias("pr"),
-                "deg",
-            )
-            .localCheckpoint()
+        ranks = deg.join(contrib, "a", "left").select(
+            "a",
+            (base + F.expr("85 * coalesce(s, 0L) DIV 100").cast("long")).alias("pr"),
+            "deg",
         )
+        if checkpoint:
+            # truncate lineage so round k's plan doesn't re-execute 1..k-1;
+            # checkpoint=False exposes one round's plan for shape tests
+            ranks = ranks.localCheckpoint()
     return ranks.select(F.col("a").alias("node"), "pr")
 
 

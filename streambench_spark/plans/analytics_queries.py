@@ -467,7 +467,7 @@ def q_sliding_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
         SELECT user_id, ts,
                CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessions AS (
@@ -2012,11 +2012,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "asof_join_cogrouped_attribution",
     """
-    WITH views AS (
-        SELECT user_id, ts, max(event_id) AS view_id
-        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    WITH ev10 AS (
+        SELECT * FROM events WHERE user_id % 10 = 0
     ),
-    purchases AS (SELECT user_id, ts, event_id FROM events
+    views AS (
+        SELECT user_id, ts, max(event_id) AS view_id
+        FROM ev10 WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    purchases AS (SELECT user_id, ts, event_id FROM ev10
                   WHERE event_type = 'purchase')
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
@@ -2031,13 +2034,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_asof_join_cogrouped_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The as-of attribution join through the COGROUPED applyInPandas
     path (operators/relational.py:asof_join_cogrouped): per-user Arrow
-    batches merged by pandas merge_asof. Same oracle as the builtin
+    batches merged by pandas merge_asof. Same oracle shape as the builtin
     sorted-union twin — the two implementations must agree bit-for-bit;
-    the builtin is the scale default, this one keeps the custom-per-key-
-    logic escape hatch (tolerance/nearest matching) tested."""
+    the builtin (asof_join_attribution) is the scale default and runs the
+    FULL table, this one keeps the custom-per-key-logic escape hatch
+    (tolerance/nearest matching) tested on a deterministic 10%-of-users
+    slice: per-key Python semantics are identical at any slice, and the
+    full-size run was the single most expensive query in the whole suite
+    (11.8 s, 17x its builtin twin) for no extra proof value."""
     from streambench_spark.operators.relational import asof_join_cogrouped
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
     # epoch-millis LONGs cross the Arrow boundary, not timestamps: the
     # per-batch timestamp/timezone conversion TRIPLES applyInPandas cost
     # (measured 6.5 s vs 2.1 s for a noop at sf0.1); merge_asof orders
@@ -4028,7 +4035,7 @@ WITH ordered AS (
 ), marked AS (
     SELECT user_id, ts,
            CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ), sessions AS (
@@ -4238,7 +4245,7 @@ WITH ordered AS (
 ), marked AS (
     SELECT user_id, ts, event_type,
            CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ), sess AS (
@@ -4386,7 +4393,7 @@ WITH ordered AS (
 ), marked AS (
     SELECT user_id, ts, event_type,
            CASE WHEN prev_ts IS NULL
-                     OR ts - prev_ts >= INTERVAL 30 MINUTE
+                     OR ts - prev_ts > INTERVAL 30 MINUTE
                 THEN 1 ELSE 0 END AS new_session
     FROM ordered
 ), sess AS (

@@ -237,7 +237,7 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), marked AS (
         SELECT user_id, ts,
                CASE WHEN prev_ts IS NULL
-                         OR ts - prev_ts >= INTERVAL 30 MINUTE
+                         OR ts - prev_ts > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
         FROM ordered
     ), sessions AS (
@@ -871,6 +871,154 @@ REGISTRY["generator_events_flink"] = QueryDef(
 )
 
 
+@register(
+    "kafka_wire_roundtrip",
+    """
+    SELECT CAST(user_id AS VARCHAR) AS key_str,
+           CAST(event_id % 32 AS INTEGER) AS "partition",
+           event_id AS "offset",
+           event_id, user_id, event_type,
+           epoch_ms(ts) AS ts_ms,
+           CAST(round(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    tags=["kafka", "scalar"],
+)
+def q_kafka_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 wire-path proof without a broker: build records in the EXACT
+    Kafka source schema (key/value binary, topic string, partition int,
+    offset long, timestamp, timestampType int — what
+    ``spark.read.format("kafka")`` returns), then decode through
+    sources.kafka.decode_json_rows, carrying the broker metadata through
+    the decode the way the reference's latency read-back does
+    (SparkYahooRunner.scala:127-135: batch-read the output topic, decode
+    the JSON value, keep the broker timestamp). The payload is serialized
+    with the same to_json(struct(...)) shape as sinks.to_json_rows (S2/S3,
+    YahooBenchmarkRunner.scala:40-47); value goes through cents (long) so
+    the roundtrip is over exact integer/string JSON types."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from streambench_spark.sources.kafka import decode_json_rows
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    payload = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "ts_ms", "value_cents")
+    )
+    # the Kafka source's exact column set and types
+    raw = ev.select(
+        F.col("user_id").cast("string").cast("binary").alias("key"),
+        payload.cast("binary").alias("value"),
+        F.lit("events-out").alias("topic"),
+        (F.col("event_id") % 32).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.timestamp_millis(F.col("ts_ms")).alias("timestamp"),
+        F.lit(0).cast("int").alias("timestampType"),
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("value_cents", LongType()),
+        ]
+    )
+    return decode_json_rows(
+        raw.withColumn("key_str", F.col("key").cast("string")),
+        schema,
+        keep=("key_str", "partition", "offset"),
+    )
+
+
+@register(
+    "session_windows_edges",
+    """
+    WITH base AS (
+        SELECT event_id % 8 AS user_id, event_id // 8 AS k
+        FROM events WHERE event_id < 512
+    ), stamped AS (
+        SELECT user_id,
+               1704067200 + (k // 4) * 5401
+               + CASE k % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                            WHEN 2 THEN 1800 ELSE 3600 END AS sec
+        FROM base
+    ), ordered AS (
+        SELECT user_id, sec,
+               lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev_sec
+        FROM stamped
+    ), marked AS (
+        SELECT user_id, sec,
+               CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ordered
+    ), sessions AS (
+        SELECT user_id, sec,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           min(sec) * 1000 AS session_start,
+           (max(sec) + 1800) * 1000 AS session_end,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=["windows"],
+)
+def q_session_windows_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 merge edge-cases: the reference's session merge logic
+    (sbx/Values.h:1484-1528,1599-1664 — gap-touching handling and
+    start-extension on merge) exercised on a deterministic fixture derived
+    from event_id, with per-user event offsets cycling through deltas of
+    {1 s (adjacent), 1799 s (just under the 30 min gap), 1800 s (exactly
+    the gap), 1801 s (just over)}. Semantics pinned — measured, not
+    assumed: Spark's session_window merges on EXACT TOUCH (an event
+    landing exactly at the previous session's extended end EXTENDS it;
+    only delta > gap breaks), which is the reference's extend-on-touch
+    merge. The oracle's per-event gaps-and-islands rule (break iff
+    delta > gap, strictly) is equivalent to Spark's window-overlap rule
+    (merge iff next.start <= prev_max + gap), and this fixture hits the
+    boundary on both sides. Writing the break as `>=` passes on organic
+    data (exact-gap deltas never occur at µs resolution) but fails here —
+    the reason this fixture exists; the other session oracles were
+    aligned to strict `>` accordingly.
+
+    Each 4-event cycle at offsets {0, 1, 1800, 3600} s merges into ONE
+    session (the 1800→3600 hop touches exactly) ending at 5400 s; the
+    next cycle starts 1801 s later and breaks: 512 events → 8 users ×
+    16 cycles = 128 rows of n_events=4. Timestamps are built from epoch
+    seconds on both sides, so the check is timezone-free."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 512)
+    k = F.floor(F.col("event_id") / F.lit(8))
+    cum = (
+        F.when(k % 4 == 0, 0)
+        .when(k % 4 == 1, 1)
+        .when(k % 4 == 2, 1800)
+        .otherwise(3600)
+    )
+    off = F.floor(k / F.lit(4)) * 5401 + cum
+    base = ev.select(
+        (F.col("event_id") % 8).alias("user_id"),
+        F.timestamp_seconds(F.lit(1704067200) + off).alias("ts"),
+    )
+    out = win.session_windowed_agg(
+        base,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
+
+
 # LLM-data-pipeline + TPC-H-style entries register themselves on import
 # (bottom of file so `register` exists; the partial-module cycle is benign).
 from streambench_spark.plans import analytics_queries  # noqa: E402, F401
@@ -882,115 +1030,144 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # Driver-facing ordering.
 #
 # The verify driver checks the FIRST 50 entries of queries() against their
-# oracles (CORRECTNESS_r02 key set == registry slots 0-49 exactly). Round 2
-# drove slots 0-49 green; this window rotates the queries that have never
-# had a driver correctness row to the front — the whole LLM-pipeline
-# family, all TPC-H, the analytics extras, and this round's new entries.
-# Everything outside the window keeps the IDENTICAL pytest oracle gate
-# (tests/test_registry.py runs every registered oracle), so rotation trades
-# no protection away; _ROTATED_NEXT is the queue for the round after.
+# oracles. Rounds 2+3 drove 100 distinct queries green (CORRECTNESS_r02/r03);
+# this round-4 window is 50 of the 119 never-driver-checked names: the two
+# new driver proofs (kafka_wire_roundtrip S4 wire path, session_windows_edges
+# W2 merge boundary), then the scale-critical backlog the round-3 verdict
+# named (ysb_sql, streaming interval/session variants, the sketch family,
+# graph, PCA/k-means, training_mix_pipeline, the five events_*_source rows,
+# the cogrouped as-of). Everything outside the window keeps the IDENTICAL
+# pytest oracle gate (tests/test_registry.py runs every registered oracle),
+# so rotation trades no protection away; _ROTATED_NEXT queues the remaining
+# 69 for rounds 5-6. The registry is otherwise FROZEN this round (verdict
+# item 1): +2 entries only, both driver proofs the verdict itself requested.
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    # LLM dedup / similarity / dataset-assembly leads
-    "exact_dedup",
-    "minhash_lsh_neardup",
-    "neardup_ngram_jaccard_capped",
-    "embedding_lsh_topk",
-    "embedding_lsh_multiprobe_topk",
-    "dataset_split",
-    "decontaminate",
-    "span_dedup",
-    # TPC-H (Q12 needs l_commitdate/l_receiptdate the testdata lacks)
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # round-3 trigger/backpressure proofs (T4/T7)
-    "ysb_trigger_early_fire",
-    "ysb_paced_files_drain",
-    # analytics extras (r02 slots 50-57)
-    "value_correlation",
-    "ohlc_hourly_bars",
-    "timeseries_gapfill",
-    "full_outer_activity",
-    "copurchase_pagerank",
-    "unpivot_activity_matrix",
-    "chi2_independence",
-    "event_transition_matrix",
-    # LLM text/sampling family
-    "tfidf_top_terms",
-    "dataset_shuffle",
-    "neardup_embedding_lsh",
-    "quality_filter",
-    "corpus_clean_pipeline",
-    "lang_id",
-    "pii_scrub",
-    "token_counts",
-    "doc_stats",
-    "chunk_docs",
-    "mixture_rate_sample",
-]
-
-# Still driver-unchecked after this round; they go right after the window
-# so the NEXT rotation is a pure list swap.
-_ROTATED_NEXT: list[str] = [
-    "tpch_q12_shipping_modes",
+    "kafka_wire_roundtrip",
+    "session_windows_edges",
+    "ysb_sql",
+    "interval_join_full_outer_streaming",
+    "session_windows_dynamic_gap",
+    "session_windows_dynamic_gap_streaming",
+    "cms_heavy_hitters",
+    "cms_streaming_merge",
+    "bloom_decontaminate",
+    "bloom_join_prune",
+    "kmv_daily_rollup",
+    "neardup_clusters",
+    "copurchase_triangles",
+    "neardup_ngram_jaccard",
+    "embedding_topk_cosine",
+    "embedding_ivf_topk",
+    "simhash_fingerprint",
+    "streaming_minhash_dedup",
+    "training_mix_pipeline",
+    "pca_top_component",
+    "kmeans_iterations",
+    "stratified_sample",
+    "sequence_packing",
     "events_csv_source",
     "events_json_source",
+    "events_orc_source",
+    "events_partitioned_source",
+    "events_schema_evolution_source",
+    "compacted_events_source",
+    "asof_join_cogrouped_attribution",
+    "tpch_q12_shipping_modes",
     "bpe_pair_counts",
     "neardup_lsh_recall_report",
     "canonical_per_source",
-    "streaming_minhash_dedup",
-    "simhash_fingerprint",
     "doc_fingerprint",
     "corpus_stats",
-    "stratified_sample",
-    "sequence_packing",
     "embedding_quantize_int8",
     "upsample_epochs",
     "repetition_stats",
     "edit_distance_neighbors",
     "chunk_docs_overlap",
-    "neardup_ngram_jaccard",
-    "neardup_clusters",
-    "embedding_ivf_topk",
-    "embedding_topk_cosine",
     "neardup_embedding_cosine",
     "frame_sampling_plan",
     "audio_segment_plan",
     "binary_features",
     "image_resize",
     "zorder_layout_keys",
-    # round-3 additions
     "gopher_quality_rules",
     "contamination_scores",
     "neardup_containment",
-    "dedup_keep_best",
-    "events_orc_source",
-    "ysb_sql",
-    "events_partitioned_source",
+]
+
+# Still driver-unchecked after this round; they go right after the window
+# so the NEXT rotation is a pure list swap.
+_ROTATED_NEXT: list[str] = [
     "segment_linear_trend",
     "profile_columns",
     "cdc_latest_state",
     "mad_by_type",
+    "ewma_hourly_value",
+    "value_autocorr",
+    "hourly_anomalies",
+    "rfm_segments",
+    "funnel_time_to_convert",
+    "modal_value_by_type",
+    "equidepth_histogram",
+    "top_event_paths",
+    "validate_events",
+    "revenue_share_by_type",
+    "histogram_sketch_quantiles",
+    "conversion_rate_ci",
+    "cms_join_size_estimate",
+    "frequent_itempairs",
+    "activity_gini",
+    "null_semantics_audit",
+    "user_activity_map",
+    "benford_digit_test",
+    "grouping_sets_revenue",
+    "twap_value_per_user",
+    "range_frame_analytics",
+    "interarrival_histogram",
+    "moments_by_type",
+    "cdc_with_deletes",
+    "relational_division",
+    "kmv_set_operations",
+    "daily_value_bands",
+    "cumulative_unique_users",
+    "dau_mau_stickiness",
+    "weekly_revenue_growth",
+    "revenue_pareto",
+    "clamped_running_balance",
+    "psi_value_drift",
+    "ks_value_drift",
+    "mannwhitney_value_drift",
+    "weekday_seasonality",
+    "session_bounce_rate",
+    "user_behavior_entropy",
+    "longest_active_streak",
+    "abc_classification",
+    "session_type_affinity",
+    "new_vs_returning_daily",
+    "session_conversion_rate",
+    "hourly_ccf_purchase_error",
+    "copurchase_degree_distribution",
+    "dedup_keep_best",
+    "weighted_sample",
+    "bigram_lm_score",
+    "embedding_norm_stats",
+    "embedding_covariance",
+    "split_ngram_coverage",
+    "pca_variance_explained",
+    "embedding_centroids",
+    "kmeans_assign_step",
+    "source_vocab_overlap",
+    "hapax_ratio_by_source",
+    "token_dispersion",
+    "zipf_slope",
+    "observed_metrics",
+    "recursive_date_spine",
+    "variant_json_extract",
+    "lateral_top_orders",
+    "collated_event_types",
+    "snapshot_diff",
+    "table_checksums",
 ]
 
 

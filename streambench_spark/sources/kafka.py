@@ -38,12 +38,18 @@ def kafka_gated(action):
         ) from exc
 
 
-def decode_json_rows(raw: DataFrame, schema: StructType) -> DataFrame:
+def decode_json_rows(
+    raw: DataFrame, schema: StructType, keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Inverse of sinks.to_json_rows: Kafka value bytes → typed columns
-    (SparkYahooRunner.scala:132-135 get_json_object decode)."""
+    (SparkYahooRunner.scala:132-135 get_json_object decode). ``keep`` carries
+    Kafka metadata columns (topic/partition/offset/timestamp) through the
+    decode — the reference's latency read-back keeps the broker timestamp
+    alongside the payload (SparkYahooRunner.scala:136-145)."""
     return raw.select(
-        F.from_json(F.col("value").cast("string"), schema).alias("r")
-    ).select("r.*")
+        *[F.col(c) for c in keep],
+        F.from_json(F.col("value").cast("string"), schema).alias("r"),
+    ).select(*keep, "r.*")
 
 
 def kafka_batch_source(

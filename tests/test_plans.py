@@ -185,6 +185,60 @@ def test_bloom_join_prune_fact_never_shuffles(spark):
         assert m.group(1).strip().startswith(("user_id", "widx")), plan
 
 
+def test_triangles_node_keyed_no_forced_broadcast(spark):
+    """copurchase_triangles' docstring plan claims, pinned: every shuffle
+    keys on a node/edge id, and NOTHING is hint-broadcast — with the
+    size-based auto-broadcast disabled, zero BroadcastExchange remains
+    (at test SF the optimizer may legitimately broadcast the tiny frames;
+    a broadcast() hint on a node-cardinality frame would survive the
+    threshold and break at 100×). No cartesian/nested-loop join anywhere
+    (the wedge join is an equi-join under the degree orientation)."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "copurchase_triangles")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plan.count("BroadcastExchange (") == 0
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
+    assert keys <= {"src", "dst", "l_orderkey", "n", "node", "u", "v"}, keys
+
+
+def test_pagerank_round_is_one_join_one_aggregate(spark):
+    """One PageRank round (uncheckpointed lineage) is exactly the
+    documented shape: the edge join + the contribution aggregate + the
+    node-sized rank rebuild — 4 exchanges total, every one keyed on a
+    node id, nothing hint-broadcast (operators/graph.py:pagerank_exact)."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.operators.graph import pagerank_exact
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    edges = (
+        li.alias("a")
+        .join(li.alias("b"), F.expr(
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pr = pagerank_exact(edges, iterations=1, edges_distinct=True,
+                            checkpoint=False)
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            pr._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert plan.count("BroadcastExchange (") == 0
+    assert plan.count("Exchange (") == 4
+    keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
+    assert keys <= {"a", "b"}, keys
+
+
 def test_exchange_reuse_for_shared_aggregate(spark):
     """A self-joined aggregate reuses ONE shuffle (ReusedExchange):
     Catalyst dedups identical exchange subtrees, so the per-type counts

@@ -46,9 +46,13 @@ def test_every_query_function_is_registered():
 
 def test_driver_window_rotation():
     """The driver grades the first 50 entries of queries(); this round's
-    window must be exactly the previously-unchecked names, every one with
-    an oracle, and the full ordering must cover the registry with no
-    duplicates or drops."""
+    window must be exactly previously-unchecked names (zero overlap with
+    ANY recorded CORRECTNESS round), every one with an oracle, and the
+    full ordering must cover the registry with no duplicates or drops."""
+    import glob
+    import json
+    import os
+
     from streambench_spark.plans.queries import _DRIVER_WINDOW, queries, oracles
 
     ordered = list(queries())
@@ -59,6 +63,19 @@ def test_driver_window_rotation():
     ora = oracles()
     for name in _DRIVER_WINDOW:
         assert name in ora, f"window query {name} has no oracle"
+    # rotation invariant: the window never re-spends a slot on a query
+    # that already has a driver CORRECTNESS row from an earlier round.
+    # Once the driver grades THIS window, the latest file will contain
+    # exactly these names — that file (window ⊆ its keys) is excluded.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    checked: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            names = set(json.load(fh))
+        if not set(_DRIVER_WINDOW) <= names:
+            checked |= names
+    overlap = sorted(checked & set(_DRIVER_WINDOW))
+    assert not overlap, f"window re-spends driver-checked slots: {overlap}"
     # r02-proven queries stay registered (protected by this same file's
     # oracle parametrization), just outside the window
     for name in ("ysb", "ysb_streaming_append", "session_windows"):
