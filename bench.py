@@ -113,10 +113,33 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     return streaming
 
 
-def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
-    """Optional scale-up: drain the YSB pipeline over a copies×-replicated
-    events table (event ids offset per copy so dedup-free operators see
-    distinct rows) and report processed rows/s above the shipped sf."""
+# Events-driven headliners for the replicate-scale batch probe: one per
+# family whose input is the replicated fact (join, agg, windows, session,
+# sketch, interval join, percentiles, transition matrix, time series).
+SCALED_BATCH = [
+    "ysb",
+    "ysb_10s",
+    "session_windows",
+    "sliding_window_counts",
+    "windowed_distinct_users",
+    "cms_heavy_hitters",
+    "global_percentiles",
+    "interval_self_join_banded",
+    "event_transition_matrix",
+    "ohlc_hourly_bars",
+]
+
+
+def _replicated_trial(spark, sf_dir: str, copies: int,
+                      base_timings: dict[str, float]) -> dict:
+    """Scale-up evidence beyond the shipped sf: replicate the events fact
+    ``copies``× (event ids offset per copy so dedup-free operators see
+    distinct rows), symlink every other table, then (a) drain the YSB
+    streaming pipeline over it and (b) re-run the events-driven headline
+    batch queries against the replicated dir. ``ratio_per_copy`` =
+    time_at_k× / (k · time_at_1×): ~1.0 is linear scaling, < 1 means
+    fixed overhead amortizes away — the claim a 100 TB run rests on is
+    that this ratio does NOT grow with the data."""
     import tempfile
 
     from pyspark.sql import functions as F
@@ -124,6 +147,7 @@ def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
     from streambench_spark.bench import BenchParams
     from streambench_spark.bench.harness import run_throughput_trial
     from streambench_spark.catalog import load_table
+    from streambench_spark.plans.queries import REGISTRY
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.ysb import ysb_streaming
 
@@ -138,6 +162,9 @@ def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
     tmp = tempfile.mkdtemp(prefix="sb_benchrep_")
     path = os.path.join(tmp, "events.parquet")
     copies_df.repartition(32).write.mode("overwrite").parquet(path)
+    for name in os.listdir(sf_dir):
+        if name != "events.parquet":
+            os.symlink(os.path.join(sf_dir, name), os.path.join(tmp, name))
     out = ysb_streaming(
         stream_table(spark, tmp, "events"),
         load_table(spark, sf_dir, "customer"),
@@ -145,7 +172,32 @@ def _replicated_trial(spark, sf_dir: str, copies: int) -> dict:
         watermark=None,
     )
     res = run_throughput_trial(spark, BenchParams(duration_s=120), source=out)
-    return {"copies": copies, **res}
+    batch: dict[str, dict] = {}
+    for name in SCALED_BATCH:
+        t0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, tmp).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"bench error in scaled {name}: {exc!r}", file=sys.stderr)
+            continue
+        t = round(time.perf_counter() - t0, 3)
+        base = base_timings.get(name)
+        entry = {"scaled_s": t, "base_s": base}
+        if base and base > 0:
+            entry["ratio_per_copy"] = round(t / (copies * base), 3)
+        batch[name] = entry
+    ratios = sorted(
+        v["ratio_per_copy"] for v in batch.values() if "ratio_per_copy" in v
+    )
+    median_ratio = ratios[len(ratios) // 2] if ratios else None
+    return {
+        "copies": copies,
+        **res,
+        "batch": batch,
+        "batch_median_ratio_per_copy": median_ratio,
+    }
 
 
 def _skew_probe(spark, sf_dir: str) -> dict:
@@ -290,7 +342,7 @@ def main() -> None:
     scaled: dict = {}
     if replicate > 1:
         try:
-            scaled = _replicated_trial(spark, sf_dir, replicate)
+            scaled = _replicated_trial(spark, sf_dir, replicate, timings)
         except Exception as exc:
             print(f"bench error in replicated trial: {exc!r}", file=sys.stderr)
 
@@ -335,7 +387,8 @@ def main() -> None:
         "full": "BENCH_FULL.json",
     }
     if scaled:
-        line["scaled"] = scaled
+        # compact line carries the summary; per-query detail is in FULL
+        line["scaled"] = {k: v for k, v in scaled.items() if k != "batch"}
     out = json.dumps(line)
     if len(out) > 1800:  # stay inside the driver's 2000-char stdout tail
         line.pop("queries", None)

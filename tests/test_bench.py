@@ -128,3 +128,13 @@ def test_cli_list_and_oracle(capsys):
     assert "ysb" in out
     assert main(["oracle", "ysb"]) == 0
     assert "c_mktsegment" in capsys.readouterr().out
+
+
+def test_bench_headline_and_scaled_names_registered():
+    """bench.py's fixed query lists must stay valid registry names — a
+    rename would silently drop them from the compact line / scaled block."""
+    import bench
+    from streambench_spark.plans.queries import REGISTRY
+
+    assert all(n in REGISTRY for n in bench.HEADLINE)
+    assert all(n in REGISTRY for n in bench.SCALED_BATCH)
