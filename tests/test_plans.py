@@ -257,3 +257,25 @@ def test_exchange_reuse_for_shared_aggregate(spark):
     )
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
+
+
+def test_cms_heavy_hitters_sketch_broadcast_fact_local(spark):
+    """Count-Min heavy hitters (SCALE.md sketch claims): the sketch is
+    built by map-side-combined aggregates (shuffles key only on the
+    sketch row index / candidate key, never a raw-event id) and probed
+    via BROADCAST joins — the fact side never sort-merge joins."""
+    plan = _plan(spark, "cms_heavy_hitters")
+    keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
+    assert keys <= {"d", "user_id"}, keys
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmv_rollup_fixed_size_state_no_join(spark):
+    """KMV daily rollup: one hash-exchange chain on (bucket, hash) with
+    per-group top-k retention — no join anywhere, state is the k
+    smallest hashes per bucket regardless of input rows."""
+    plan = _plan(spark, "kmv_daily_rollup")
+    keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
+    assert keys <= {"_h", "bucket_ms"}, keys
+    assert "Join" not in plan
