@@ -74,6 +74,112 @@ def global_percentiles(
     )
 
 
+def exact_percentiles_sorted(
+    df: DataFrame,
+    col: str,
+    quantiles: dict[str, float],
+    keys: list[str] | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles (quantile_cont semantics:
+    position h = (n-1)·q on the 0-based sorted values, result =
+    v[floor(h)] + (h - floor(h))·(v[ceil(h)] - v[floor(h)])) computed by
+    DISTRIBUTED SORT instead of Spark's ``percentile()``, whose
+    TypedImperativeAggregate buffers every value of a group in ONE
+    executor's memory — the per-group collect anti-pattern this engine
+    bans elsewhere.
+
+    Grouped path: one hash exchange on the keys + a window sort — Spark's
+    external sort SPILLS, so a hot group costs disk, not an OOM; the
+    percentile rows are then picked by rank and interpolated relationally.
+
+    Global path (keys=None): ``repartitionByRange`` on the value (sampled
+    bounds → parallel, spillable sort shards) + per-partition Arrow
+    enumerate + broadcast cumulative offsets — the zipWithIndex shape of
+    ``llm/sampling.py:dataset_shuffle`` — so no single reducer ever holds
+    the column. An unpartitioned row_number window would serialize on one
+    task; ``percentile()`` would buffer 100 TB of doubles on one executor.
+
+    Exactness: both engines evaluate the identical IEEE expression on the
+    identical sorted inputs, so results hash-match DuckDB quantile_cont
+    bit-for-bit (ties order doesn't matter: equal values interpolate to
+    themselves). Returns one row per key group: keys + one column per
+    ``quantiles`` alias. The caller joins min/avg/max style companions
+    from a plain aggregate (cheap: both sides are group-cardinality).
+    """
+    from pyspark.sql import Window
+
+    keys = keys or []
+    v = F.col(col)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(col)
+        wn = Window.partitionBy(*keys)
+        ranked = df.select(*keys, col).select(
+            *keys,
+            col,
+            (F.row_number().over(w) - 1).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+    else:
+        spark = df.sparkSession
+        parts = spark.sparkContext.defaultParallelism
+        shards = (
+            df.select(v.alias(col))
+            .repartitionByRange(parts, col)
+            .sortWithinPartitions(col)
+            .withColumn("_pid", F.spark_partition_id())
+        )
+
+        def _enumerate(batches):
+            n = 0
+            for pdf in batches:
+                pdf = pdf.assign(_local=range(n, n + len(pdf)))
+                n += len(pdf)
+                yield pdf
+
+        vtype = df.schema[col].dataType.simpleString()
+        local = shards.mapInPandas(
+            _enumerate, schema=f"{col} {vtype}, _pid int, _local long"
+        )
+        if checkpoint:
+            # materialize once so the sizes branch and the rank join read
+            # the same partitions (and the range sampler runs once);
+            # checkpoint=False lets plan tests inspect the full lineage
+            local = local.localCheckpoint(eager=True)
+        sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_sz"))
+        off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = sizes.withColumn(
+            "_off", F.coalesce(F.sum("_sz").over(off_w), F.lit(0)).cast("long")
+        ).select("_pid", "_off")
+        total = sizes.agg(F.sum("_sz").cast("long").alias("_n"))
+        ranked = (
+            local.join(F.broadcast(offsets), "_pid")
+            .select(col, (F.col("_off") + F.col("_local")).alias("_rn"))
+            .crossJoin(F.broadcast(total))
+        )
+
+    def pos(q: float):
+        return (F.col("_n") - 1).cast("double") * F.lit(q)
+
+    # candidate rows: the floor/ceil rank of ANY requested quantile —
+    # at most 2·len(quantiles) rows per group survive into the final agg
+    cand = None
+    for q in quantiles.values():
+        c = (F.col("_rn") == F.floor(pos(q))) | (F.col("_rn") == F.ceil(pos(q)))
+        cand = c if cand is None else (cand | c)
+    picked = ranked.filter(cand)
+
+    aggs = []
+    for alias, q in quantiles.items():
+        h_row = pos(q)  # per-row copy of h, used inside pre-agg when()s
+        vlo = F.max(F.when(F.col("_rn") == F.floor(h_row), v))
+        vhi = F.max(F.when(F.col("_rn") == F.ceil(h_row), v))
+        # h again on the aggregated side (n is constant per group)
+        h = (F.max("_n") - 1).cast("double") * F.lit(q)
+        aggs.append((vlo + (h - F.floor(h)) * (vhi - vlo)).alias(alias))
+    return picked.groupBy(*keys).agg(*aggs)
+
+
 def kmv_distinct(
     df: DataFrame, group_keys: list[str], col: str, k: int = 32
 ) -> DataFrame:

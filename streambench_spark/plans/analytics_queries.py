@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streambench_spark.catalog import load_table
+from streambench_spark.operators.aggregates import exact_percentiles_sorted
 from streambench_spark.operators.relational import asof_join
 from streambench_spark.plans.queries import register
 
@@ -746,19 +747,31 @@ def q_cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group exact percentiles (the latency-report aggregate shape,
-    keyed): one shuffle on the low-cardinality group key; exact
-    percentile needs the group's sorted values so partial aggregation
-    collects per-partition buffers — at 100 TB swap in percentile_approx
-    (mergeable sketch, map-side partials) as the bench harness does; the
-    exact version here keeps the oracle hash-exact."""
+    keyed). The percentile side uses the window-sort path of
+    aggregates.exact_percentiles_sorted — Spark's external sort SPILLS a
+    hot group to disk where ``percentile()``'s TypedImperativeAggregate
+    would buffer the group's whole value array in one executor's memory;
+    rank-pick + relational interpolation replicate quantile_cont
+    bit-for-bit. min/avg/max ride a plain map-side-combined aggregate;
+    the two group-cardinality frames join on the key (broadcastable at
+    any corpus size — output is one row per event_type)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    return ev.groupBy("event_type").agg(
+    plain = ev.groupBy("event_type").agg(
         F.min("value").alias("min_v"),
         (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_v"),
-        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50_v"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_v"),
         F.max("value").alias("max_v"),
+    )
+    pct = exact_percentiles_sorted(
+        ev, "value", {"p50_raw": 0.50, "p95_raw": 0.95}, keys=["event_type"]
+    )
+    return plain.join(pct, "event_type").select(
+        "event_type",
+        "min_v",
+        "avg_v",
+        F.round(F.col("p50_raw"), 4).alias("p50_v"),
+        F.round(F.col("p95_raw"), 4).alias("p95_v"),
+        "max_v",
     )
 
 

@@ -579,16 +579,29 @@ def q_global_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches; the bench harness uses percentile_approx as the
     reference does. min/max are exact (no arithmetic); avg is computed as
     integer-cents sum / count so both engines do one identical IEEE
-    division; percentiles are rounded (linear interpolation on identical
-    sorted inputs)."""
+    division. Percentiles come from the DISTRIBUTED sort operator
+    (aggregates.exact_percentiles_sorted: range-partitioned parallel
+    sort + rank pick + interpolation) — Spark's ``percentile()`` would
+    buffer the whole column in one executor, the per-group collect this
+    engine bans; results are bit-identical (same IEEE interpolation on
+    the same sorted values). The two 1-row frames meet in a J4 cross
+    join."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
-    return ev.agg(
+    plain = ev.agg(
         F.min("value").alias("min_v"),
         (F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1))).alias("avg_v"),
-        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_v"),
-        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99_v"),
         F.max("value").alias("max_v"),
+    )
+    pct = agg_ops.exact_percentiles_sorted(
+        ev, "value", {"p95_raw": 0.95, "p99_raw": 0.99}
+    )
+    return rel.cross_join(plain, pct).select(
+        "min_v",
+        "avg_v",
+        F.round(F.col("p95_raw"), 4).alias("p95_v"),
+        F.round(F.col("p99_raw"), 4).alias("p99_v"),
+        "max_v",
     )
 
 

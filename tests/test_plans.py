@@ -279,3 +279,40 @@ def test_kmv_rollup_fixed_size_state_no_join(spark):
     keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
     assert keys <= {"_h", "bucket_ms"}, keys
     assert "Join" not in plan
+
+
+def test_global_percentiles_no_single_reducer_sort(spark):
+    """Exact global percentiles must never funnel the column into one
+    task: the ranking lineage (inspected uncheckpointed — the default
+    localCheckpoint truncates the plan, same as dataset_shuffle) ranks
+    via range partitioning + Arrow enumerate (the zipWithIndex shape),
+    with no unpartitioned Window and no percentile() buffering
+    aggregate; the registry query's final plan stays percentile()-free."""
+    from streambench_spark.catalog import load_table
+    from streambench_spark.operators.aggregates import exact_percentiles_sorted
+
+    ev = load_table(spark, SF_DIR, "events")
+    lineage = exact_percentiles_sorted(
+        ev, "value", {"p95_raw": 0.95, "p99_raw": 0.99}, checkpoint=False
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        lineage._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    assert "percentile(" not in plan
+    # no Window over the raw value column (that would be the
+    # single-reducer unpartitioned row_number); the only Window allowed
+    # orders the tiny per-partition sizes frame by _pid
+    assert "windowspecdefinition(value" not in plan
+    full = _plan(spark, "global_percentiles")
+    assert "percentile(" not in full
+
+
+def test_grouped_percentiles_window_sort_not_buffering(spark):
+    """Per-group exact percentiles ride a spillable window sort keyed on
+    the group, not percentile()'s in-memory per-group array buffer."""
+    plan = _plan(spark, "grouped_percentiles")
+    assert "percentile(" not in plan
+    keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
+    assert keys == {"event_type"}, keys
