@@ -1,0 +1,160 @@
+"""Exact-boundary semantics fixtures: organic microsecond data never
+lands exactly ON a window edge / band endpoint / tie, so a wrong
+inclusivity convention can hide behind green oracles indefinitely —
+round 4 caught exactly that in session_window (merge on exact gap touch;
+see session_windows_edges). These tests pin every other time operator's
+boundary behavior with hand-built timestamps AT the edges, against
+hand-computed expectations.
+
+Reference semantics being pinned:
+- tumbling/sliding windows are HALF-OPEN [start, end): an event exactly
+  at a window's end belongs to the next window (StreamBox window_id =
+  ts/width integer division, sbx/WinKeyFrag.h; Spark F.window same).
+- interval_join bounds are BOTH-INCLUSIVE [l.ts+lower, l.ts+upper]
+  (operators/relational.py:54), and the banded twin must agree AT the
+  band edges (a bucket-boundary off-by-one would drop edge matches).
+- as-of backward match is tie-INCLUSIVE: a quote exactly at the probe
+  ts wins over any earlier quote (DuckDB ASOF `<=`, pandas merge_asof
+  backward default, operators/relational.py:169).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+BASE = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return BASE + dt.timedelta(seconds=seconds)
+
+
+def test_tumbling_window_half_open(spark):
+    """Events at exactly 0s, 3599.999999s, 3600s: the first two share the
+    hour-0 window, the third opens hour 1 — [start, end), never [start,
+    end]."""
+    rows = [(1, _ts(0.0)), (2, _ts(3599.999999)), (3, _ts(3600.0))]
+    df = spark.createDataFrame(rows, "id long, ts timestamp")
+    out = {
+        r["id"]: r["ws"]
+        for r in df.select(
+            "id", F.unix_millis(F.window("ts", "1 hour").start).alias("ws")
+        ).collect()
+    }
+    h0 = 1704067200000
+    assert out[1] == h0
+    assert out[2] == h0
+    assert out[3] == h0 + 3_600_000
+
+
+def test_sliding_window_edge_membership(spark):
+    """1 h windows sliding by 30 min: an event exactly on a slide boundary
+    belongs to exactly len/slide = 2 windows, and its own boundary is a
+    window START (inclusive) but the earlier window that ENDS there
+    excludes it."""
+    t = 7200.0  # 02:00:00 — a slide boundary
+    df = spark.createDataFrame([(1, _ts(t))], "id long, ts timestamp")
+    starts = sorted(
+        r["ws"]
+        for r in df.select(
+            F.unix_millis(F.window("ts", "1 hour", "30 minutes").start).alias("ws")
+        ).collect()
+    )
+    base_ms = 1704067200000 + int(t * 1000)
+    # member of [01:30, 02:30) and [02:00, 03:00); NOT [01:00, 02:00)
+    assert starts == [base_ms - 1_800_000, base_ms]
+
+
+def test_interval_join_inclusive_both_ends(spark):
+    """Band [l.ts, l.ts + 60 s]: right rows exactly at l.ts and exactly at
+    l.ts+60 s both match; 60.000001 s does not."""
+    from streambench_spark.operators.relational import (
+        interval_join,
+        interval_join_banded,
+    )
+
+    left = spark.createDataFrame([(1, 10, _ts(100.0))], "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(
+        [
+            (1, 10, _ts(100.0)),       # exactly lower edge
+            (2, 10, _ts(160.0)),       # exactly upper edge
+            (3, 10, _ts(160.000001)),  # just past
+            (4, 10, _ts(99.999999)),   # just before
+        ],
+        "rid long, k long, rts timestamp",
+    )
+    for op in (interval_join, interval_join_banded):
+        got = sorted(
+            r["rid"]
+            for r in op(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                upper="1 minute",
+            ).collect()
+        )
+        assert got == [1, 2], (op.__name__, got)
+
+
+def test_asof_tie_inclusive_exact_timestamp(spark):
+    """A quote exactly AT the probe timestamp is the match (ties
+    inclusive), not the earlier quote — in both the sorted-union builtin
+    and the cogrouped merge_asof twin."""
+    from streambench_spark.operators.relational import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    probes = spark.createDataFrame(
+        [(1, 10, _ts(50.0))], "pid long, k long, pts timestamp"
+    )
+    quotes = spark.createDataFrame(
+        [(100, 10, _ts(40.0)), (200, 10, _ts(50.0)), (300, 10, _ts(60.0))],
+        "qid long, k long, qts timestamp",
+    )
+    got = asof_join(
+        probes, quotes, key="k", probe_ts="pts", quote_ts="qts",
+        quote_cols=["qid"],
+    ).collect()
+    assert len(got) == 1 and got[0]["qid"] == 200
+
+    # cogrouped twin crosses Arrow on epoch-millis longs (its contract)
+    p2 = probes.select("pid", "k", F.unix_millis("pts").alias("pms"))
+    q2 = quotes.select("qid", "k", F.unix_millis("qts").alias("qms"))
+    got2 = asof_join_cogrouped(
+        p2, q2, key="k", probe_ts="pms", quote_ts="qms",
+        quote_cols=["qid", "qms"],
+    ).collect()
+    assert len(got2) == 1 and got2[0]["qid"] == 200
+
+
+def test_watermark_exact_boundary_window_emission(spark):
+    """Append-mode emission at the EXACT watermark: a window whose end
+    equals the final watermark is finalized and emitted (Spark evicts
+    state when watermark >= window end); a window ending 1 ms past it is
+    withheld. Pins the `<=` in every *_streaming_append oracle's HAVING
+    cutoff."""
+    import tempfile
+
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    # two windows of 10 s: [0,10) and [10,20); max event ts 20.0 with a
+    # 10 s watermark delay → final watermark exactly 10.0 == end of w0
+    rows = [(1, _ts(0.0)), (2, _ts(5.0)), (3, _ts(12.0)), (4, _ts(20.0))]
+    src_dir = tempfile.mkdtemp(prefix="sb_wm_edge_")
+    spark.createDataFrame(rows, "id long, ts timestamp").write.mode(
+        "overwrite"
+    ).parquet(src_dir + "/events.parquet")
+    stream = spark.readStream.schema("id long, ts timestamp").parquet(
+        src_dir + "/events.parquet"
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), "n")
+    )
+    out = run_append_to_parquet(spark, agg, state_partitions=2)
+    got = {r["ws"]: r["n"] for r in out.collect()}
+    h0 = 1704067200000
+    assert got == {h0: 2}  # w0 emitted at exact-equality; w1 withheld
