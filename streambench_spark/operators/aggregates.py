@@ -196,10 +196,10 @@ def kmv_distinct(
     (see merge test), which is what a rollup over sketches needs.
 
     Plan shape: distinct on (group, hash) → per-group k-smallest via a
-    row_number window (one shuffle on the group key). At 100 TB the
-    per-partition partial (each partition keeps its own k smallest, merge
-    unions) replaces the window with a custom TypedImperativeAggregate /
-    pandas UDAF; the retained-set semantics and estimator stay identical.
+    row_number window (one shuffle on the group key). The 100 TB path is
+    ``kmv_retained_partial`` (map-side per-partition k-smallest, shuffle
+    bounded by k·partitions per group) — identical retained sets, pinned
+    by tests/test_sketches.py.
     """
     from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
 
@@ -248,6 +248,81 @@ def kmv_retained(
     w = Window.partitionBy(*group_keys).orderBy("_h")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def kmv_retained_partial(
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+) -> DataFrame:
+    """``kmv_retained`` with MAP-SIDE PARTIALS — the 100 TB shape the
+    plain version's docstring promises: each input partition first
+    reduces itself to its own k smallest distinct hashes per group in a
+    NARROW Arrow pass (no exchange), so the one shuffle that follows
+    carries at most k · num_partitions rows per group instead of every
+    distinct hash. This is exactly what a custom TypedImperativeAggregate
+    would do, expressed as mapInPandas + the existing relational merge
+    (KMV merge = union retained sets, re-take k smallest — lossless by
+    construction, so the result frame is IDENTICAL to kmv_retained's;
+    pinned by tests/test_sketches.py).
+
+    Per-task state: one (group → k smallest hashes) dict — bounded by
+    groups-per-partition · k longs, the same contract every mergeable
+    sketch here carries. Use when distinct cardinality per group is much
+    larger than k (the regime where sketches matter); at test SF the
+    plain version's single distinct+window is cheaper.
+    """
+    from pyspark.sql import Window
+
+    from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
+
+    h = spark_hash32(f"CAST({col} AS STRING)")
+    hashed = df.select(
+        *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
+    )
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields
+    )
+    keys = list(group_keys)
+
+    def _local_topk(batches):
+        import heapq
+
+        import pandas as pd
+
+        # group tuple -> (max-heap of negated k smallest, membership set);
+        # the set keeps the heap DISTINCT — a duplicate hash sneaking into
+        # a full heap would evict a legitimately-retained value
+        best: dict = {}
+        for pdf in batches:
+            hvals = pdf["_h"].to_numpy()
+            gcols = [pdf[c].to_numpy() for c in keys]
+            for idx in range(len(hvals)):
+                g = tuple(c[idx] for c in gcols)
+                hv = int(hvals[idx])
+                heap, seen = best.setdefault(g, ([], set()))
+                if hv in seen:
+                    continue
+                if len(heap) < k:
+                    heapq.heappush(heap, -hv)
+                    seen.add(hv)
+                elif hv < -heap[0]:
+                    evicted = -heapq.heappushpop(heap, -hv)
+                    seen.discard(evicted)
+                    seen.add(hv)
+        out_rows = [
+            (*g, -neg) for g, (heap, _) in best.items() for neg in heap
+        ]
+        if out_rows:  # empty partition → yield nothing (Arrow-safe)
+            yield pd.DataFrame(out_rows, columns=[*keys, "_h"])
+
+    partials = hashed.mapInPandas(_local_topk, schema=schema)
+    # merge: union of per-partition retained sets → distinct → k smallest
+    w = Window.partitionBy(*keys).orderBy("_h")
+    return (
+        partials.distinct()
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )

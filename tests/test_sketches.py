@@ -190,3 +190,26 @@ def test_kmv_retained_merge_is_lossless(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
     est = kmv_estimate(whole, ["g"], 32).first()
     assert est["n_kept"] == 32 and 1300 <= est["estimate"] <= 2700
+
+
+def test_kmv_partial_path_identical_to_plain(spark):
+    """The map-side-partial KMV (narrow Arrow k-smallest per partition,
+    then the relational merge) must return the IDENTICAL retained frame
+    as the single distinct+window version — the merge is lossless by
+    construction. Run over a multi-partition, multi-group frame with
+    heavy duplication so per-partition heaps actually evict."""
+    from streambench_spark.operators.aggregates import (
+        kmv_retained,
+        kmv_retained_partial,
+    )
+
+    df = (
+        spark.range(0, 20000, 1, 8)
+        .select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 700).alias("v"),  # duplicates across partitions
+        )
+    )
+    plain = sorted(map(tuple, kmv_retained(df, ["g"], "v", 16).collect()))
+    partial = sorted(map(tuple, kmv_retained_partial(df, ["g"], "v", 16).collect()))
+    assert partial == plain and len(plain) == 3 * 16
