@@ -189,6 +189,21 @@ FLAGSHIPS = {
     ),
 }
 
+FLAGSHIPS["global_percentiles"] = (
+    "Distributed exact percentile: rangepartitioning + MapInPandas "
+    "enumerate in the rank lineage (no unpartitioned Window, no "
+    "percentile() buffering aggregate); min/avg/max side joins via "
+    "1-row BroadcastNestedLoopJoin cross."
+)
+FLAGSHIPS["grouped_percentiles"] = (
+    "Per-group exact percentile rides ONE hash exchange on event_type "
+    "+ spillable window sort; no percentile() buffering aggregate."
+)
+FLAGSHIPS["kafka_wire_roundtrip"] = (
+    "Pure scan-stage codegen: to_json/from_json round-trip through the "
+    "exact Kafka source schema — no shuffle, no join."
+)
+
 
 def main() -> None:
     from streambench_spark.plans.queries import REGISTRY
