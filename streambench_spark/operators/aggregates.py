@@ -100,12 +100,19 @@ def exact_percentiles_sorted(
     the column. An unpartitioned row_number window would serialize on one
     task; ``percentile()`` would buffer 100 TB of doubles on one executor.
 
-    Exactness: both engines evaluate the identical IEEE expression on the
-    identical sorted inputs, so results hash-match DuckDB quantile_cont
-    bit-for-bit (ties order doesn't matter: equal values interpolate to
-    themselves). Returns one row per key group: keys + one column per
-    ``quantiles`` alias. The caller joins min/avg/max style companions
-    from a plain aggregate (cheap: both sides are group-cardinality).
+    Exactness: the interpolation uses the TWO-SIDED weighted form
+    v_lo·(ceil(h)−h) + v_hi·(h−floor(h)) — what both Spark's
+    ``percentile()`` and DuckDB quantile_cont evaluate internally (the
+    algebraically-equal lerp v_lo + frac·(v_hi−v_lo) differs in the last
+    ulp: measured on (−1e−05, 0.0, q=0.95), lerp gives …003e−07 where
+    both engines give …005e−07) — so results hash-match DuckDB
+    bit-for-bit with no rounding needed, and a property test pins
+    equality with ``percentile()`` on random inputs. Integral h (both
+    rank rows are the same row) returns v_lo exactly. Ties order doesn't
+    matter: equal values interpolate to themselves. Returns one row per
+    key group: keys + one column per ``quantiles`` alias. The caller
+    joins min/avg/max style companions from a plain aggregate (cheap:
+    both sides are group-cardinality).
     """
     from pyspark.sql import Window
 
@@ -176,7 +183,12 @@ def exact_percentiles_sorted(
         vhi = F.max(F.when(F.col("_rn") == F.ceil(h_row), v))
         # h again on the aggregated side (n is constant per group)
         h = (F.max("_n") - 1).cast("double") * F.lit(q)
-        aggs.append((vlo + (h - F.floor(h)) * (vhi - vlo)).alias(alias))
+        two_sided = vlo * (F.ceil(h) - h) + vhi * (h - F.floor(h))
+        aggs.append(
+            F.when(F.ceil(h) == F.floor(h), vlo)
+            .otherwise(two_sided)
+            .alias(alias)
+        )
     return picked.groupBy(*keys).agg(*aggs)
 
 

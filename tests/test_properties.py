@@ -292,3 +292,51 @@ def test_bloom_matches_python_model(spark, members, probes):
     got = {r["h"] for r in bloom_probe(pdf, bloom, "h", m_words, k).collect()}
     assert got == want
     assert set(members) <= got | (set(members) - set(probes))  # no false negatives
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # group
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_exact_percentiles_sorted_matches_percentile_builtin(spark, rows):
+    """The distributed-sort exact percentile must agree with Spark's own
+    percentile() (the in-memory reference implementation it replaces)
+    bit-for-bit, for random values, group sizes 1..n, and quantiles
+    hitting integral and fractional rank positions — grouped AND global
+    paths."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.operators.aggregates import exact_percentiles_sorted
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in rows], "g int, v double"
+    ).repartition(4)
+    qs = {"q25": 0.25, "q50": 0.50, "q95": 0.95}
+
+    ref_g = {
+        tuple(r[:1]): (r["q25"], r["q50"], r["q95"])
+        for r in df.groupBy("g").agg(
+            *[F.expr(f"percentile(v, {q})").alias(a) for a, q in qs.items()]
+        ).collect()
+    }
+    got_g = {
+        tuple(r[:1]): (r["q25"], r["q50"], r["q95"])
+        for r in exact_percentiles_sorted(df, "v", qs, keys=["g"]).collect()
+    }
+    assert got_g == ref_g
+
+    ref = df.agg(
+        *[F.expr(f"percentile(v, {q})").alias(a) for a, q in qs.items()]
+    ).first()
+    got = exact_percentiles_sorted(df, "v", qs).first()
+    assert (got["q25"], got["q50"], got["q95"]) == (
+        ref["q25"], ref["q50"], ref["q95"]
+    )

@@ -658,3 +658,66 @@ def test_foreachbatch_rereads_dim_per_batch(spark, tmp_path):
     assert got.count() == 200  # every event joined exactly once
     vers = {r["dim_ver"] for r in got.select("dim_ver").distinct().collect()}
     assert vers == {"v1", "v2"}  # dim re-resolved per batch, not once
+
+
+def test_append_watermark_evicts_window_state(spark, tmp_path):
+    """T2/T5 bounded-state proof with METRICS, not argument: drain 12
+    hourly slices one file per micro-batch; the state store must hold
+    only the open window(s) at any point (watermark evicts closed ones),
+    never all 12 — numRowsTotal stays small, numRowsRemoved fires, and
+    the emitted windows are exactly the 11 the final watermark closed."""
+    import datetime as dt
+    import glob as _glob
+    import os
+    import shutil
+
+    from streambench_spark.streaming.ysb import start_query
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    stage = str(tmp_path / "stage")
+    base = dt.datetime(2024, 1, 1)
+    for i in range(12):
+        rows = [
+            (i * 100 + j, base + dt.timedelta(hours=i, minutes=5 * j))
+            for j in range(10)
+        ]
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        part = _glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(src, f"{i:03d}.parquet")
+        shutil.copyfile(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_millis("w.start").alias("ws"), "n")
+    )
+    out_dir = str(tmp_path / "out")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = start_query(
+            agg, fmt="parquet", mode="append", available_now=True,
+            options={"path": out_dir},
+        )
+        assert q.awaitTermination(180), "drain timed out"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    emitted = spark.read.schema("ws long, n long").parquet(out_dir)
+    got = {r["ws"]: r["n"] for r in emitted.collect()}
+    assert len(got) == 11 and all(n == 10 for n in got.values())
+
+    progs = [p for p in q.recentProgress if p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progs]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progs)
+    assert max(totals) <= 3, totals   # never all 12 windows resident
+    assert removed >= 9, removed      # eviction actually fired
