@@ -92,10 +92,14 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     # Headline throughput: the reference's methodology (rate-source
     # target, listener-counted lower bound, StreamBenchMain.scala:32 +
     # SparkYahooRunner.scala:91-113) over the full filter→project→
-    # broadcast-join→windowed-agg pipeline. 6M/s request rate saturates
-    # local[32]; reported is processed rows/s — vs the reference targets
-    # of 2M/s (Spark path) and 2.7M/s (StreamBox release config).
-    live_tput = BenchParams(duration_s=15, rows_per_second=6_000_000,
+    # broadcast-join→windowed-agg pipeline. The request rate must exceed
+    # pipeline capacity or the trial measures the GENERATOR, not the
+    # engine (measured on local[32]: 6M/s requested → 5.1M processed,
+    # request-capped; 20/28/36M/s requested → 16.4/16.8/16.8M processed,
+    # saturated). 28M/s sits safely past the ~16.8M/s knee; reported is
+    # processed rows/s — vs the reference targets of 2M/s (Spark path)
+    # and 2.7M/s (StreamBox release config).
+    live_tput = BenchParams(duration_s=15, rows_per_second=28_000_000,
                             ramp_up_seconds=0, watermark="1 second",
                             num_partitions=cpus)
     streaming.update(run_throughput_trial(spark, live_tput, source=None))
