@@ -44,6 +44,7 @@ def connected_components(
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
     ).localCheckpoint()
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(
@@ -67,8 +68,110 @@ def connected_components(
         changed = proposed.filter(F.col("comp") != F.col("_old")).count()
         labels = proposed.drop("_old")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silently-unconverged label frame is a wrong answer, not a
+        # partial one; long-diameter graphs belong on the star variant
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget) — use "
+            "connected_components_star (O(log n) rounds on any topology)"
+        )
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) by LARGE-STAR / SMALL-STAR alternation — the
+    O(log n)-round connected components of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (SOCC 2014) — the scale upgrade
+    the min-label loop's docstring points long-diameter graphs at: a
+    path graph converges in ~log n alternations where min-label needs
+    diameter rounds (one hop per round).
+
+    Per alternation, with Γ(u) the current undirected neighborhood and
+    m(u) = min(Γ(u) ∪ {u}):
+      large-star: for v ∈ Γ(u), v > u  → edge (v, m(u))
+      small-star: for v ∈ Γ(u) ∪ {u}, v ≤ u, v ≠ m(u) → edge (v, m(u))
+    Both preserve connectivity and strictly shrink star heights; at the
+    fixed point every edge is (member, component-min). Each operation is
+    one node-keyed aggregate (the neighborhood min) + one node-keyed
+    join back to the edges — the same bounded per-round plan shape as
+    min-label/PageRank — with localCheckpoint lineage truncation;
+    convergence = the (count, xxhash64-sum) signature of the edge set
+    repeating, one tiny action per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _sym(frame: DataFrame) -> DataFrame:
+        return frame.unionByName(
+            frame.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    def _mins(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+
+    def _signature(frame: DataFrame):
+        # hash-sum as decimal: a long sum of xxhash64 values overflows,
+        # which ANSI mode (the Spark 4 default) turns into an error
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        sym = _sym(e)
+        # large-star: strictly-larger neighbors hook onto u's minimum
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        sym = _sym(e)
+        # small-star: u and its not-larger neighbors hook onto the minimum
+        small_nbrs = (
+            sym.filter(F.col("v") <= F.col("u"))
+            .join(_mins(sym), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        small_self = _mins(sym).select(F.col("u"), F.col("m").alias("v"))
+        e = (
+            small_nbrs.unionByName(small_self)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        new_sig = _signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "alternations"
+        )
+    # fixed point: e is (member, root) stars; roots label themselves
+    return e.select(F.col("u").alias("node"), F.col("v").alias("comp")).unionByName(
+        e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
+    )
 
 
 def pagerank_exact(

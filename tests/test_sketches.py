@@ -213,3 +213,51 @@ def test_kmv_partial_path_identical_to_plain(spark):
     plain = sorted(map(tuple, kmv_retained(df, ["g"], "v", 16).collect()))
     partial = sorted(map(tuple, kmv_retained_partial(df, ["g"], "v", 16).collect()))
     assert partial == plain and len(plain) == 3 * 16
+
+
+def test_star_cc_matches_minlabel_on_random_graph(spark):
+    """Large-star/small-star CC must produce the identical (node, comp)
+    labeling as min-label propagation on a mixed graph (several blobs +
+    isolated pairs), comp = component minimum in both."""
+    import random
+
+    from streambench_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rnd = random.Random(7)
+    edges = []
+    for blob in range(5):  # 5 dense-ish blobs of 20 nodes
+        nodes = [blob * 100 + i for i in range(20)]
+        for _ in range(40):
+            edges.append((rnd.choice(nodes), rnd.choice(nodes)))
+    edges += [(1000, 1001), (2000, 2001)]  # isolated pairs
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long"
+    )
+    plain = sorted(map(tuple, connected_components(df).collect()))
+    star = sorted(map(tuple, connected_components_star(df).collect()))
+    assert star == plain
+
+
+def test_star_cc_converges_on_long_chain_where_minlabel_raises(spark):
+    """A 120-node path has diameter 119: min-label at its default
+    25-round budget must now RAISE (previously it returned a silently
+    wrong labeling); the star variant converges inside its default
+    budget and labels every node with the chain minimum."""
+    import pytest
+
+    from streambench_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain)
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 120
+    assert all(r["comp"] == 0 for r in labels)
