@@ -1605,23 +1605,30 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust statistics: per-group median absolute deviation. Two exact
-    percentile passes — group medians first (group-cardinality output,
-    broadcast back), then the median of |x − med|. The broadcast keeps
-    the second pass shuffle-free on the fact side apart from its own
-    group aggregate; both engines interpolate identical sorted integer
-    inputs, so round(4) hash-matches. MAD is the outlier-resistant scale
-    estimate a quality pipeline uses where stddev would chase the tail."""
+    percentile passes, both on the distributed window-sort path (no
+    per-group value-array buffering) — group medians first
+    (group-cardinality output, broadcast back), then the median of
+    |x − med|; both engines run the identical two-sided interpolation on
+    identical sorted inputs, so round(4) hash-matches. MAD is the
+    outlier-resistant scale estimate a quality pipeline uses where
+    stddev would chase the tail."""
     ev = load_table(spark, sf_dir, "events")
     base = ev.select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    med = base.groupBy("event_type").agg(
-        F.expr("percentile(cents, 0.5)").alias("med")
+    med = exact_percentiles_sorted(
+        base, "cents", {"med": 0.5}, keys=["event_type"]
     )
-    joined = base.join(F.broadcast(med), "event_type")
-    return joined.groupBy("event_type").agg(
-        F.round(F.any_value("med"), 4).alias("median_cents"),
-        F.round(F.expr("percentile(abs(cents - med), 0.5)"), 4).alias("mad_cents"),
+    joined = base.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = exact_percentiles_sorted(
+        joined, "dev", {"mad_raw": 0.5}, keys=["event_type"]
+    )
+    return med.join(mad, "event_type").select(
+        "event_type",
+        F.round(F.col("med"), 4).alias("median_cents"),
+        F.round(F.col("mad_raw"), 4).alias("mad_cents"),
     )
 
 
@@ -2121,12 +2128,22 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v0").isNotNull() & F.col("p0").isNotNull()
         & (F.col("p0") >= F.col("v0"))
     ).select((F.col("p0") - F.col("v0")).alias("d_ms"))
-    return deltas.agg(
+    # the delta frame is user-cardinality — still too big for one
+    # executor's percentile() buffer at corpus scale; distributed sort
+    plain = deltas.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.min("d_ms").alias("min_ms"),
-        F.round(F.expr("percentile(d_ms, 0.5)"), 4).alias("p50_ms"),
-        F.round(F.expr("percentile(d_ms, 0.95)"), 4).alias("p95_ms"),
         F.max("d_ms").alias("max_ms"),
+    )
+    pct = exact_percentiles_sorted(
+        deltas, "d_ms", {"p50_raw": 0.5, "p95_raw": 0.95}
+    )
+    return plain.crossJoin(F.broadcast(pct)).select(
+        "n_users",
+        "min_ms",
+        F.round(F.col("p50_raw"), 4).alias("p50_ms"),
+        F.round(F.col("p95_raw"), 4).alias("p95_ms"),
+        "max_ms",
     )
 
 
@@ -3385,21 +3402,26 @@ FROM d GROUP BY 1
 @register("daily_value_bands", _BANDS_ORACLE, tags=["analytics", "timeseries"])
 def q_daily_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10/P50/P90 daily value bands — the BI fan-chart feed. Exact
-    percentiles interpolate identical sorted integer-cent inputs per
-    day; one day-keyed aggregate."""
+    percentiles ride the distributed window-sort path (a hot day SPILLS
+    instead of filling one executor with the day's value array, the
+    percentile() buffering this engine bans); identical two-sided
+    interpolation on identical sorted integer cents in both engines."""
     ev = load_table(spark, sf_dir, "events")
     day = ((F.unix_millis("ts") / 86400000).cast("long") * 86400000).alias(
         "bucket_ms"
     )
     cents = F.round(F.col("value") * 100).cast("long")
-    return (
-        ev.select(day, cents.alias("cents"))
-        .groupBy("bucket_ms")
-        .agg(
-            F.round(F.expr("percentile(cents, 0.1)"), 4).alias("p10_cents"),
-            F.round(F.expr("percentile(cents, 0.5)"), 4).alias("p50_cents"),
-            F.round(F.expr("percentile(cents, 0.9)"), 4).alias("p90_cents"),
-        )
+    pct = exact_percentiles_sorted(
+        ev.select(day, cents.alias("cents")),
+        "cents",
+        {"p10_raw": 0.1, "p50_raw": 0.5, "p90_raw": 0.9},
+        keys=["bucket_ms"],
+    )
+    return pct.select(
+        "bucket_ms",
+        F.round(F.col("p10_raw"), 4).alias("p10_cents"),
+        F.round(F.col("p50_raw"), 4).alias("p50_cents"),
+        F.round(F.col("p90_raw"), 4).alias("p90_cents"),
     )
 
 
