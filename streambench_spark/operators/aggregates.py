@@ -128,42 +128,15 @@ def exact_percentiles_sorted(
             F.count(F.lit(1)).over(wn).alias("_n"),
         )
     else:
-        spark = df.sparkSession
-        parts = spark.sparkContext.defaultParallelism
-        shards = (
-            df.select(v.alias(col))
-            .repartitionByRange(parts, col)
-            .sortWithinPartitions(col)
-            .withColumn("_pid", F.spark_partition_id())
-        )
+        from streambench_spark.operators.relational import global_row_number
 
-        def _enumerate(batches):
-            n = 0
-            for pdf in batches:
-                pdf = pdf.assign(_local=range(n, n + len(pdf)))
-                n += len(pdf)
-                yield pdf
-
-        vtype = df.schema[col].dataType.simpleString()
-        local = shards.mapInPandas(
-            _enumerate, schema=f"{col} {vtype}, _pid int, _local long"
-        )
-        if checkpoint:
-            # materialize once so the sizes branch and the rank join read
-            # the same partitions (and the range sampler runs once);
-            # checkpoint=False lets plan tests inspect the full lineage
-            local = local.localCheckpoint(eager=True)
-        sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_sz"))
-        off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = sizes.withColumn(
-            "_off", F.coalesce(F.sum("_sz").over(off_w), F.lit(0)).cast("long")
-        ).select("_pid", "_off")
-        total = sizes.agg(F.sum("_sz").cast("long").alias("_n"))
-        ranked = (
-            local.join(F.broadcast(offsets), "_pid")
-            .select(col, (F.col("_off") + F.col("_local")).alias("_rn"))
-            .crossJoin(F.broadcast(total))
-        )
+        ranked = global_row_number(
+            df.select(v.alias(col)),
+            [F.asc(col)],
+            rank_col="_rn1",
+            total_col="_n",
+            checkpoint=checkpoint,
+        ).select(col, (F.col("_rn1") - 1).alias("_rn"), "_n")
 
     def pos(q: float):
         return (F.col("_n") - 1).cast("double") * F.lit(q)

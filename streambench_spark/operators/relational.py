@@ -230,6 +230,92 @@ def asof_join(
     )
 
 
+def global_row_number(
+    df: DataFrame,
+    order: list,
+    rank_col: str = "_grn",
+    total_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed 1-based row_number over a TOTAL order — the parallel
+    replacement for ``row_number().over(Window.orderBy(...))`` /
+    ``ntile``, whose unpartitioned window funnels the whole frame into
+    ONE task (Spark plans a single-partition Exchange for an empty
+    PARTITION BY). Shape: ``repartitionByRange`` on the sort expressions
+    (sampled bounds → parallel, spillable sort shards), per-partition
+    Arrow enumerate (batches arrive in partition sort order, so a
+    running counter IS the local row number), broadcast cumulative
+    offsets — the zipWithIndex pattern shared with ``dataset_shuffle``
+    and ``exact_percentiles_sorted``.
+
+    ``order`` must be a total order (add a unique tiebreaker) or ranks
+    of ties are partition-placement-dependent. The enumerated frame is
+    localCheckpoint-ed, so follow-up aggregates over the result (totals,
+    grand sums) re-read materialized partitions instead of re-running
+    the upstream plan. ``total_col`` optionally attaches the overall row
+    count (derived from the per-partition sizes — no extra pass).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    shards = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def _enumerate(batches):
+        n = 0
+        for pdf in batches:
+            pdf = pdf.assign(_local=range(n + 1, n + 1 + len(pdf)))
+            n += len(pdf)
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in shards.schema.fields
+    )
+    local = shards.mapInPandas(_enumerate, schema=fields + ", _local long")
+    if checkpoint:
+        # materialize once: the sizes branch and the offsets join read
+        # the same partitions (the range sampler runs exactly once), and
+        # follow-up totals are cheap re-reads; checkpoint=False exists so
+        # plan tests can inspect the full lineage
+        local = local.localCheckpoint(eager=True)
+    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_sz"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_sz").over(off_w), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_col, F.col("_off") + F.col("_local"))
+        .drop("_pid", "_local", "_off")
+    )
+    if total_col is not None:
+        total = sizes.agg(F.sum("_sz").cast("long").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
+def ntile_from_rank(rank, n, k: int):
+    """Closed-form ntile(k) from a 1-based global rank and the total row
+    count (both Columns): the first n % k buckets hold ceil(n/k) rows,
+    the rest floor(n/k) — the standard SQL ntile split, so the result is
+    bit-identical to ``ntile(k) OVER (ORDER BY ...)`` without the
+    single-task window."""
+    small = n - (n / k).cast("long") * k          # n % k  (big buckets)
+    size_big = (n / k).cast("long") + 1
+    size_small = (n / k).cast("long")
+    cutoff = small * size_big
+    return (
+        F.when(rank <= cutoff, (rank - 1) / size_big)
+        .otherwise(small + (rank - 1 - cutoff) / size_small)
+        .cast("long")
+        + 1
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

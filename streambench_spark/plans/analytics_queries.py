@@ -1999,14 +1999,20 @@ FROM base
 @register("rfm_segments", _RFM_ORACLE, tags=["analytics", "behavioral"])
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: per-user recency / frequency /
-    monetary quartiles (1 = best) via ntile over fully-deterministic
-    orders (metric DESC, user_id tiebreak). One per-user aggregate, then
-    three rank windows over the USER-cardinality frame — the windows
-    never see raw events, so the unpartitioned ntile sort is over groups,
-    not the corpus; at larger user counts swap ntile for percentile
-    thresholds (percent_rank buckets) to avoid the single-partition sort,
-    at the cost of the exact equal-bucket-size property ntile defines.
-    Monetary counts purchases only, in exact integer cents."""
+    monetary quartiles (1 = best) over fully-deterministic orders
+    (metric DESC, user_id tiebreak). One per-user aggregate, then three
+    DISTRIBUTED global ranks (relational.global_row_number — an
+    unpartitioned ntile window would funnel every user through one
+    task) each folded to a quartile with the closed-form ntile split
+    (relational.ntile_from_rank: bit-identical to ntile(4) OVER, first
+    n%4 buckets one larger), joined back on user_id (three user-keyed
+    equi-joins of user-cardinality frames). Monetary counts purchases
+    only, in exact integer cents."""
+    from streambench_spark.operators.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     base = ev.groupBy("user_id").agg(
         F.unix_millis(F.max("ts")).alias("last_ms"),
@@ -2017,15 +2023,25 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("value") * 100).cast("long"),
             ).otherwise(F.lit(0))
         ).alias("monetary_cents"),
-    )
-    wr = Window.orderBy(F.desc("last_ms"), F.asc("user_id"))
-    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-    wm = Window.orderBy(F.desc("monetary_cents"), F.asc("user_id"))
-    return base.select(
-        "user_id", "frequency", "monetary_cents",
-        F.ntile(4).over(wr).cast("long").alias("r"),
-        F.ntile(4).over(wf).cast("long").alias("f"),
-        F.ntile(4).over(wm).cast("long").alias("m"),
+    ).localCheckpoint(eager=True)  # three rank passes read one aggregate
+
+    def quartile(metric: str, alias: str) -> DataFrame:
+        ranked = global_row_number(
+            base.select("user_id", metric),
+            [F.desc(metric), F.asc("user_id")],
+            rank_col="_rk",
+            total_col="_n",
+        )
+        return ranked.select(
+            "user_id",
+            ntile_from_rank(F.col("_rk"), F.col("_n"), 4).alias(alias),
+        )
+
+    return (
+        base.join(quartile("last_ms", "r"), "user_id")
+        .join(quartile("frequency", "f"), "user_id")
+        .join(quartile("monetary_cents", "m"), "user_id")
+        .select("user_id", "frequency", "monetary_cents", "r", "f", "m")
     )
 
 
@@ -2788,18 +2804,21 @@ def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank formula G = (2·Σ r_i·c_i − (n+1)·Σc) / (n·Σc) — exact
     integers until the single final division. 0 = uniform load, →1 =
     one celebrity user; the number an operator reads before deciding
-    whether a key needs salting. The rank window runs over the
-    USER-cardinality counts frame, not events."""
+    whether a key needs salting. The global rank runs DISTRIBUTED
+    (relational.global_row_number: range-partitioned parallel sort +
+    Arrow enumerate) over the user-cardinality counts frame — an
+    unpartitioned row_number window would funnel every user through one
+    task; the grand totals come from a cheap re-read of the enumerated
+    checkpoint, not a second pass over events."""
+    from streambench_spark.operators.relational import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    r = c.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.asc("cnt"), F.asc("user_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("cnt").over(Window.partitionBy()).alias("tot"),
+    ranked = global_row_number(
+        c, [F.asc("cnt"), F.asc("user_id")], rank_col="rk", total_col="n"
     )
+    tot = ranked.agg(F.sum("cnt").alias("tot"))
+    r = ranked.crossJoin(F.broadcast(tot))
     return r.agg(
         F.any_value("n").cast("long").alias("n_users"),
         F.any_value("tot").cast("long").alias("n_events"),
@@ -3581,9 +3600,13 @@ GROUP BY 1
 def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration (Pareto): the share of purchase revenue
     held by the top 10/20/50% of users — the 80/20 check beside the
-    Gini coefficient's single number. Ranking runs over the
-    user-cardinality totals frame with a deterministic tie order; each
-    threshold is a ceil of exact integers."""
+    Gini coefficient's single number. Ranking runs DISTRIBUTED over the
+    user-cardinality totals frame (relational.global_row_number — no
+    single-task window) with a deterministic tie order; each threshold
+    is a ceil of exact integers; grand totals re-read the enumerated
+    checkpoint."""
+    from streambench_spark.operators.relational import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     u = ev.groupBy("user_id").agg(
         F.sum(
@@ -3593,14 +3616,11 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         ).alias("cents")
     )
-    r = u.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), F.asc("user_id")))
-        .alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    ranked = global_row_number(
+        u, [F.desc("cents"), F.asc("user_id")], rank_col="rk", total_col="n"
     )
+    tot = ranked.agg(F.sum("cents").alias("tot"))
+    r = ranked.crossJoin(F.broadcast(tot))
     ps = spark.range(1).select(
         F.explode(F.array(F.lit(10), F.lit(20), F.lit(50))).alias("p")
     )

@@ -135,3 +135,33 @@ def test_skew_probe_twins_agree_on_skewed_frame(spark):
         ).select("l.user_id", "pts", "ts").collect()
     )
     assert plain_j == banded_j and len(plain_j) > 0
+
+
+def test_ntile_closed_form_matches_window_ntile(spark):
+    """ntile_from_rank must reproduce ntile(k) OVER (ORDER BY ...) for
+    every row count 1..40 and k in {3, 4, 7} — including n < k, exact
+    multiples, and every remainder class."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streambench_spark.operators.relational import ntile_from_rank
+
+    for n in (1, 2, 3, 4, 5, 6, 7, 8, 12, 13, 25, 40):
+        df = spark.range(1, n + 1).select(F.col("id").alias("rk"))
+        for k in (3, 4, 7):
+            ref = {
+                r["rk"]: r["b"]
+                for r in df.select(
+                    "rk", F.ntile(k).over(Window.orderBy("rk")).alias("b")
+                ).collect()
+            }
+            got = {
+                r["rk"]: r["b"]
+                for r in df.select(
+                    "rk",
+                    ntile_from_rank(F.col("rk"), F.lit(n).cast("long"), k)
+                    .cast("int")
+                    .alias("b"),
+                ).collect()
+            }
+            assert got == ref, (n, k)
