@@ -316,3 +316,30 @@ def test_grouped_percentiles_window_sort_not_buffering(spark):
     assert "percentile(" not in plan
     keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
     assert keys == {"event_type"}, keys
+
+
+def test_gini_rank_is_distributed_not_single_task(spark):
+    """activity_gini's global rank must ride the range-partitioned
+    zipWithIndex lineage (inspected uncheckpointed via the helper), with
+    no unpartitioned data window; the tiny offsets window is the only
+    Window allowed."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.operators.relational import global_row_number
+
+    ev = load_table(spark, SF_DIR, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    lineage = global_row_number(
+        c, [F.asc("cnt"), F.asc("user_id")], rank_col="rk",
+        total_col="n", checkpoint=False,
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        lineage._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    # no window over the data columns (cnt/user_id) — only the
+    # per-partition sizes cumsum ordered by _pid
+    assert "windowspecdefinition(cnt" not in plan
+    assert "windowspecdefinition(user_id" not in plan

@@ -340,3 +340,61 @@ def test_exact_percentiles_sorted_matches_percentile_builtin(spark, rows):
     assert (got["q25"], got["q50"], got["q95"]) == (
         ref["q25"], ref["q50"], ref["q95"]
     )
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_session_window_matches_gap_model(spark, deltas):
+    """Spark session_window vs a Python gap model on adversarial integer
+    timestamps: consecutive deltas are multiples of gap/10, so exact-gap
+    collisions (the round-4 touch-merge discovery) occur constantly, not
+    never. Model: an event extends the session iff delta <= gap
+    (touch merges); session end = last event + gap."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    GAP = 100  # seconds; deltas come in units of 10 s, so exact 100s hits
+    base = dt.datetime(2024, 1, 1)
+    ts, acc = [], 0
+    for d in deltas:
+        acc += d * 10
+        ts.append(acc)
+
+    # python model (touch merges: delta <= GAP)
+    expected = []
+    start = prev = ts[0]
+    n = 1
+    for t in ts[1:]:
+        if t - prev <= GAP:
+            prev = t
+            n += 1
+        else:
+            expected.append((start, prev + GAP, n))
+            start = prev = t
+            n = 1
+    expected.append((start, prev + GAP, n))
+
+    df = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=t),) for t in ts], "ts timestamp"
+    )
+    got = sorted(
+        (r["s"], r["e"], r["n"])
+        for r in df.groupBy(F.session_window("ts", f"{GAP} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            ((F.unix_millis("w.start") - 1704067200000) / 1000)
+            .cast("long").alias("s"),
+            ((F.unix_millis("w.end") - 1704067200000) / 1000)
+            .cast("long").alias("e"),
+            "n",
+        )
+        .collect()
+    )
+    assert got == sorted(expected)
