@@ -721,3 +721,38 @@ def test_append_watermark_evicts_window_state(spark, tmp_path):
     removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progs)
     assert max(totals) <= 3, totals   # never all 12 windows resident
     assert removed >= 9, removed      # eviction actually fired
+
+
+def test_rocksdb_state_store_matches_default(spark):
+    """T5 at scale: the RocksDB state-store provider — what a 100 TB
+    stateful job runs, since state lives on executor local disk instead
+    of the JVM heap — must produce results identical to the default
+    HDFS-backed in-memory provider on the same watermarked windowed
+    aggregation (same source, same drain)."""
+    from streambench_spark.sources.replay import stream_table
+    from streambench_spark.streaming.ysb import run_append_to_parquet
+
+    def run():
+        stream = stream_table(spark, SF_DIR, "events")
+        agg = (
+            stream.withWatermark("ts", "1 second")
+            .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_millis("w.start").alias("ws"), "event_type", "n")
+        )
+        out = run_append_to_parquet(spark, agg, state_partitions=4)
+        return sorted(map(tuple, out.collect()))
+
+    base = run()
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(conf)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        spark.conf.set(conf, old)
+    assert rocks == base and len(base) > 0
