@@ -148,6 +148,10 @@ def _replicated_trial(spark, sf_dir: str, copies: int,
 
     from pyspark.sql import functions as F
 
+    # symlink targets must be absolute: a relative SPARK_GRAFT_SF_DIR
+    # would otherwise resolve relative to the tmp dir and dangle
+    sf_dir = os.path.abspath(sf_dir)
+
     from streambench_spark.bench import BenchParams
     from streambench_spark.bench.harness import run_throughput_trial
     from streambench_spark.catalog import load_table

@@ -254,67 +254,30 @@ def dataset_shuffle(
     the portable 32-bit hash of (key, seed) — re-seeding gives a fresh
     independent order per epoch without touching the data.
 
-    Scale shape — ONE exchange on the data path: ``repartitionByRange``
-    on the hash (sampled bounds, no single-reducer sort), then
-    ``sortWithinPartitions`` (no exchange) and an Arrow pass that
-    enumerates each partition's rows in place — the classic
-    ``zipWithIndex`` two-pass, DataFrame-style. A window partitioned by
-    ``spark_partition_id()`` would instead insert a SECOND full-data
-    hash exchange on the pid (Catalyst can't see that pid-clustering is
-    already satisfied). The enumerated frame is ``localCheckpoint``-ed
-    (eager) before the tiny per-partition-size aggregate is derived from
-    it, so the range exchange runs exactly once and the offsets join
-    reads the same materialized partitions — correctness does not depend
-    on two executions of the range sampler picking identical bounds.
-    row_number over an unpartitioned window would serialize on one task;
-    ties are impossible because the hash is salted with the unique key.
+    Scale shape: delegates the dense enumeration to
+    ``operators.relational.global_row_number`` (repartitionByRange on
+    the hash → per-partition Arrow enumerate → broadcast cumulative
+    offsets — the shared zipWithIndex pattern, ONE exchange on the data
+    path, localCheckpoint-ed so the range sampler runs exactly once).
+    An unpartitioned row_number window would serialize on one task;
+    ties are impossible because the hash is salted with the unique key
+    (key_col itself is the tiebreaker in the sort order).
     """
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from streambench_spark.llm.hashing import spark_hash32
+    from streambench_spark.operators.relational import global_row_number
 
     h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{seed}')")
-    hashed = (
-        docs.select(key_col, F.expr(h).alias("_h"))
-        .repartitionByRange(
-            docs.sparkSession.sparkContext.defaultParallelism, "_h", key_col
-        )
-        .sortWithinPartitions("_h", key_col)
-        .withColumn("_pid", F.spark_partition_id())
+    hashed = docs.select(key_col, F.expr(h).alias("_h"))
+    ranked = global_row_number(
+        hashed,
+        [F.asc("_h"), F.asc(key_col)],
+        rank_col="_rn1",
+        checkpoint=checkpoint,
     )
-
-    def _enumerate(batches):
-        # narrow per-partition pass: batches arrive in the partition's
-        # sorted order, so a running counter IS the local row number
-        n = 0
-        for pdf in batches:
-            pdf = pdf.assign(_local=range(n + 1, n + 1 + len(pdf)))
-            n += len(pdf)
-            yield pdf
-
-    key_type = dict(
-        zip(docs.schema.names, (f.dataType.simpleString() for f in docs.schema.fields))
-    )[key_col]
-    local = hashed.mapInPandas(
-        _enumerate,
-        schema=f"{key_col} {key_type}, _h long, _pid int, _local long",
-    )
-    if checkpoint:
-        # materialize once; lineage truncation means the sizes branch and
-        # the final join read these partitions instead of re-running the
-        # range sampler (checkpoint=False exists so tests can inspect the
-        # full lineage plan)
-        local = local.localCheckpoint(eager=True)
-    # partition sizes → cumulative offsets (tiny: one row per partition)
-    sizes = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
-    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn(
-        "_off", F.coalesce(F.sum("_n").over(off_w), F.lit(0)).cast("long")
-    ).select("_pid", "_off")
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .select(key_col, (F.col("_off") + F.col("_local") - 1).alias("shuffle_pos"))
+    return ranked.select(
+        key_col, (F.col("_rn1") - 1).alias("shuffle_pos")
     )
 
 

@@ -118,6 +118,13 @@ def exact_percentiles_sorted(
 
     keys = keys or []
     v = F.col(col)
+    # percentile()/quantile_cont IGNORE NULLs; an asc sort would rank
+    # them FIRST (NULLS FIRST) and count them in _n, shifting every h.
+    # Drop them up front. Caveat vs the builtin: a group whose values
+    # are ALL NULL disappears from the output instead of emitting a
+    # NULL-percentile row — callers needing those groups outer-join the
+    # result back onto the key frame.
+    df = df.filter(v.isNotNull())
     if keys:
         w = Window.partitionBy(*keys).orderBy(col)
         wn = Window.partitionBy(*keys)

@@ -106,9 +106,18 @@ def connected_components_star(
     convergence = the (count, xxhash64-sum) signature of the edge set
     repeating, one tiny action per round.
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes whose ONLY edges are self-loops vanish from the u != v frame;
+    # keep the full node set so they come back as singleton components
+    # (matching the min-label twin, which labels them with themselves)
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .unionByName(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
@@ -168,10 +177,17 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iter} "
             "alternations"
         )
-    # fixed point: e is (member, root) stars; roots label themselves
-    return e.select(F.col("u").alias("node"), F.col("v").alias("comp")).unionByName(
+    # fixed point: e is (member, root) stars; roots label themselves,
+    # and edge-less nodes (self-loop-only inputs) are their own component
+    labeled = e.select(
+        F.col("u").alias("node"), F.col("v").alias("comp")
+    ).unionByName(
         e.select(F.col("v").alias("node"), F.col("v").alias("comp")).distinct()
     )
+    singletons = all_nodes.join(
+        labeled.select("node").distinct(), "node", "left_anti"
+    ).select("node", F.col("node").alias("comp"))
+    return labeled.unionByName(singletons)
 
 
 def pagerank_exact(

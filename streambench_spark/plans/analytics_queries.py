@@ -2145,7 +2145,11 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p0") >= F.col("v0"))
     ).select((F.col("p0") - F.col("v0")).alias("d_ms"))
     # the delta frame is user-cardinality — still too big for one
-    # executor's percentile() buffer at corpus scale; distributed sort
+    # executor's percentile() buffer at corpus scale; distributed sort.
+    # Materialize it once: both the plain aggregate and the percentile
+    # sort read these partitions instead of each re-running the full
+    # events scan + user_id shuffle upstream.
+    deltas = deltas.localCheckpoint(eager=True)
     plain = deltas.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.min("d_ms").alias("min_ms"),
@@ -4351,7 +4355,7 @@ def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(wo).isNull()
             | (
                 F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
-                >= 1800000
+                > 1800000
             ),
             1,
         )
@@ -4488,7 +4492,7 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("ts").over(wo).isNull()
             | (
                 F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
-                >= 1800000
+                > 1800000
             ),
             1,
         )

@@ -158,3 +158,99 @@ def test_watermark_exact_boundary_window_emission(spark):
     got = {r["ws"]: r["n"] for r in out.collect()}
     h0 = 1704067200000
     assert got == {h0: 2}  # w0 emitted at exact-equality; w1 withheld
+
+
+def test_lag_sweep_sessions_break_strictly_past_gap(spark, tmp_path):
+    """The lag-based sessionizers (session_type_affinity,
+    session_conversion_rate — per-USER sweeps that can't use the keyed
+    session_window builtin) must break on delta > 30 min STRICTLY, like
+    every session oracle and Spark's own touch-merge: two events exactly
+    1 800 000 ms apart share a session. Regression for the round-4
+    review find where the Spark side said >= while the oracle said >."""
+    import duckdb
+
+    from streambench_spark.plans.analytics_queries import (
+        _AFFINITY_ORACLE, _SESS_CONV_ORACLE,
+        q_session_conversion_rate, q_session_type_affinity,
+    )
+
+    # user 1: view then purchase EXACTLY at the 30-min gap → one session,
+    # and it converts. user 2: 30 min + 1 ms apart → two sessions, the
+    # view session does NOT convert.
+    rows = [
+        (1, _ts(0.0), 1, "view", 1.0, "{}"),
+        (2, _ts(1800.0), 1, "purchase", 1.0, "{}"),
+        (3, _ts(0.0), 2, "view", 1.0, "{}"),
+        (4, _ts(1800.001), 2, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/events.parquet")
+    duck = duckdb.connect()
+    duck.execute(
+        f"CREATE VIEW events AS "
+        f"SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    from tests.conftest import assert_matches_oracle
+
+    conv = q_session_conversion_rate(spark, sf)
+    r = conv.collect()[0]
+    assert (r["view_sessions"], r["converting_sessions"]) == (2, 1)
+    assert_matches_oracle(conv, duck, _SESS_CONV_ORACLE)
+    assert_matches_oracle(q_session_type_affinity(spark, sf), duck,
+                          _AFFINITY_ORACLE)
+
+
+def test_exact_percentiles_ignore_nulls(spark):
+    """percentile()/quantile_cont skip NULLs; the distributed-sort path
+    must too (an asc sort ranks NULLS FIRST and would shift every h).
+    Regression for the round-4 review find."""
+    from streambench_spark.operators.aggregates import exact_percentiles_sorted
+
+    df = spark.createDataFrame(
+        [(0, None), (0, 1.0), (0, 2.0), (1, None), (1, None), (2, 5.0)],
+        "g int, v double",
+    )
+    got = {
+        r["g"]: r["q50"]
+        for r in exact_percentiles_sorted(
+            df, "v", {"q50": 0.5}, keys=["g"]
+        ).collect()
+    }
+    # group 0: nulls ignored → median of [1, 2] = 1.5; group 1 (all-null)
+    # is dropped (documented divergence from the builtin's NULL row);
+    # group 2 singleton
+    assert got == {0: 1.5, 2: 5.0}
+    g = exact_percentiles_sorted(
+        df.select("v"), "v", {"q50": 0.5}
+    ).first()
+    assert g["q50"] == 2.0  # global: [1, 2, 5] → 2.0, nulls skipped
+
+
+def test_star_cc_keeps_selfloop_only_nodes(spark):
+    """A node whose only edge is a self-loop is a 1-node component in
+    BOTH CC implementations — the star variant's u != v pre-filter must
+    not drop it (the min-label twin labels it with itself). Regression
+    for the round-4 review find."""
+    from streambench_spark.operators.graph import (
+        connected_components, connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3), (7, 7), (7, 8)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (3, 1), (5, 5), (7, 7), (8, 7)}
+    star = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(edges).collect()
+    }
+    plain = {
+        (r["node"], r["comp"])
+        for r in connected_components(edges).collect()
+    }
+    assert star == want
+    assert plain == want
