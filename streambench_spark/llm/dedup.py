@@ -361,7 +361,11 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int, rows: int) -> DataFrame:
     banded = sig_df.select(
         "doc_id", F.posexplode(F.expr(f"array({band_exprs})")).alias("band_idx", "band_key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
+    # merge hint, like the ngram_jaccard self-joins: both sides are the
+    # same banded frame, so a sort-merge join shares ONE exchange via
+    # ReusedExchange — a broadcast side would re-execute the whole
+    # signature pipeline and buffer an unbounded frame on every executor
+    a, b = banded.hint("merge").alias("a"), banded.hint("merge").alias("b")
     return (
         a.join(
             b,
@@ -598,13 +602,17 @@ def exact_dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
     one struct per hash per partition.
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # count only NON-EMPTY tokens: split('\s+') keeps leading/trailing
+    # empty strings, so a whitespace-padded copy would out-rank an
+    # otherwise-identical clean copy and best_tokens would over-report
     tk = TOKENS_EXPR.format(col=text_col)
+    n_tok = f"size(filter({tk}, x -> x != ''))"
     best = F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("neg_id")))
     return (
         docs.select(
             F.col("doc_id"),
             F.sha2(norm, 256).alias("text_hash"),
-            F.expr(f"size({tk})").cast("long").alias("n_tok"),
+            F.expr(n_tok).cast("long").alias("n_tok"),
         )
         .groupBy("text_hash")
         .agg(

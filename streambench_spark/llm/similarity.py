@@ -244,22 +244,11 @@ def lsh_top1(emb: DataFrame, n_bits: int = 8, vec_col: str = "embedding") -> Dat
     return _per_cell_top1(e, "bucket", vec_col)
 
 
-def _dot_expr(a: str, b: str) -> str:
-    """Left-fold dot product over array<float>, all-double accumulation —
-    same element order and FP operation sequence as the DuckDB oracle's
-    list_reduce, so results are bit-identical."""
-    return (
-        f"aggregate(zip_with({a}, {b}, "
-        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-
-
 def cosine_neardup_pairs_lsh(
     emb: DataFrame,
     threshold: float,
-    n_bands: int = 4,
-    band_bits: int = 2,
+    n_bands: int = 8,
+    band_bits: int = 6,
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Banded sign-LSH embedding near-dup pairs — the 100 TB scale path
@@ -283,7 +272,20 @@ def cosine_neardup_pairs_lsh(
     and the DuckDB oracle. Skew note: a hot bucket concentrates work on
     one task — raising band_bits shrinks buckets geometrically (and
     lowers recall — tune to the target threshold); buckets must fit an
-    executor's memory, the same contract as _per_cell_top1."""
+    executor's memory, the same contract as _per_cell_top1.
+
+    SIZING IS THE WHOLE GAME: with b band_bits a band has 2^b buckets
+    and expected bucket occupancy N/2^b, so pair work per band is
+    ~N^2/2^b — at b=2 that is N^2/4, the all-pairs product this
+    function exists to avoid. Defaults (8 bands x 6 bits = 64
+    buckets/band) are the scale posture for high thresholds (recall
+    at sim 0.8 ~ 0.90, at 0.9 ~ 1.0); low thresholds like 0.45 need
+    more bands, not fewer bits. Choose 2^band_bits >> expected bucket
+    occupancy. Constraint: n_bands*band_bits <= min(63, vector dim) —
+    the sign bits pack into one BIGINT and the axis-aligned planes
+    read one coordinate per bit. The registered sf-scale test queries
+    pass (4, 2) explicitly: at N=500..50k test vectors the tiny bucket
+    count is harmless and keeps their recorded oracle rows stable."""
     mask = (1 << band_bits) - 1
     e = (
         emb.select("vec_id", vec_col)

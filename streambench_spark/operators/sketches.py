@@ -89,20 +89,31 @@ def count_min_estimate(
     probes = keys.select(
         key_col, F.expr(f"inline(array({coords}))")
     )
+    # LEFT join: the sketch frame is sparse (zero cells have no row), so
+    # an inner join would drop an unseen key's empty cells and report an
+    # inflated min over only its colliding cells — or no row at all.
+    # coalesce(cnt, 0) restores the classic estimator: any empty cell
+    # pins the min at 0 for keys absent from the build.
     return (
-        probes.join(F.broadcast(sketch), ["d", "idx"])
+        probes.join(F.broadcast(sketch), ["d", "idx"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
 
 
 def _bloom_pos_exprs(h_col: str, k: int, m_bits: int) -> list[str]:
     """Spark SQL: the k bit positions of hash column `h_col` (double
-    hashing g_i = h1 + i*h2 per Kirsch-Mitzenmacher 2006 — two portable
-    hashes derive all k probes, identical literals in the oracle)."""
+    hashing g_i = h1 + i*step per Kirsch-Mitzenmacher 2006 — two portable
+    hashes derive all k probes, identical literals in the oracle). The
+    step is 1 + (h2 % (m_bits-1)), never 0 — a raw h2 % m_bits == 0
+    (expected once per ~m_bits keys) would collapse all k probes onto
+    one bit and degrade that key's FP contribution from p^k toward p."""
     h1 = spark_hash32(f"concat('bf1:', CAST({h_col} AS STRING))")
     h2 = spark_hash32(f"concat('bf2:', CAST({h_col} AS STRING))")
-    return [f"CAST(({h1} + {i} * ({h2} % {m_bits})) % {m_bits} AS BIGINT)" for i in range(k)]
+    return [
+        f"CAST(({h1} + {i} * (1 + ({h2} % {m_bits - 1}))) % {m_bits} AS BIGINT)"
+        for i in range(k)
+    ]
 
 
 def bloom_build(

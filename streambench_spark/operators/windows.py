@@ -53,9 +53,9 @@ def windowed_keyed_agg(
     YahooBenchmark.scala:229-242; StreamBox WinGBK→WinKeyReducer).
     """
     win = (
-        F.window(F.col(ts_col), duration)
+        tumbling_window(ts_col, duration)
         if slide is None
-        else F.window(F.col(ts_col), duration, slide)
+        else sliding_window(ts_col, duration, slide)
     )
     return (
         df.groupBy(win.alias("w"), *[F.col(k) for k in keys])
@@ -70,7 +70,7 @@ def windowed_global_agg(
 ) -> DataFrame:
     """A4: WinSum_addlong — per-window aggregate, no key."""
     return (
-        df.groupBy(F.window(F.col(ts_col), duration).alias("w"))
+        df.groupBy(tumbling_window(ts_col, duration).alias("w"))
         .agg(*aggs)
         .withColumn("window_start", F.unix_millis(F.col("w.start")))
         .drop("w")

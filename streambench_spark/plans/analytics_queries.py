@@ -162,9 +162,11 @@ def q_stateful_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-accumulator custom stateful operator: per-user running
     (sum_cents, count, max_cents) held in one GroupState tuple, drained
-    availableNow. Emissions are cumulative+monotonic → final answer is
-    max() per key, independent of micro-batch boundaries. A gated
-    transformWithStateInPandas twin exists
+    availableNow. n is strictly increasing across a key's emissions, so
+    the batch-boundary-insensitive final answer is max_by(col, n) per
+    key — NOT max(col): a cumulative sum over negative values is
+    non-monotonic, so max(sum_cents) would pick an intermediate
+    emission. A gated transformWithStateInPandas twin exists
     (streaming/stateful.py:running_value_stats_tws) for environments with
     the TWS protobuf client."""
     from streambench_spark.sources.replay import stream_table
@@ -175,9 +177,9 @@ def q_stateful_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = running_value_stats(stream)
     emitted = run_update_to_parquet(spark, stats, state_partitions=8)
     return emitted.groupBy("user_id").agg(
-        F.max("sum_cents").alias("sum_cents"),
+        F.expr("max_by(sum_cents, n)").alias("sum_cents"),
         F.max("n").alias("n"),
-        F.max("max_cents").alias("max_cents"),
+        F.expr("max_by(max_cents, n)").alias("max_cents"),
     )
 
 

@@ -648,7 +648,12 @@ def q_neardup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on (band, bucket), intra-bucket pairs only, never all-pairs.
     The scale path twin of neardup_embedding_cosine (recall amplified by
     banding; documented in llm/similarity.py:cosine_neardup_pairs_lsh)."""
-    return similarity.cosine_neardup_pairs_lsh(_embs(spark, sf_dir), 0.45)
+    # explicit test-scale banding (the oracle mirrors these constants);
+    # production defaults are wider — see the sizing note in
+    # similarity.cosine_neardup_pairs_lsh
+    return similarity.cosine_neardup_pairs_lsh(
+        _embs(spark, sf_dir), 0.45, n_bands=4, band_bits=2
+    )
 
 
 # Dataset assembly: splits, sampling quotas, decontamination ---------------
@@ -1181,9 +1186,9 @@ def q_neardup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_neardup_pairs(_embs(spark, sf_dir), 0.45).select(
         "id_a", "id_b"
     )
-    cand = similarity.cosine_neardup_pairs_lsh(_embs(spark, sf_dir), 0.45).select(
-        "id_a", "id_b"
-    )
+    cand = similarity.cosine_neardup_pairs_lsh(
+        _embs(spark, sf_dir), 0.45, n_bands=4, band_bits=2
+    ).select("id_a", "id_b")
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nl = cand.agg(F.count(F.lit(1)).alias("n_lsh"))
     nc = exact.join(cand, ["id_a", "id_b"]).agg(
@@ -1412,7 +1417,8 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_ORACLE = """
 WITH t AS (
     SELECT doc_id,
-           CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT)
                AS n_tok,
            sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
                AS text_hash
@@ -1448,7 +1454,9 @@ def _bloom_decon_oracle(n: int = 8) -> str:
     h = _D_H32.format(s="s")
     h1 = _D_H32.format(s="'bf1:' || CAST(h AS VARCHAR)")
     h2 = _D_H32.format(s="'bf2:' || CAST(h AS VARCHAR)")
-    pos = f"(({h1}) + i * (({h2}) % {_BF_BITS})) % {_BF_BITS}"
+    # step 1 + (h2 % (bits-1)) mirrors sketches._bloom_pos_exprs: never 0,
+    # so the k probes can't collapse onto one bit
+    pos = f"(({h1}) + i * (1 + (({h2}) % {_BF_BITS - 1}))) % {_BF_BITS}"
     return f"""
 WITH toks AS (SELECT doc_id, source,
                      {_D_TOKENS.format(col='text')} AS tk FROM documents),

@@ -55,23 +55,32 @@ def running_value_stats(
     the multi-accumulator GroupState shape (running sum + count + max in
     one state tuple). Cents are derived JVM-side before the Arrow
     boundary (CAST(round(value*100))), so float rounding is identical to
-    the batch/oracle path; emissions are cumulative and monotonic, so a
-    batch-boundary-insensitive final answer is max() per key.
+    the batch/oracle path. Batch-aggregate semantics: n counts ALL rows
+    (count(*)), sum/max skip NULL values, max over zero non-null values
+    is NULL — so all-negative and NULL-bearing streams agree with the
+    batch oracle. n is strictly increasing across a key's emissions, so
+    the batch-boundary-insensitive final answer is max_by(col, n) per
+    key (NOT max(col): a sum over negative values is non-monotonic).
     """
 
     def _agg(key, pdfs, state):
         import pandas as _pd
 
-        s, n, mx = state.get if state.exists else (0, 0, 0)
+        # nn = non-null value count; mx is only meaningful when nn > 0
+        # (seeding mx with 0 would beat any all-negative stream's true max)
+        s, n, nn, mx = state.get if state.exists else (0, 0, 0, 0)
         for pdf in pdfs:
-            c = pdf["_cents"]
+            c = pdf["_cents"].dropna()
             s += int(c.sum())
-            n += len(c)
+            n += len(pdf)
             if len(c):
-                mx = max(mx, int(c.max()))
-        state.update((s, n, mx))
+                bmx = int(c.max())
+                mx = bmx if nn == 0 else max(mx, bmx)
+                nn += len(c)
+        state.update((s, n, nn, mx))
         yield _pd.DataFrame(
-            [{key_col: key[0], "sum_cents": s, "n": n, "max_cents": mx}]
+            [{key_col: key[0], "sum_cents": s, "n": n,
+              "max_cents": mx if nn > 0 else None}]
         )
 
     pre = stream.select(
@@ -81,7 +90,7 @@ def running_value_stats(
     return pre.groupBy(key_col).applyInPandasWithState(
         _agg,
         outputStructType=f"{key_col} long, sum_cents long, n long, max_cents long",
-        stateStructType="sum_cents long, n long, max_cents long",
+        stateStructType="sum_cents long, n long, nn long, max_cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -108,23 +117,26 @@ def running_value_stats_tws(
     class _Agg(StatefulProcessor):
         def init(self, handle):
             self._st = handle.getValueState(
-                "agg", "sum_cents long, n long, max_cents long"
+                "agg", "sum_cents long, n long, nn long, max_cents long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as _pd
 
             cur = self._st.get()
-            s, n, mx = cur if cur is not None else (0, 0, 0)
+            s, n, nn, mx = cur if cur is not None else (0, 0, 0, 0)
             for pdf in rows:
-                c = pdf["_cents"]
+                c = pdf["_cents"].dropna()
                 s += int(c.sum())
-                n += len(c)
+                n += len(pdf)
                 if len(c):
-                    mx = max(mx, int(c.max()))
-            self._st.update((s, n, mx))
+                    bmx = int(c.max())
+                    mx = bmx if nn == 0 else max(mx, bmx)
+                    nn += len(c)
+            self._st.update((s, n, nn, mx))
             yield _pd.DataFrame(
-                [{key_col: key[0], "sum_cents": s, "n": n, "max_cents": mx}]
+                [{key_col: key[0], "sum_cents": s, "n": n,
+                  "max_cents": mx if nn > 0 else None}]
             )
 
         def close(self):

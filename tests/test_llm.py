@@ -147,12 +147,16 @@ def test_banded_lsh_neardup_subset_of_exact(spark):
     }
     banded = {
         (r["id_a"], r["id_b"]): r["sim"]
-        for r in similarity.cosine_neardup_pairs_lsh(emb, 0.45).collect()
+        for r in similarity.cosine_neardup_pairs_lsh(
+            emb, 0.45, n_bands=4, band_bits=2
+        ).collect()
     }
     assert set(banded) <= set(exact)
     assert len(banded) > 0
     for k, v in banded.items():
         assert abs(exact[k] - v) < 1e-12
+    # amplification superset only holds when the single table IS one of
+    # the banded tables' bit ranges: band 0 of (4, 2) covers bits 0-1
     single = {
         (r["id_a"], r["id_b"])
         for r in similarity.cosine_neardup_pairs_lsh(
@@ -160,6 +164,12 @@ def test_banded_lsh_neardup_subset_of_exact(spark):
         ).collect()
     }
     assert single <= set(banded)
+    # production defaults (wider bands) still only emit true pairs
+    defaults = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_neardup_pairs_lsh(emb, 0.45).collect()
+    }
+    assert defaults <= set(exact)
 
 
 def test_doc_stats_values(spark):

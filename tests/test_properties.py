@@ -279,7 +279,7 @@ def test_bloom_matches_python_model(spark, members, probes):
     def positions(h):
         h1 = _h32(f"bf1:{h}")
         h2 = _h32(f"bf2:{h}")
-        return [(h1 + i * (h2 % m_bits)) % m_bits for i in range(k)]
+        return [(h1 + i * (1 + h2 % (m_bits - 1))) % m_bits for i in range(k)]
 
     bits = set()
     for h in members:

@@ -261,3 +261,30 @@ def test_star_cc_converges_on_long_chain_where_minlabel_raises(spark):
     labels = connected_components_star(chain).collect()
     assert len(labels) == 120
     assert all(r["comp"] == 0 for r in labels)
+
+
+def test_cms_unseen_key_estimates_zero(spark):
+    """Regression for the round-4 review find: the sketch frame is sparse,
+    so probing a key absent from the build must left-join its empty cells
+    back as 0 — the classic CMS estimate for an unseen key with any
+    empty cell — not drop them and report an inflated min."""
+    from streambench_spark.operators.sketches import (
+        count_min_build, count_min_estimate,
+    )
+
+    build = spark.createDataFrame(
+        [(k,) for k in ["a", "b", "c"] * 10], "key string"
+    )
+    sketch = count_min_build(build, "key", depth=4, width=512)
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-key",)], "key string"
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(sketch, probes, "key", 4, 512).collect()
+    }
+    assert est["a"] == 10
+    # width 512, 30 distinct cells max: an unseen key's 4 cells are
+    # overwhelmingly empty -> min coalesces to 0, and the key MUST
+    # appear in the output at all
+    assert est["never-seen-key"] == 0

@@ -369,8 +369,9 @@ def test_running_value_stats_matches_batch(spark):
     got = {
         r["user_id"]: (r["sum_cents"], r["n"], r["max_cents"])
         for r in spark.table(table).groupBy("user_id").agg(
-            F.max("sum_cents").alias("sum_cents"), F.max("n").alias("n"),
-            F.max("max_cents").alias("max_cents")).collect()
+            F.expr("max_by(sum_cents, n)").alias("sum_cents"),
+            F.max("n").alias("n"),
+            F.expr("max_by(max_cents, n)").alias("max_cents")).collect()
     }
     want = {
         r["user_id"]: (r["sum_cents"], r["n"], r["max_cents"])
@@ -756,3 +757,43 @@ def test_rocksdb_state_store_matches_default(spark):
     finally:
         spark.conf.set(conf, old)
     assert rocks == base and len(base) > 0
+
+
+def test_running_value_stats_negative_and_null_values(spark, tmp_path):
+    """Regression for the round-4 review finds: (a) max_cents seeded with
+    0 beat any all-negative stream's true max; (b) an all-NULL batch
+    group crashed on int(NaN); (c) the max(sum_cents) consumer picked an
+    intermediate emission when negative values make the cumulative sum
+    non-monotonic. Two files forced into separate micro-batches so the
+    state crosses a batch boundary with the sum DECREASING."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.streaming.stateful import running_value_stats
+    from streambench_spark.streaming.ysb import run_to_memory
+
+    b1 = [(1, -5.0), (1, -1.0), (2, None)]
+    b2 = [(1, -7.0), (2, None), (3, -2.5)]
+    src = str(tmp_path / "ev")
+    schema = "user_id long, value double"
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q, table = run_to_memory(running_value_stats(stream), mode="update",
+                             available_now=True, state_partitions=2)
+    got = {
+        r["user_id"]: (r["sum_cents"], r["n"], r["max_cents"])
+        for r in spark.table(table).groupBy("user_id").agg(
+            F.expr("max_by(sum_cents, n)").alias("sum_cents"),
+            F.max("n").alias("n"),
+            F.expr("max_by(max_cents, n)").alias("max_cents")).collect()
+    }
+    # user 1: sum -1300 (non-monotonic across batches), max -100 (not 0)
+    # user 2: all-NULL values -> sum 0, n 2, max NULL (no crash)
+    # user 3: single negative
+    assert got == {1: (-1300, 3, -100), 2: (0, 2, None), 3: (-250, 1, -250)}
