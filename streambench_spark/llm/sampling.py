@@ -105,7 +105,10 @@ def stratified_rate_sample(
         )
     )
     key = f"CAST({key_col} AS STRING)"
-    h = spark_hash32(f"concat('{salt}', {key})" if salt else key)
+    # '' doubling: the salt is caller data, not SQL — a quote inside it
+    # must not terminate the literal
+    s = salt.replace("'", "''") if salt else salt
+    h = spark_hash32(f"concat('{s}', {key})" if salt else key)
     return (
         docs.join(rates_df, stratum_col)
         .filter(F.expr(f"{h} % {buckets}") < F.col("_rate"))
@@ -239,9 +242,16 @@ def upsample_by_rate(
             f"{stratum_col} string, _n int",
         )
     )
+    # sequence(0, -1) yields DESCENDING [0, -1], not empty — a 0-copies
+    # stratum would emit TWO rows per doc instead of none without the
+    # guard (same gotcha dedup._shingles_sql documents)
+    epochs = F.expr(
+        "CASE WHEN _n > 0 THEN sequence(0, _n - 1) "
+        "ELSE CAST(array() AS ARRAY<INT>) END"
+    )
     return (
         docs.join(copies_df, stratum_col)
-        .withColumn("epoch", F.explode(F.expr("sequence(0, _n - 1)")))
+        .withColumn("epoch", F.explode(epochs))
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("_n")
     )
@@ -268,7 +278,8 @@ def dataset_shuffle(
     from streambench_spark.llm.hashing import spark_hash32
     from streambench_spark.operators.relational import global_row_number
 
-    h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{seed}')")
+    esc = seed.replace("'", "''")  # seed is data, not SQL
+    h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{esc}')")
     hashed = docs.select(key_col, F.expr(h).alias("_h"))
     ranked = global_row_number(
         hashed,

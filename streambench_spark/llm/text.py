@@ -283,24 +283,33 @@ def chunk_docs_udtf(
     logic outgrows SQL expressions (real tokenizers, format parsers).
     """
     import re
+    import uuid
 
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
     class _Chunker:
         def eval(self, text: str):
-            toks = re.split(r"\s+", text.lower())
+            # re.ASCII: Java's \s (the chunk_docs twin) is ASCII-only;
+            # Python's default \s also splits on U+00A0 etc., which
+            # would diverge on non-ASCII whitespace
+            toks = re.split(r"\s+", text.lower(), flags=re.ASCII)
             for j in range(0, max(1, -(-len(toks) // chunk_tokens))):
                 part = toks[j * chunk_tokens:(j + 1) * chunk_tokens]
                 yield j, " ".join(part), len(part)
 
     spark = docs.sparkSession
-    name = "sb_chunker"
+    # uuid-suffixed names: fixed session-global names race under
+    # concurrent callers (another thread's createOrReplaceTempView could
+    # swap the input between registration and analysis)
+    tag = uuid.uuid4().hex[:12]
+    name = f"sb_chunker_{tag}"
+    view = f"sb_chunk_in_{tag}"
     spark.udtf.register(name, _Chunker)
-    docs.select(key_col, text_col).createOrReplaceTempView("sb_chunk_in")
+    docs.select(key_col, text_col).createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT i.{key_col}, c.chunk_idx, c.chunk_text, c.n_tokens "
-        f"FROM sb_chunk_in i, LATERAL {name}(i.{text_col}) c"
+        f"FROM {view} i, LATERAL {name}(i.{text_col}) c"
     )
 
 

@@ -193,31 +193,7 @@ def kmv_distinct(
     bounded by k·partitions per group) — identical retained sets, pinned
     by tests/test_sketches.py.
     """
-    from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
-
-    from pyspark.sql import Window
-
-    h = spark_hash32(f"CAST({col} AS STRING)")
-    hashed = df.select(
-        *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
-    ).distinct()
-    w = Window.partitionBy(*group_keys).orderBy("_h")
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
-    return (
-        topk.groupBy(*group_keys)
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("_h").alias("_kth"))
-        .select(
-            *group_keys,
-            "n_kept",
-            F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
-            .otherwise(
-                F.round(
-                    F.lit(float(k - 1)) * F.lit(float(MERSENNE_P)) / F.col("_kth"), 6
-                )
-            )
-            .alias("estimate"),
-        )
-    )
+    return kmv_estimate(kmv_retained(df, group_keys, col, k), group_keys, k)
 
 
 def kmv_retained(

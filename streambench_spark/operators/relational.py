@@ -413,10 +413,15 @@ def asof_join_cogrouped(
         m = pd.merge_asof(
             left, r, left_on=probe_ts, right_on="__qt", direction="backward"
         )
-        m = m.dropna(subset=[quote_cols[0]])
+        # unmatched probes are detected on __qt (quote_ts is never NULL
+        # by contract) — NOT on a payload column: a matched quote whose
+        # payload is NULL is still a match, same as the builtin asof_join
+        m = m.dropna(subset=["__qt"])
         for f in q_fields:  # NaN-widened floats back to declared ints
             if f.dataType.simpleString() in ("bigint", "int"):
-                m[f.name] = m[f.name].astype("int64")
+                # nullable Int64: a NULL int quote field survives the
+                # cast (plain int64 raises on non-finite values)
+                m[f.name] = m[f.name].astype("Int64")
         return m[p_cols + quote_cols]
 
     return (

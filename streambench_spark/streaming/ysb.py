@@ -262,16 +262,20 @@ def run_update_with_interval_trigger(
             .start()
         )
         deadline = _time.time() + timeout_s
+        # recentProgress is a RING BUFFER (numRecentProgressUpdates,
+        # default 100 entries) — summing it alone undercounts once old
+        # batches age out on a long drain. Accumulate per-batchId counts
+        # across polls instead; batch ids are unique per completed batch.
+        rows_by_batch: dict[int, int] = {}
         try:
             while True:
-                seen = 0
                 for p in q.recentProgress:
                     prog = _json.loads(p) if isinstance(p, str) else p
-                    seen += (
-                        prog["numInputRows"]
-                        if isinstance(prog, dict)
-                        else prog.numInputRows
-                    )
+                    if isinstance(prog, dict):
+                        rows_by_batch[prog["batchId"]] = prog["numInputRows"]
+                    else:
+                        rows_by_batch[prog.batchId] = prog.numInputRows
+                seen = sum(rows_by_batch.values())
                 if seen >= expected_rows:
                     break
                 if _time.time() > deadline:

@@ -568,3 +568,30 @@ def test_rate_sample_salt_decorrelates_from_split(spark):
     # and the two select materially different sets
     both = unsalted.select("doc_id").intersect(salted.select("doc_id")).count()
     assert both < min(unsalted.count(), salted.count())
+
+
+def test_upsample_zero_copies_drops_stratum(spark):
+    """Regression for the round-4 review find: sequence(0, -1) is the
+    DESCENDING [0, -1], so copies=0 doubled the stratum it was meant to
+    remove."""
+    from streambench_spark.llm.sampling import upsample_by_rate
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "zh")], "doc_id long, lang string"
+    )
+    out = upsample_by_rate(docs, {"en": 0, "zh": 3}, stratum_col="lang")
+    rows = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert rows == [(2, 0), (2, 1), (2, 2)]
+
+
+def test_chunk_docs_udtf_ascii_whitespace_only(spark):
+    """Regression: the UDTF twin tokenized with Python's Unicode \\s,
+    splitting on U+00A0 where the builtin twin's Java \\s does not."""
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, text.chunk_docs(docs, chunk_tokens=2).collect()))
+    b = sorted(map(tuple, text.chunk_docs_udtf(docs, chunk_tokens=2).collect()))
+    assert a == b
+    # 'a b' must stay ONE token on both paths
+    assert a[0][3] == 2  # n_tokens of the single chunk: ['a b', 'c']

@@ -288,3 +288,36 @@ def test_cms_unseen_key_estimates_zero(spark):
     # overwhelmingly empty -> min coalesces to 0, and the key MUST
     # appear in the output at all
     assert est["never-seen-key"] == 0
+
+
+def test_asof_cogrouped_null_quote_fields_still_match(spark):
+    """Regression for the round-4 review find: the cogrouped as-of twin
+    detected unmatched probes via the FIRST quote payload column, so a
+    matched quote with a NULL first field was silently dropped (and a
+    NULL int field crashed the int64 cast). Must mirror the builtin's
+    NULL-preserving semantics exactly."""
+    from streambench_spark.operators.relational import (
+        asof_join, asof_join_cogrouped,
+    )
+
+    quotes = spark.createDataFrame(
+        [(1, 10, 100, "a"), (1, 20, None, None), (1, 30, 300, "c")],
+        "k long, t long, px long, tag string",
+    )
+    probes = spark.createDataFrame(
+        [(0, 1, 25), (1, 1, 35), (2, 1, 15), (3, 1, 5)],
+        "pid long, k long, t long",
+    )
+    kw = dict(key="k", probe_ts="t", quote_ts="t", quote_cols=["px", "tag"])
+    want = {
+        r["pid"]: (r["px"], r["tag"])
+        for r in asof_join(probes, quotes, **kw).collect()
+    }
+    got = {
+        r["pid"]: (r["px"], r["tag"])
+        for r in asof_join_cogrouped(probes, quotes, **kw).collect()
+    }
+    # probe@25 matches the all-NULL quote@20 and is NOT dropped;
+    # probe@5 precedes every quote and IS dropped (both paths)
+    assert want == {0: (None, None), 1: (300, "c"), 2: (100, "a")}
+    assert got == want
