@@ -155,13 +155,18 @@ def connected_components_star(
         )
         e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
         sym = _sym(e)
-        # small-star: u and its not-larger neighbors hook onto the minimum
+        # small-star: u and its not-larger neighbors hook onto the minimum.
+        # Materialize the neighborhood-min frame ONCE — both union legs
+        # read it, and Spark does not share the groupBy subtree across
+        # legs, so an inline _mins(sym) would run the dominant aggregate
+        # twice per alternation.
+        mins = _mins(sym).localCheckpoint()
         small_nbrs = (
             sym.filter(F.col("v") <= F.col("u"))
-            .join(_mins(sym), "u")
+            .join(mins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        small_self = _mins(sym).select(F.col("u"), F.col("m").alias("v"))
+        small_self = mins.select(F.col("u"), F.col("m").alias("v"))
         e = (
             small_nbrs.unionByName(small_self)
             .filter(F.col("u") != F.col("v"))

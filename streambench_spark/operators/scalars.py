@@ -58,5 +58,12 @@ def zorder_key(a: Column, b: Column) -> Column:
     clusters rows that are close in BOTH dimensions, so parquet min/max
     column stats prune selective predicates on either column — the
     standard multi-dimensional layout trick for 100 TB scans. Pure
-    integer bit arithmetic: any engine reproduces it exactly."""
-    return _spread16(a).bitwiseOR(F.shiftleft(_spread16(b), 1))
+    integer bit arithmetic: any engine reproduces it exactly.
+
+    Inputs are widened to LONG first: on 32-bit int columns the b-side
+    spread reaches bit 30 and its shiftleft(1) would land in the INT
+    sign bit, making every key with b >= 32768 negative and destroying
+    the sort-clustering the helper promises."""
+    return _spread16(a.cast("long")).bitwiseOR(
+        F.shiftleft(_spread16(b.cast("long")), 1)
+    )

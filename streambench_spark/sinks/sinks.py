@@ -147,12 +147,23 @@ def compact_parquet_dir(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".compact_old"
+    tmp = path.rstrip("/") + ".compact_tmp"
+    # crash recovery BEFORE touching anything: a kill between the two
+    # renames of a previous run leaves `old` holding the only copy of
+    # the data (path missing) — restore it; a kill after the second
+    # rename leaves a stale `old` that would fail this run's rename
+    # with ENOTEMPTY — remove it. A stale tmp is always safe to drop.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     df = spark.read.parquet(path)
     if transform is not None:
         df = transform(df)
-    tmp = path.rstrip("/") + ".compact_tmp"
     df.repartition(target_partitions).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact_old"
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
@@ -228,14 +239,16 @@ def kafka_sink(
 ) -> StreamingQuery:
     """S2: requires the spark-sql-kafka package + a broker; raises a clear
     error otherwise (tests run Kafka-free)."""
-    return (
+    from streambench_spark.sources.kafka import kafka_gated
+
+    return kafka_gated(
         to_json_rows(sdf)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
         .option("topic", topic)
         .option("checkpointLocation", _ckpt())
         .outputMode(mode)
-        .start()
+        .start
     )
 
 

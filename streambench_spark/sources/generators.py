@@ -71,16 +71,15 @@ def gen_campaigns(
 def indexed_ads(campaigns: DataFrame) -> tuple[DataFrame, int]:
     """(ad dim with a dense 0..N-1 ``idx`` keyed by sorted ad_id, N).
 
-    The idx assignment sorts the DIM table (hundreds-to-thousands of
-    rows) — a one-time single-partition window that is fine for a dim and
-    never touches the event stream. Returns the count too (one cheap job)
-    so callers avoid a second pass.
+    Delegates to replay.with_index — the shared dense-index idiom WITH
+    its broadcastable-dim guard (a fact-sized frame raises instead of
+    silently running a single-partition global sort). Returns the count
+    too (one cheap job) so callers avoid a second pass.
     """
-    from pyspark.sql import Window
+    from streambench_spark.sources.replay import with_index
 
     n = campaigns.count()
-    w = Window.orderBy("ad_id")
-    return campaigns.withColumn("idx", F.row_number().over(w) - 1), n
+    return with_index(campaigns, "ad_id"), n
 
 
 def _derived_columns(value_col, deterministic_ts: bool,
@@ -153,12 +152,16 @@ def gen_events_stream(
     num_partitions: int = 8,
     ramp_up_seconds: int = 10,
     deterministic_ts: bool = False,
+    flink_ts_quirk: bool = False,
 ) -> DataFrame:
     """S1: rate-limited streaming generator with ramp-up
     (YahooBenchmarkRunner.scala:84-97). Unbounded; event_time is
     current_timestamp() exactly like the reference (bench mode), or
-    value-derived in deterministic mode. ad_id via broadcast dim join —
-    no shuffle on the stream side."""
+    value-derived in deterministic mode — derived at rows_per_second so
+    event time tracks the generation rate (a fixed 1000/s divisor would
+    stretch a 10 s window across rows_per_second/1000 × 10 s of rows and
+    stall watermarks). ad_id via broadcast dim join — no shuffle on the
+    stream side."""
     stream = (
         spark.readStream.format("rate")
         .option("rowsPerSecond", rows_per_second)
@@ -167,6 +170,12 @@ def gen_events_stream(
         .load()
     )
     keyed = stream.select(
-        F.col("value"), *_derived_columns(F.col("value"), deterministic_ts)
+        F.col("value"),
+        *_derived_columns(
+            F.col("value"),
+            deterministic_ts,
+            events_per_second=rows_per_second,
+            flink_ts_quirk=flink_ts_quirk,
+        ),
     )
     return _attach_ads(keyed, campaigns, "value").drop("value")

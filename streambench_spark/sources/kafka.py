@@ -74,7 +74,14 @@ def kafka_batch_source(
         .option("endingOffsets", "latest")
         .load
     )
-    return decode_json_rows(raw, schema) if schema is not None else raw
+    # keep the broker timestamp through the decode: it IS the latency
+    # clock this docstring promises downstream (latency_analysis probes
+    # arrival_col="timestamp")
+    return (
+        decode_json_rows(raw, schema, keep=("timestamp",))
+        if schema is not None
+        else raw
+    )
 
 
 def kafka_stream_source(

@@ -81,12 +81,16 @@ def paced_replay(
     return keyed.join(F.broadcast(lookup), "idx").drop("idx")
 
 
-def with_index(df: DataFrame, order_col: str, max_rows: int = 10_000_000) -> DataFrame:
+def with_index(df: DataFrame, order_col: str, max_rows: int = 2_000_000) -> DataFrame:
     """Attach a dense 0..N-1 idx by order_col — one-time prep of the
     replay LOOKUP table, which is dim-sized by design (it is broadcast by
     paced_replay). The global single-partition sort is the price of a
     dense gap-free index; the guard makes the dim-only contract explicit
-    instead of silently degrading on a fact-sized input."""
+    instead of silently degrading on a fact-sized input. The bound is
+    set by what paced_replay FORCE-broadcasts, not by the sort: ~2M
+    events-shaped rows is ~200 MB broadcast — already generous; a 10M
+    default would pass the guard and then die in an opaque broadcast
+    OOM, exactly the degradation the guard exists to name."""
     from pyspark.sql import Window
 
     n = df.count()

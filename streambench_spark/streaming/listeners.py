@@ -13,38 +13,56 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 
 class ThroughputListener(StreamingQueryListener):
-    """Tracks one query. ``bind(query_id)`` pins it explicitly (events
-    from concurrent queries on the session are ignored); unbound, it
-    adopts the first query that starts after registration."""
+    """Tracks one query. ``bind(query_id)`` pins it explicitly; unbound,
+    it reads as the first query that started after registration.
+
+    Events are accumulated PER QUERY ID, never blindly: the listener bus
+    is async, so between registration and ``bind`` a concurrent query's
+    progress can arrive — attributing it to the trial would silently
+    inflate throughput. Per-query buffering means late binding selects
+    exactly the bound query's events, including any delivered before
+    ``bind`` executed."""
 
     def __init__(self) -> None:
-        self.rows = 0
-        self.start_ms: float | None = None
-        self.end_ms: float | None = None
         self.query_id: str | None = None
+        self._first_started: str | None = None
+        self._rows: dict[str, int] = {}
+        self._start: dict[str, float] = {}
+        self._end: dict[str, float] = {}
 
     def bind(self, query_id) -> None:
         self.query_id = str(query_id)
 
-    def _mine(self, event_id) -> bool:
-        return self.query_id is None or str(event_id) == self.query_id
+    def _qid(self) -> str | None:
+        return self.query_id or self._first_started
 
     def onQueryStarted(self, event) -> None:
-        if self._mine(event.id) and self.start_ms is None:
-            if self.query_id is None:
-                self.query_id = str(event.id)
-            self.start_ms = time.time() * 1000
+        qid = str(event.id)
+        if self._first_started is None:
+            self._first_started = qid
+        self._start.setdefault(qid, time.time() * 1000)
 
     def onQueryProgress(self, event) -> None:
-        if self._mine(event.progress.id):
-            self.rows += event.progress.numInputRows
+        qid = str(event.progress.id)
+        self._rows[qid] = self._rows.get(qid, 0) + event.progress.numInputRows
 
     def onQueryIdle(self, event) -> None:
         pass
 
     def onQueryTerminated(self, event) -> None:
-        if self._mine(event.id):
-            self.end_ms = time.time() * 1000
+        self._end[str(event.id)] = time.time() * 1000
+
+    @property
+    def rows(self) -> int:
+        return self._rows.get(self._qid(), 0)
+
+    @property
+    def start_ms(self) -> float | None:
+        return self._start.get(self._qid())
+
+    @property
+    def end_ms(self) -> float | None:
+        return self._end.get(self._qid())
 
     @property
     def throughput_rows_per_s(self) -> float:
@@ -186,12 +204,20 @@ class PeriodicStatsReporter:
         return self
 
     def stop(self) -> list[dict]:
+        import time as _t
+
         self._stop.set()
         self._thread.join(timeout=self.interval_s + 5)
         try:
             self._streams().removeListener(self._listener)
         except Exception:
             pass  # session already torn down
+        # final partial interval: rows processed after the last tick (or
+        # a whole run shorter than interval_s) would otherwise appear in
+        # NO sample and a fast drain would return [] with every counter
+        # discarded
+        if not self.samples or self._rows_lifetime != self._rows_prev_sample:
+            self._sample(_t.time())
         return self.samples
 
     def _run(self) -> None:

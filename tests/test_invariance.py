@@ -165,3 +165,22 @@ def test_ntile_closed_form_matches_window_ntile(spark):
                 ).collect()
             }
             assert got == ref, (n, k)
+
+
+def test_zorder_key_nonnegative_on_int_columns(spark):
+    """Regression for the round-4 review find: 32-bit int inputs pushed
+    the b-side spread into the INT sign bit for b >= 32768, producing
+    negative keys that invert the sort clustering."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.operators.scalars import zorder_key
+
+    df = spark.createDataFrame(
+        [(0, 32768), (65535, 65535), (1, 2)], "a int, b int"
+    )
+    rows = df.select(
+        zorder_key(F.col("a"), F.col("b")).alias("z")
+    ).collect()
+    assert all(r["z"] >= 0 for r in rows)
+    # interleave of (65535, 65535) fills all 32 low bits
+    assert max(r["z"] for r in rows) == 0xFFFFFFFF

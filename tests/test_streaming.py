@@ -797,3 +797,28 @@ def test_running_value_stats_negative_and_null_values(spark, tmp_path):
     # user 2: all-NULL values -> sum 0, n 2, max NULL (no crash)
     # user 3: single negative
     assert got == {1: (-1300, 3, -100), 2: (0, 2, None), 3: (-250, 1, -250)}
+
+
+def test_compact_parquet_dir_recovers_from_crash_debris(spark, tmp_path):
+    """Regression for the round-4 review find: a kill between the two
+    directory renames left `.compact_old` holding the only copy (or a
+    stale old dir that failed every later compaction with ENOTEMPTY).
+    The next call must self-heal both states."""
+    import os
+    import shutil
+
+    from streambench_spark.sinks.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "mv")
+    spark.range(10).write.parquet(path)
+    # state A: stale .compact_old from a crash AFTER the swap
+    shutil.copytree(path, path + ".compact_old")
+    n = compact_parquet_dir(spark, path)
+    assert n == 1
+    assert not os.path.exists(path + ".compact_old")
+    assert spark.read.parquet(path).count() == 10
+    # state B: crash BETWEEN renames — data only in .compact_old
+    os.rename(path, path + ".compact_old")
+    n = compact_parquet_dir(spark, path)
+    assert n == 1
+    assert spark.read.parquet(path).count() == 10
