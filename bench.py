@@ -109,8 +109,12 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
                                   source=bounded())
     streaming.update({f"replay_{k}": v for k, v in replay.items()})
     # Latency needs LIVE event times: 20 s of the rate-source generator,
-    # arrival minus generation clock per micro-batch (M3) — ~10+
-    # micro-batches so p95/p99 are real percentiles, not aliases of max.
+    # arrival minus generation clock per micro-batch (M3). Honest sample
+    # math: nearest-rank over n batch samples means p99 == max whenever
+    # n <= 100 and p95 == max whenever n <= 20 — at ~20-60 batches per
+    # trial the reported p99 IS the max (latency_batches is published so
+    # the reader can see n); the tuple still matches the reference's
+    # shape and its min/avg/max are unaffected.
     live = BenchParams(duration_s=20, rows_per_second=200_000,
                        ramp_up_seconds=0, watermark="1 second")
     streaming.update(run_latency_trial(spark, live, source=None))

@@ -111,6 +111,42 @@ def _ysb_stream(spark: SparkSession, params: BenchParams) -> DataFrame:
     return ysb_streaming(ev, dim, window=params.window, watermark=params.watermark)
 
 
+def ysb_kafka_stream(
+    spark: SparkSession,
+    params: BenchParams,
+    topic: str,
+    brokers: str,
+    schema,
+) -> DataFrame:
+    """Kafka-sourced twin of _ysb_stream — the consumer of the
+    ``max_offsets_per_trigger`` registry knob (T7: the reference's
+    backpressure pacing rides the Kafka source; the rate generator's
+    analog is rows_per_second, already consumed by _ysb_stream). Gated:
+    raises the clear kafka_gated error without a broker/package.
+
+    ``schema`` is the decoded event payload (user_id/ts/event_type —
+    e.g. the kafka_wire_roundtrip schema); the dim side still comes from
+    the generated campaigns table so the trial measures the stream path.
+    """
+    from streambench_spark.sources.kafka import kafka_stream_source
+
+    ev = kafka_stream_source(
+        spark,
+        topic,
+        brokers,
+        schema=schema,
+        max_offsets_per_trigger=params.max_offsets_per_trigger,
+    )
+    campaigns = gen.gen_campaigns(
+        spark, params.num_campaigns, params.ads_per_campaign
+    )
+    dim = campaigns.select(
+        F.col("ad_id").alias("c_custkey"),
+        F.col("campaign_id").alias("c_mktsegment"),
+    )
+    return ysb_streaming(ev, dim, window=params.window, watermark=params.watermark)
+
+
 def run_throughput_trial(
     spark: SparkSession, params: BenchParams, source: DataFrame | None = None
 ) -> dict:
@@ -128,7 +164,12 @@ def run_throughput_trial(
             fmt="noop",
             mode="update",
             available_now=source is not None,
-            trigger_interval_ms=params.trigger_interval_ms,
+            # availableNow and processingTime triggers are mutually
+            # exclusive in Spark: a bounded source drains availableNow,
+            # so the cadence knob applies to the live generator only
+            trigger_interval_ms=(
+                None if source is not None else params.trigger_interval_ms
+            ),
         )
         listener.bind(q.id)
         if source is not None:
@@ -201,18 +242,29 @@ def run_benchmark(
     ``source_factory()`` (optional) builds a fresh bounded source per
     trial for deterministic benchmarking without the wall-clock generator.
     """
+    import statistics
+
     params = params or BenchParams.from_env()
     trials = []
     for i in range(params.warmup_trials + params.trials):
         src = source_factory() if source_factory is not None else None
         t = run_throughput_trial(spark, params, source=src)
-        lat_src = source_factory() if source_factory is not None else None
-        t.update(run_latency_trial(spark, params, source=lat_src))
+        if source_factory is None:
+            # latency = arrival wall clock − max event time is only
+            # meaningful when event times are LIVE (the generator). A
+            # bounded replay source carries the frozen table's 2024
+            # timestamps, so the difference would be clock skew, not
+            # pipeline latency — skip rather than publish garbage.
+            t.update(run_latency_trial(spark, params))
         t["trial"] = i
         t["warmup"] = i < params.warmup_trials
         trials.append(t)
     measured = [t for t in trials if not t["warmup"]]
-    med = sorted(t["throughput_rows_per_s"] for t in measured)[len(measured) // 2]
+    med = (
+        statistics.median(t["throughput_rows_per_s"] for t in measured)
+        if measured
+        else None
+    )
     return {
         "params": params.to_map(),
         "trials": trials,

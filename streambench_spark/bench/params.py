@@ -43,11 +43,16 @@ class BenchParams:
         kwargs = dict(overrides)
         for f in fields(cls):
             env = os.environ.get(f"SPARK_GRAFT_BENCH_{f.name.upper()}")
-            if env is not None and f.name not in kwargs:
-                if env.lower() in ("none", "") and "None" in str(f.type):
-                    kwargs[f.name] = None
-                elif f.type in ("int", "int | None"):
-                    kwargs[f.name] = int(env)
-                else:
-                    kwargs[f.name] = env
+            if env is None or f.name in kwargs:
+                continue
+            if env == "":
+                # set-but-empty (common in CI templates) = unset: int('')
+                # would raise, and '' is never a valid window/watermark
+                continue
+            if env.lower() == "none" and "None" in str(f.type):
+                kwargs[f.name] = None
+            elif f.type in ("int", "int | None"):
+                kwargs[f.name] = int(env)
+            else:
+                kwargs[f.name] = env
         return cls(**kwargs)

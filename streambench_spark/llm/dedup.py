@@ -93,9 +93,7 @@ def shingle_postings(
     """
     h = spark_hash32("shingle")
     tk = TOKENS_EXPR.format(col=text_col)
-    gram = F.concat_ws(
-        " ", F.expr("tk[i]"), F.expr("tk[i + 1]"), F.expr("tk[i + 2]")
-    ) if n == 3 else F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
+    gram = F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
     posts = (
         docs.select("doc_id", F.expr(tk).alias("tk"))
         .filter(F.expr(f"size(tk) >= {n}"))  # guard: sequence(0, k<0) descends
@@ -124,16 +122,10 @@ def doc_shingle_sets(
     The one-row-per-doc shape is what verification stages want: a
     candidate pair's exact intersection is a row-local array_intersect of
     two bounded arrays — no posting-level join explosion."""
-    h = spark_hash32("shingle")
-    tk = TOKENS_EXPR.format(col=text_col)
-    gram = F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
-    raw = (
-        docs.select("doc_id", F.expr(tk).alias("tk"))
-        .filter(F.expr(f"size(tk) >= {n}"))
-        .select("doc_id", "tk", F.explode(F.expr(f"sequence(0, size(tk) - {n})")).alias("i"))
-        .select("doc_id", gram.alias("shingle"))
-        .select("doc_id", F.expr(f"{h} % {MERSENNE_P}L").alias("h"))
-    )
+    # non-distinct postings + collect_set: the set semantics land in the
+    # aggregate (map-side partial sets), not in a posting-level shuffle —
+    # and the shingle pipeline itself lives in ONE place
+    raw = shingle_postings(docs, n, text_col, distinct=False)
     return (
         raw.groupBy("doc_id")
         .agg(F.collect_set("h").alias("hsh"))
@@ -589,19 +581,29 @@ def ngram_containment_pairs(
     )
 
 
-def exact_dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup keeping the BEST copy per duplicate group — the copy
-    with the most tokens (ties → minimum doc_id) — instead of blindly
-    the minimum id.
+def exact_dedup_keep_best(
+    docs: DataFrame, text_col: str = "text", group_expr=None
+) -> DataFrame:
+    """Dedup keeping the BEST copy per duplicate group — the copy with
+    the most tokens (ties → minimum doc_id) — instead of blindly the
+    minimum id. The argmax is a map-side-combining max of a
+    (n_tokens, -doc_id) struct, so the skew-free single shuffle on the
+    group key carries one struct per group per partition.
 
-    This is what production pipelines actually keep: near-identical
-    scrapes of a page differ by truncation, and min-id keeps whichever
-    crawl happened to come first. Same skew-free single shuffle on the
-    sha256 content hash as exact_dedup_groups; the argmax is a map-side-
-    combining max of a (n_tokens, -doc_id) struct, so the shuffle carries
-    one struct per hash per partition.
+    GROUPER CHOICE IS WHAT MAKES THE RANKING MEANINGFUL. The default
+    grouper (sha256 of whitespace-normalized text, as exact_dedup_groups)
+    only ever groups byte-identical normalized copies, whose non-empty
+    token counts are equal BY CONSTRUCTION — under it the argmax
+    degenerates to min doc_id (a deterministic winner, nothing more).
+    The truncated-scrape case production pipelines care about — keep the
+    LONGEST near-identical copy — needs a FUZZY ``group_expr`` whose
+    groups contain genuinely different texts: a simhash fingerprint
+    (simhash_fingerprints), a minhash band key, or a URL/source id.
+    Pass it as a Column; the output's text_hash column then carries that
+    group key.
     """
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    grouper = group_expr if group_expr is not None else F.sha2(norm, 256)
     # count only NON-EMPTY tokens: split('\s+') keeps leading/trailing
     # empty strings, so a whitespace-padded copy would out-rank an
     # otherwise-identical clean copy and best_tokens would over-report
@@ -611,7 +613,7 @@ def exact_dedup_keep_best(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         docs.select(
             F.col("doc_id"),
-            F.sha2(norm, 256).alias("text_hash"),
+            grouper.alias("text_hash"),
             F.expr(n_tok).cast("long").alias("n_tok"),
         )
         .groupBy("text_hash")

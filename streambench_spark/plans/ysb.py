@@ -70,10 +70,16 @@ def ysb_query(
 
 
 def ysb_oracle_sql(window_seconds: int = 3600, event_type: str = "view") -> str:
-    """DuckDB-equivalent SQL for ysb_query (same column names/types)."""
+    """DuckDB-equivalent SQL for ysb_query (same column names/types).
+
+    time_bucket carries an EXPLICIT epoch origin: DuckDB's default
+    origin is 2000-01-03, Spark's window() aligns to 1970 — widths that
+    divide the offset (3600, 10) mask the difference, any other width
+    (e.g. 7 s) would shift every bucket."""
     return f"""
         SELECT
-            epoch_ms(time_bucket(INTERVAL {window_seconds} SECOND, e.ts)) AS time_window,
+            epoch_ms(time_bucket(INTERVAL {window_seconds} SECOND, e.ts,
+                                 TIMESTAMP '1970-01-01')) AS time_window,
             c.c_mktsegment AS segment,
             count(*) AS count,
             epoch_ms(max(e.ts)) AS last_update_ms

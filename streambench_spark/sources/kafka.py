@@ -93,7 +93,8 @@ def kafka_stream_source(
     starting_offsets: str = "latest",
 ) -> DataFrame:
     """Streaming Kafka source; ``max_offsets_per_trigger`` bounds each
-    micro-batch (T7 backpressure)."""
+    micro-batch (T7 backpressure). With a ``schema`` the JSON value is
+    decoded (broker timestamp kept, same as the batch source)."""
     reader = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -102,4 +103,9 @@ def kafka_stream_source(
     )
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
-    return kafka_gated(reader.load)
+    raw = kafka_gated(reader.load)
+    return (
+        decode_json_rows(raw, schema, keep=("timestamp",))
+        if schema is not None
+        else raw
+    )

@@ -48,9 +48,20 @@ def test_benchmark_trial_loop(spark):
     assert sum(1 for t in report["trials"] if t["warmup"]) == 1
     assert report["median_throughput_rows_per_s"] > 0
     assert report["params"]["window"] == "10 seconds"
-    # merged trial tuples keep both clocks (no key collision)
+    # deterministic (replay) mode must NOT publish a latency tuple: the
+    # frozen event times would make arrival−event_time clock skew, not
+    # latency (round-4 review find)
     for t in report["trials"]:
-        assert "totalDurationMillis" in t and "latency_total_ms" in t
+        assert "totalDurationMillis" in t and "latency_total_ms" not in t
+
+
+def test_benchmark_zero_trials_no_crash(spark):
+    """trials=0 (warmup-only smoke run) must return cleanly, not
+    IndexError after discarding the warmup results."""
+    params = BenchParams(trials=0, warmup_trials=1, duration_s=5)
+    report = run_benchmark(spark, params, source_factory=lambda: _bounded_source(spark))
+    assert len(report["trials"]) == 1
+    assert report["median_throughput_rows_per_s"] is None
 
 
 def test_params_from_env(monkeypatch):

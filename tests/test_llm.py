@@ -595,3 +595,26 @@ def test_chunk_docs_udtf_ascii_whitespace_only(spark):
     assert a == b
     # 'a b' must stay ONE token on both paths
     assert a[0][3] == 2  # n_tokens of the single chunk: ['a b', 'c']
+
+
+def test_keep_best_fuzzy_group_ranks_by_length(spark):
+    """With a FUZZY group key (here: a source id standing in for a
+    simhash bucket) keep-best genuinely ranks by token count — the
+    truncated-scrape case. Under the default sha256-exact grouper the
+    ranking degenerates to min doc_id by construction (documented)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "siteA"),
+            (2, "the quick brown fox jumps over the dog", "siteA"),
+            (3, "unrelated page", "siteB"),
+        ],
+        "doc_id long, text string, src string",
+    )
+    out = {
+        r["text_hash"]: (r["n_copies"], r["best_id"], r["best_tokens"])
+        for r in dedup.exact_dedup_keep_best(
+            docs, group_expr=F.col("src")
+        ).collect()
+    }
+    # siteA keeps the LONGER copy (doc 2, 8 tokens), not min id
+    assert out == {"siteA": (2, 2, 8), "siteB": (1, 3, 2)}
