@@ -113,13 +113,14 @@ def windowed_collect(
 def session_windowed_agg(
     df: DataFrame,
     ts_col: str,
-    gap: str,
+    gap: str | Column,
     keys: list[str],
     aggs: list[Column],
 ) -> DataFrame:
     """W2: session windows with gap-merge semantics (sbx/Values.h:1414-1688
     try_add_record/merge). Spark's session_window implements the same
-    extend-on-overlap + merge-adjacent model natively.
+    extend-on-overlap + merge-adjacent model natively. ``gap`` may be a
+    per-row Column (dynamic gap) — session_window accepts both.
     """
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)

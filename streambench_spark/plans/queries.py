@@ -300,13 +300,12 @@ def q_ysb_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark clock is definitionally max(view ts) − 1 s (Catalyst pushes
     the filter below the watermark node anyway; making it explicit keeps
     the oracle's cutoff independent of optimizer placement)."""
-    from pyspark.sql import functions as SF
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.ysb import run_streaming_ysb_append
 
     return run_streaming_ysb_append(
         spark,
-        stream_table(spark, sf_dir, "events").filter(SF.col("event_type") == "view"),
+        stream_table(spark, sf_dir, "events").filter(F.col("event_type") == "view"),
         load_table(spark, sf_dir, "customer"),
         window="1 hour",
         watermark="1 second",
@@ -323,7 +322,6 @@ def q_ysb_trigger_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-key max of the monotonic (count, last_update) reduces the
     early-fire stream to the final state, which equals the batch YSB
     result for ANY trigger cadence or file order."""
-    from streambench_spark.plans.ysb import ysb_query
     from streambench_spark.sources.replay import stream_table_multifile
     from streambench_spark.streaming.ysb import run_update_with_interval_trigger
 
@@ -347,7 +345,6 @@ def q_ysb_paced_files_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded micro-batches instead of one. Update-mode foreachBatch
     parquet drain + per-key max reduction, as above — equal to the batch
     YSB result regardless of pacing."""
-    from streambench_spark.plans.ysb import ysb_query
     from streambench_spark.sources.replay import stream_table_multifile
     from streambench_spark.streaming.ysb import run_update_to_parquet
 
@@ -366,19 +363,20 @@ def q_ysb_paced_files_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Joins (J1-J4) and relational breadth
 # ---------------------------------------------------------------------------
 
-
-@register(
-    "interval_self_join",
-    """
+# One oracle, three physical strategies (plain / banded / streaming) — the
+# point of the twins is identical semantics, so the boundary rule
+# (BOTH-inclusive [l.ts, l.ts + 1h]) is single-sourced here.
+_INTERVAL_1H_ORACLE = """
     SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
     FROM events l JOIN events r
       ON l.user_id = r.user_id
      AND r.ts >= l.ts
      AND r.ts <= l.ts + INTERVAL 1 HOUR
     WHERE l.event_type = 'view' AND r.event_type = 'purchase'
-    """,
-    tags=["joins"],
-)
+    """
+
+
+@register("interval_self_join", _INTERVAL_1H_ORACLE, tags=["joins"])
 def q_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: stream-stream style join with time bounds — views followed by a
     purchase from the same user within 1 h. In streaming this is Spark's
@@ -397,18 +395,7 @@ def q_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "interval_self_join_banded",
-    """
-    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND r.ts >= l.ts
-     AND r.ts <= l.ts + INTERVAL 1 HOUR
-    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
-    """,
-    tags=["joins"],
-)
+@register("interval_self_join_banded", _INTERVAL_1H_ORACLE, tags=["joins"])
 def q_interval_self_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe twin of interval_self_join: the 1 h band is folded into
     the equi-join key as a time bucket, so a hot user's pairs spread over
@@ -430,16 +417,7 @@ def q_interval_self_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "interval_join_streaming",
-    """
-    SELECT l.event_id AS view_id, r.event_id AS purchase_id, l.user_id AS user_id
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND r.ts >= l.ts
-     AND r.ts <= l.ts + INTERVAL 1 HOUR
-    WHERE l.event_type = 'view' AND r.event_type = 'purchase'
-    """,
-    tags=["joins", "streaming"],
+    "interval_join_streaming", _INTERVAL_1H_ORACLE, tags=["joins", "streaming"]
 )
 def q_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 through Structured Streaming, driver-surfaced: watermarked
@@ -1293,10 +1271,21 @@ def q_interval_join_full_outer_streaming(spark: SparkSession, sf_dir: str) -> Da
     return run_append_to_parquet(spark, joined, state_partitions=8)
 
 
-@register(
-    "session_windows_dynamic_gap",
-    """
-    WITH g AS (
+def _dynamic_gap_oracle(streaming: bool = False) -> str:
+    """Interval-union sweep for PER-EVENT-gap sessions, single-sourced so
+    the merge boundary rule exists in exactly one place for both the
+    batch and streaming registrations (the round-4 review caught the two
+    copies carrying an identical `>=` bug). The break is STRICT
+    `ts_ms > prev_end`: Spark's session_window — fixed and dynamic gap
+    alike — merges on EXACT TOUCH (an event landing exactly at the
+    running max of prior session ends EXTENDS the session; measured, see
+    session_windows_edges and test_dynamic_gap_exact_touch_merges)."""
+    wm = "wm AS (SELECT epoch_ms(max(ts)) - 1000 AS wm_ms FROM events),\n    " if streaming else ""
+    having = (
+        "\n    HAVING session_end <= (SELECT wm_ms FROM wm)" if streaming else ""
+    )
+    return f"""
+    WITH {wm}g AS (
         SELECT user_id, epoch_ms(ts) AS ts_ms,
                CASE event_type WHEN 'purchase' THEN 3600000
                                WHEN 'view' THEN 600000
@@ -1313,7 +1302,7 @@ def q_interval_join_full_outer_streaming(spark: SparkSession, sf_dir: str) -> Da
     ),
     marked AS (
         SELECT user_id, ts_ms, gap_ms,
-               CASE WHEN prev_end IS NULL OR ts_ms >= prev_end
+               CASE WHEN prev_end IS NULL OR ts_ms > prev_end
                     THEN 1 ELSE 0 END AS new_session
         FROM swept
     ),
@@ -1328,35 +1317,38 @@ def q_interval_join_full_outer_streaming(spark: SparkSession, sf_dir: str) -> Da
            min(ts_ms) AS session_start,
            max(ts_ms + gap_ms) AS session_end,
            count(*) AS n_events
-    FROM sessions GROUP BY user_id, sid
-    """,
-    tags=["windows"],
-)
+    FROM sessions GROUP BY user_id, sid{having}
+    """
+
+
+def _dynamic_gap_col():
+    # built lazily: Column construction needs an active SparkContext,
+    # which doesn't exist at module import time
+    return (
+        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
+        .when(F.col("event_type") == "view", F.lit("10 minutes"))
+        .otherwise(F.lit("20 minutes"))
+    )
+
+
+@register("session_windows_dynamic_gap", _dynamic_gap_oracle(), tags=["windows"])
 def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2 with a PER-EVENT gap (Spark dynamic session_window): purchases
     hold a session open 60 min, views 10, everything else 20 — the
     engagement-weighted sessionization the fixed-gap variant can't
     express. The oracle is the interval-union sweep (cumulative max of
-    prior session ends, strict < merge — same half-open boundary the
-    fixed-gap oracle established); the sweep is order-insensitive among
-    equal timestamps because any tie always overlaps its twin. Same
-    plan as fixed-gap: one shuffle on user_id, per-key merge state."""
+    prior session ends, break strictly past it — Spark merges on exact
+    touch, same as the fixed-gap window). Same plan as fixed-gap: one
+    shuffle on user_id, per-key merge state."""
     ev = load_table(spark, sf_dir, "events")
-    gap = (
-        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
-        .when(F.col("event_type") == "view", F.lit("10 minutes"))
-        .otherwise(F.lit("20 minutes"))
+    out = win.session_windowed_agg(
+        ev,
+        "ts",
+        _dynamic_gap_col(),
+        keys=["user_id"],
+        aggs=[F.count(F.lit(1)).alias("n_events")],
     )
-    return (
-        ev.groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_millis(F.col("session_window.start")).alias("session_start"),
-            F.unix_millis(F.col("session_window.end")).alias("session_end"),
-            "n_events",
-        )
-    )
+    return out.select("user_id", "session_start", "session_end", "n_events")
 
 
 @register(
@@ -1454,43 +1446,7 @@ def q_compacted_events_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_windows_dynamic_gap_streaming",
-    """
-    WITH wm AS (SELECT epoch_ms(max(ts)) - 1000 AS wm_ms FROM events),
-    g AS (
-        SELECT user_id, epoch_ms(ts) AS ts_ms,
-               CASE event_type WHEN 'purchase' THEN 3600000
-                               WHEN 'view' THEN 600000
-                               ELSE 1200000 END AS gap_ms
-        FROM events
-    ),
-    swept AS (
-        SELECT user_id, ts_ms, gap_ms,
-               max(ts_ms + gap_ms) OVER (
-                   PARTITION BY user_id ORDER BY ts_ms
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS prev_end
-        FROM g
-    ),
-    marked AS (
-        SELECT user_id, ts_ms, gap_ms,
-               CASE WHEN prev_end IS NULL OR ts_ms >= prev_end
-                    THEN 1 ELSE 0 END AS new_session
-        FROM swept
-    ),
-    sessions AS (
-        SELECT user_id, ts_ms, gap_ms,
-               sum(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts_ms
-                   ROWS UNBOUNDED PRECEDING) AS sid
-        FROM marked
-    )
-    SELECT user_id,
-           min(ts_ms) AS session_start,
-           max(ts_ms + gap_ms) AS session_end,
-           count(*) AS n_events
-    FROM sessions GROUP BY user_id, sid
-    HAVING session_end <= (SELECT wm_ms FROM wm)
-    """,
+    _dynamic_gap_oracle(streaming=True),
     tags=["streaming", "windows"],
 )
 def q_session_windows_dynamic_gap_streaming(
@@ -1500,20 +1456,18 @@ def q_session_windows_dynamic_gap_streaming(
     per-event gap column drives the state-store session merge, append
     mode emits sessions only when the watermark passes their (dynamic)
     end — the engagement-weighted sessionization running with evicting
-    state. Oracle = the interval-union sweep with the same
-    watermark-finalized cutoff as the fixed-gap streaming twin."""
+    state. Oracle = the shared interval-union sweep with the
+    watermark-finalized cutoff of the fixed-gap streaming twin."""
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.ysb import run_append_to_parquet
 
     stream = stream_table(spark, sf_dir, "events")
-    gap = (
-        F.when(F.col("event_type") == "purchase", F.lit("60 minutes"))
-        .when(F.col("event_type") == "view", F.lit("10 minutes"))
-        .otherwise(F.lit("20 minutes"))
-    )
     agg = (
         stream.withWatermark("ts", "1 second")
-        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .groupBy(
+            F.session_window(F.col("ts"), _dynamic_gap_col()).alias("w"),
+            F.col("user_id"),
+        )
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",

@@ -83,9 +83,12 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "batch"],
 )
 def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3: dims (customer, filtered orders) broadcast onto the lineitem
-    fact; one grouped aggregate on orderkey; TakeOrderedAndProject for the
-    top 10 (per-partition heaps, no global sort)."""
+    """Q3: the customer dim broadcasts; the date-filtered orders side is
+    SF-PROPORTIONAL (~45% of orders), so it carries NO broadcast hint —
+    AQE broadcasts it while it fits and falls back to sort-merge at
+    scale, instead of a forced hint dying on the broadcast cap. One
+    grouped aggregate on orderkey; TakeOrderedAndProject for the top 10
+    (per-partition heaps, no global sort)."""
     c = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -96,7 +99,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
         li.l_orderkey == F.col("o_orderkey"),
     )
     return (
@@ -137,8 +140,11 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "batch"],
 )
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: six-way join — every dim side broadcast, so the lineitem fact
-    is never shuffled until the final small groupBy(nation)."""
+    """Q5: six-way join — the true dims (customer, supplier, nation,
+    region) broadcast; the two-year orders slice is SF-proportional so
+    it is left unhinted for AQE to decide (broadcast while small,
+    sort-merge at scale). The lineitem fact still never shuffles before
+    the final small groupBy(nation) when orders broadcasts."""
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
@@ -151,7 +157,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(
             F.broadcast(s),
@@ -222,8 +228,10 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=["tpch", "batch"],
 )
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10: returned-items revenue per customer, top 20 — broadcast dims,
-    single fact aggregate, heap-based top-k."""
+    """Q10: returned-items revenue per customer, top 20 — true dims
+    broadcast, the one-year orders slice unhinted (SF-proportional: AQE
+    broadcasts while it fits), single fact aggregate, heap-based
+    top-k."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
@@ -236,7 +244,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
     )

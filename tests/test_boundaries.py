@@ -254,3 +254,45 @@ def test_star_cc_keeps_selfloop_only_nodes(spark):
     }
     assert star == want
     assert plain == want
+
+
+def test_dynamic_gap_exact_touch_merges(spark, tmp_path):
+    """Dynamic-gap session_window merges on EXACT touch, same as the
+    fixed-gap window: an event landing exactly at the running max of
+    prior session ends EXTENDS the session. Pins the strict `>` break in
+    the shared _dynamic_gap_oracle (round-4 review CONFIRMED the old
+    `>=` copies split where Spark merges)."""
+    import duckdb
+
+    from streambench_spark.plans.queries import (
+        _dynamic_gap_oracle, q_session_windows_dynamic_gap,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    # user 1: view at t=0 (10-min gap) then event exactly at t+600s →
+    # ONE session; user 2: 600.001s later → TWO sessions
+    rows = [
+        (1, _ts(0.0), 1, "view", 1.0, "{}"),
+        (2, _ts(600.0), 1, "view", 1.0, "{}"),
+        (3, _ts(0.0), 2, "view", 1.0, "{}"),
+        (4, _ts(600.001), 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(sf + "/events.parquet")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+    out = q_session_windows_dynamic_gap(spark, sf)
+    per_user = {
+        r["user_id"]: r["cnt"]
+        for r in out.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_user == {1: 1, 2: 2}
+    assert_matches_oracle(out, duck, _dynamic_gap_oracle())
