@@ -434,6 +434,20 @@ def adjacent_pair_counts(
 # small English function-word list to appear in the document).
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
+# Ratio thresholds cross-multiplied into integer comparisons — exact in
+# any engine; the SQL text is valid in both Spark and DuckDB, so the
+# registry oracle interpolates THIS dict instead of keeping a copy that
+# could drift when a threshold is tuned.
+GOPHER_RULES = {
+    "r_word_count": "n_words BETWEEN 50 AND 100000",
+    "r_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
+    "r_symbol_ratio": "10 * n_sym < n_words",
+    "r_bullet_lines": "10 * n_bullet < 9 * n_lines",
+    "r_ellipsis_lines": "10 * n_ell < 3 * n_lines",
+    "r_alpha_words": "5 * n_alpha >= 4 * n_words",
+    "r_stopwords": "n_stop >= 2",
+}
+
 
 def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style document-quality rules, one 0/1 flag per rule.
@@ -472,15 +486,7 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "size(filter(ln, l -> endswith(l, '...'))) AS n_ell",
         "n_sym",
     )
-    rules = {
-        "r_word_count": "n_words BETWEEN 50 AND 100000",
-        "r_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
-        "r_symbol_ratio": "10 * n_sym < n_words",
-        "r_bullet_lines": "10 * n_bullet < 9 * n_lines",
-        "r_ellipsis_lines": "10 * n_ell < 3 * n_lines",
-        "r_alpha_words": "5 * n_alpha >= 4 * n_words",
-        "r_stopwords": f"n_stop >= 2",
-    }
+    rules = GOPHER_RULES
     keep = " AND ".join(f"({c})" for c in rules.values())
     return measured.selectExpr(
         "doc_id",

@@ -279,9 +279,12 @@ def q_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "wordcount_top20",
-    """
+    r"""
     WITH tok AS (
-        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        -- explicit Java whitespace class: DuckDB RE2 shorthand excludes
+        -- vertical tab (U+000B), Java's includes it
+        SELECT unnest(regexp_split_to_array(lower(text),
+                                            '[ \t\n\x0B\f\r]+')) AS word
         FROM documents
     )
     SELECT word, count(*) AS n

@@ -35,7 +35,13 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DuckDB fragments mirroring the Spark expressions -------------------------
 
 _D_H32 = "CAST('0x' || substring(md5({s}), 1, 8) AS BIGINT)"
-_D_TOKENS = "regexp_split_to_array(lower({col}), '\\s+')"
+# Whitespace class matching Java's \s EXACTLY ([ \t\n\x0B\f\r]): DuckDB's
+# RE2 \s EXCLUDES vertical tab (\x0B, verified), so a bare '\s+' oracle
+# silently diverges from Spark's split/regexp_replace on the first
+# document containing one. Every whitespace regex in this module's
+# oracles goes through this constant.
+_D_WS = "[ \\t\\n\\x0B\\f\\r]"
+_D_TOKENS = "regexp_split_to_array(lower({col}), '" + _D_WS + "+')"
 # 1-indexed DuckDB lists; range(a, b) is [a, b) → i in 1..len-2 for trigrams
 _D_SHINGLES = (
     "list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] "
@@ -164,7 +170,7 @@ FROM toks
 _TOKEN_COUNTS_ORACLE = f"""
 SELECT doc_id,
        len({_D_TOKENS.format(col='text')}) AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_bpe_tokens
 FROM documents
 """
 
@@ -200,13 +206,21 @@ _D_DOT = (
 
 
 def _topk_oracle(join_cond: str, extra_col: str = "") -> str:
-    """Top-1 cosine neighbor oracle with a parameterized candidate join."""
+    """Top-1 cosine neighbor oracle with a parameterized candidate join.
+
+    Zero-norm vectors are excluded on BOTH roles (query and neighbor),
+    mirroring every Spark kernel's isfinite filter — without the guard a
+    zero-norm query's 0/0 cosine is NULL, which row_number ranks into
+    rn=1 and emits a (vec_id, neighbor, NULL) row the Spark side
+    correctly never produces (round-4 review find, latent because the
+    shipped corpus has no zero vectors)."""
     dot_self = _D_DOT.format(a="embedding", b="embedding")
     dot_ab = _D_DOT.format(a="a.embedding", b="b.embedding")
     return f"""
 WITH e AS (
     SELECT vec_id, label, embedding, sqrt({dot_self}) AS norm{extra_col}
     FROM embeddings
+    WHERE {dot_self} > 0
 ),
 pairs AS (
     SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
@@ -241,7 +255,7 @@ FROM documents
 @register(
     "exact_dedup",
     """
-    SELECT sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS text_hash,
+    SELECT sha256(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS text_hash,
            count(*) AS n_copies,
            min(doc_id) AS canonical_id
     FROM documents GROUP BY 1
@@ -909,7 +923,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TFIDF_ORACLE = """
 WITH tf AS (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS term
     FROM documents
 ),
 tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
@@ -1009,11 +1023,9 @@ def q_frame_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = docs.select(
         "doc_id", (F.col("n_chars") % 100).cast("int").alias("n_frames")
     ).filter(F.col("n_frames") > 0)
-    from streambench_spark.llm.multimodal import frame_sample_indices
-
     return assets.select(
         "doc_id",
-        F.explode(frame_sample_indices("n_frames", 10)).alias("frame_idx"),
+        F.explode(multimodal.frame_sample_indices("n_frames", 10)).alias("frame_idx"),
     ).withColumn("frame_idx", F.col("frame_idx").cast("long"))
 
 
@@ -1095,7 +1107,8 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.encode(header, "UTF-8"), F.encode(F.col("text"), "UTF-8")).alias(
             "payload"
         ),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
+    assets = repartition_for_compute(assets)
     resized = multimodal.resize_images(assets, target=16)
     return resized.select(
         "doc_id", "src_w", "src_h", "width", "height",
@@ -1245,8 +1258,6 @@ def q_canonical_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rowlocal_minhash_oracle(num_hashes: int = 8) -> str:
-    from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients
-
     sig = ", ".join(
         f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in hsh])"
         for a, b in minhash_coefficients(num_hashes)
@@ -1301,15 +1312,10 @@ def q_streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-dup, quality-aware dedup
 # ---------------------------------------------------------------------------
 
-_GOPHER_RULES = {
-    "r_word_count": "n_words BETWEEN 50 AND 100000",
-    "r_mean_word_len": "3 * n_words <= sum_len AND sum_len <= 10 * n_words",
-    "r_symbol_ratio": "10 * n_sym < n_words",
-    "r_bullet_lines": "10 * n_bullet < 9 * n_lines",
-    "r_ellipsis_lines": "10 * n_ell < 3 * n_lines",
-    "r_alpha_words": "5 * n_alpha >= 4 * n_words",
-    "r_stopwords": "n_stop >= 2",
-}
+# single-sourced from text.GOPHER_RULES (valid SQL in both engines) so a
+# threshold tune can't silently diverge the oracle from the operator
+_GOPHER_RULES = text.GOPHER_RULES
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
 _GOPHER_KEEP = " AND ".join(f"({c})" for c in _GOPHER_RULES.values())
 _GOPHER_ORACLE = f"""
 WITH t AS (
@@ -1325,7 +1331,7 @@ WITH t AS (
            coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS sum_len,
            len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
            len(list_intersect(list_distinct(tk),
-               ['the','be','to','of','and','that','have','with'])) AS n_stop,
+               [{_GOPHER_STOPS}])) AS n_stop,
            len(ln) AS n_lines,
            len(list_filter(ln,
                l -> starts_with(l, '- ') OR starts_with(l, '* '))) AS n_bullet,
@@ -1417,10 +1423,10 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KEEP_BEST_ORACLE = """
 WITH t AS (
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+           CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                 x -> x <> '')) AS BIGINT)
                AS n_tok,
-           sha256(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+           sha256(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
                AS text_hash
     FROM documents
 ),
@@ -1624,8 +1630,7 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COV_ORACLE = """
 WITH pairs AS (
     SELECT label, r1.i AS i, r2.j AS j,
-           round(CAST(embedding[r1.i + 1] AS DOUBLE)
-                 * CAST(embedding[r2.j + 1] AS DOUBLE), 12) AS p
+           (sign(CAST(embedding[r1.i + 1] AS DOUBLE) * CAST(embedding[r2.j + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r1.i + 1] AS DOUBLE) * CAST(embedding[r2.j + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS p
     FROM embeddings, range(64) r1(i), range(64) r2(j)
     WHERE r2.j >= r1.i
 ),
@@ -1637,7 +1642,7 @@ sums AS (
 ),
 means AS (
     SELECT label, r.i AS i,
-           CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+           CAST(sum(CAST((sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12)
                          AS DECIMAL(28, 12))) AS DOUBLE) AS sm
     FROM embeddings, range(64) r(i) GROUP BY 1, 2
 )
@@ -1670,8 +1675,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label", "i", "j",
             F.expr(
-                "CAST(round(CAST(embedding[i] AS DOUBLE) "
-                "* CAST(embedding[j] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+                "CAST((sign(CAST(embedding[i] AS DOUBLE) "
+                "* CAST(embedding[j] AS DOUBLE)) * floor(abs("
+                "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)"
+                ") * 1e12 + 0.5) / 1e12) AS DECIMAL(28, 12))"
             ).alias("p"),
         )
     )
@@ -1684,7 +1691,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "label", "i",
             F.expr(
-                "CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+                "CAST((sign(CAST(embedding[i] AS DOUBLE)) * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS DECIMAL(28, 12))"
             ).alias("x"),
         )
         .groupBy("label", "i")
@@ -1759,7 +1766,7 @@ def q_split_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = with_split(_docs(spark, sf_dir))
     posts = dedup.shingle_postings(
         docs.withColumn("doc_id", F.col("split")), 3
-    ).withColumnRenamed("doc_id", "split").distinct()
+    ).withColumnRenamed("doc_id", "split")  # postings are already distinct
     tr = posts.filter(F.col("split") == "train").select("h").distinct()
     ev = posts.filter(F.col("split") != "train")
     return (
@@ -1788,8 +1795,10 @@ def _global_cov_frame(embs: DataFrame, dp: int) -> DataFrame:
         .select(
             "i", "j",
             F.expr(
-                "CAST(round(CAST(embedding[i] AS DOUBLE) "
-                "* CAST(embedding[j] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+                "CAST((sign(CAST(embedding[i] AS DOUBLE) "
+                "* CAST(embedding[j] AS DOUBLE)) * floor(abs("
+                "CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE)"
+                ") * 1e12 + 0.5) / 1e12) AS DECIMAL(28, 12))"
             ).alias("p"),
         )
     )
@@ -1801,7 +1810,7 @@ def _global_cov_frame(embs: DataFrame, dp: int) -> DataFrame:
         .select(
             "i",
             F.expr(
-                "CAST(round(CAST(embedding[i] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+                "CAST((sign(CAST(embedding[i] AS DOUBLE)) * floor(abs(CAST(embedding[i] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS DECIMAL(28, 12))"
             ).alias("x"),
         )
         .groupBy("i")
@@ -1830,8 +1839,7 @@ def _pca_oracle(iters: int = 6) -> str:
     cov_core = """
 pairs AS (
     SELECT r1.i AS i, r2.j AS j,
-           round(CAST(embedding[r1.i + 1] AS DOUBLE)
-                 * CAST(embedding[r2.j + 1] AS DOUBLE), 12) AS p
+           (sign(CAST(embedding[r1.i + 1] AS DOUBLE) * CAST(embedding[r2.j + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r1.i + 1] AS DOUBLE) * CAST(embedding[r2.j + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS p
     FROM embeddings, range(64) r1(i), range(64) r2(j)
     WHERE r2.j >= r1.i
 ),
@@ -1842,7 +1850,7 @@ sums AS (
 ),
 means AS (
     SELECT r.i AS i,
-           CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+           CAST(sum(CAST((sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12)
                          AS DECIMAL(28, 12))) AS DOUBLE) AS sm
     FROM embeddings, range(64) r(i) GROUP BY 1
 ),
@@ -1864,7 +1872,7 @@ v0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS val FROM range(64) r(i))"""
         steps.append(f"""
 w{k} AS (
     SELECT A.i AS i,
-           CAST(sum(CAST(round(A.a * v{k-1}.val, 12) AS DECIMAL(30, 12)))
+           CAST(sum(CAST((sign(A.a * v{k-1}.val) * floor(abs(A.a * v{k-1}.val) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12)))
                 AS DOUBLE) AS w
     FROM A JOIN v{k-1} ON A.j = v{k-1}.i GROUP BY 1
 ),
@@ -1905,7 +1913,7 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "i",
                 F.expr(
-                    "CAST(round(a * val, 12) AS DECIMAL(30, 12))"
+                    "CAST((sign(a * val) * floor(abs(a * val) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12))"
                 ).alias("t"),
             )
             .groupBy("i")
@@ -1934,18 +1942,19 @@ def _pca_variance_oracle(iters: int = 6) -> str:
     head = base[: base.rindex("SELECT CAST(i AS BIGINT)")]
     return head.rstrip() + f""",
 rayleigh AS (
-    SELECT CAST(sum(CAST(round(A.a * vi.val * vj.val, 12)
+    SELECT CAST(sum(CAST((sign(A.a * vi.val * vj.val) * floor(abs(A.a * vi.val * vj.val) * 1e12 + 0.5) / 1e12)
                          AS DECIMAL(30, 12))) AS DOUBLE) AS vav
     FROM A
     JOIN v{iters} vi ON vi.i = A.i
     JOIN v{iters} vj ON vj.i = A.j
 ),
 vnorm AS (
-    SELECT CAST(sum(CAST(round(val * val, 12) AS DECIMAL(30, 12)))
+    SELECT CAST(sum(CAST((sign(val * val) * floor(abs(val * val) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12)))
                 AS DOUBLE) AS vv
     FROM v{iters}
 ),
-tr AS (SELECT sum(a) AS trace FROM covu WHERE i = j)
+tr AS (SELECT CAST(sum(CAST(a AS DECIMAL(28, 9))) AS DOUBLE) AS trace
+       FROM covu WHERE i = j)
 SELECT round(vav / vv, 4) AS lambda1,
        round(trace, 4) AS total_variance,
        round((vav / vv) / trace, 6) AS variance_explained
@@ -1973,7 +1982,7 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             A.join(v.select(F.col("i").alias("j"), "val"), "j")
             .select(
                 "i",
-                F.expr("CAST(round(a * val, 12) AS DECIMAL(30, 12))").alias("t"),
+                F.expr("CAST((sign(a * val) * floor(abs(a * val) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12))").alias("t"),
             )
             .groupBy("i")
             .agg(F.sum("t").cast("double").alias("w"))
@@ -1989,18 +1998,23 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(v.select(F.col("i").alias("j"), F.col("val").alias("vj")), "j")
         .agg(
             F.sum(
-                F.expr("CAST(round(a * vi * vj, 12) AS DECIMAL(30, 12))")
+                F.expr("CAST((sign(a * vi * vj) * floor(abs(a * vi * vj) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12))")
             )
             .cast("double")
             .alias("vav")
         )
     )
     vv = v.agg(
-        F.sum(F.expr("CAST(round(val * val, 12) AS DECIMAL(30, 12))"))
+        F.sum(F.expr("CAST((sign(val * val) * floor(abs(val * val) * 1e12 + 0.5) / 1e12) AS DECIMAL(30, 12))"))
         .cast("double")
         .alias("vv")
     )
-    tr = A.filter(F.col("i") == F.col("j")).agg(F.sum("a").alias("trace"))
+    # decimal trace sum: a plain double sum of the 64 diagonal values is
+    # order-dependent (partial aggregation order differs per run/engine)
+    tr = (
+        A.filter(F.col("i") == F.col("j"))
+        .agg(F.sum(F.expr("CAST(a AS DECIMAL(28, 9))")).cast("double").alias("trace"))
+    )
     return (
         vav.crossJoin(F.broadcast(vv))
         .crossJoin(F.broadcast(tr))
@@ -2017,7 +2031,7 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_ORACLE = """
 WITH x AS (
     SELECT label, r.i AS dim,
-           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+           (sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS v
     FROM embeddings, range(64) r(i)
 )
 SELECT label, dim,
@@ -2041,7 +2055,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label", "dim",
         F.expr(
-            "CAST(round(CAST(embedding[dim] AS DOUBLE), 12) AS DECIMAL(28, 12))"
+            "CAST((sign(CAST(embedding[dim] AS DOUBLE)) * floor(abs(CAST(embedding[dim] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS DECIMAL(28, 12))"
         ).alias("v"),
     )
     return x.groupBy("label", "dim").agg(
@@ -2055,14 +2069,14 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_ORACLE = """
 WITH cent AS (
     SELECT label AS c, r.i AS dim,
-           round(CAST(sum(CAST(round(CAST(embedding[r.i + 1] AS DOUBLE), 12)
+           round(CAST(sum(CAST((sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12)
                               AS DECIMAL(28, 12))) AS DOUBLE) / count(*), 9)
                AS m
     FROM embeddings, range(64) r(i) GROUP BY 1, 2
 ),
 x AS (
     SELECT vec_id, label, r.i AS dim,
-           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+           (sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS v
     FROM embeddings, range(64) r(i)
 ),
 d AS (
@@ -2102,7 +2116,7 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "vec_id", "label", "dim",
         F.expr(
-            "round(CAST(embedding[dim] AS DOUBLE), 12)"
+            "(sign(CAST(embedding[dim] AS DOUBLE)) * floor(abs(CAST(embedding[dim] AS DOUBLE)) * 1e12 + 0.5) / 1e12)"
         ).alias("v"),
     )
     cent = (
@@ -2140,7 +2154,7 @@ def _kmeans_iter_oracle() -> str:
     x = """
 x AS (
     SELECT vec_id, label, r.i AS dim,
-           round(CAST(embedding[r.i + 1] AS DOUBLE), 12) AS v
+           (sign(CAST(embedding[r.i + 1] AS DOUBLE)) * floor(abs(CAST(embedding[r.i + 1] AS DOUBLE)) * 1e12 + 0.5) / 1e12) AS v
     FROM embeddings, range(64) r(i)
 )"""
 
@@ -2208,7 +2222,7 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
     ).select(
         "vec_id", "dim",
-        F.expr("round(CAST(embedding[dim] AS DOUBLE), 12)").alias("v"),
+        F.expr("(sign(CAST(embedding[dim] AS DOUBLE)) * floor(abs(CAST(embedding[dim] AS DOUBLE)) * 1e12 + 0.5) / 1e12)").alias("v"),
     ).localCheckpoint(eager=True)
     lab = embs.select("vec_id", F.col("label").alias("c"))
 
@@ -2396,9 +2410,12 @@ def q_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = cand.join(contam, "doc_id", "left_anti")
     train = sampling.with_split(clean).filter(F.col("split") == "train")
     mix = sampling.stratified_rate_sample(train, _MIXTURE_RATES, salt="mix:")
+    # length(text), not the STORED n_chars column: the oracle recomputes
+    # length(text), and the pair must stay symmetric even on a corpus
+    # whose stored n_chars has drifted from the text
     return mix.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
     )
 
 

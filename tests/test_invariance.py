@@ -184,3 +184,70 @@ def test_zorder_key_nonnegative_on_int_columns(spark):
     assert all(r["z"] >= 0 for r in rows)
     # interleave of (65535, 65535) fills all 32 low bits
     assert max(r["z"] for r in rows) == 0xFFFFFFFF
+
+
+def test_topk_oracle_excludes_zero_norm_vectors(spark, tmp_path):
+    """Regression for the round-4 review find: a zero-norm vector's 0/0
+    cosine is NULL in SQL, which row_number ranked into rn=1 — the
+    oracle emitted a (vec_id, neighbor, NULL) row the Spark kernels
+    (isfinite filter) never produce. The oracle now drops zero-norm
+    vectors on both roles."""
+    import duckdb
+
+    from streambench_spark.llm import similarity
+    from streambench_spark.plans.llm_queries import _topk_oracle
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, [0.0, 0.0], 0),  # zero-norm: no output row, never a neighbor
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = str(tmp_path)
+    emb.coalesce(1).write.mode("overwrite").parquet(sf + "/embeddings.parquet")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf}/embeddings.parquet/*.parquet'"
+    )
+    got = sorted(
+        (r["vec_id"], r["neighbor_id"])
+        for r in similarity.brute_force_top1(emb).collect()
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in duck.sql(
+            _topk_oracle("a.vec_id <> b.vec_id")
+        ).fetchall()
+    )
+    assert got == want == [(1, 2), (2, 1)]
+
+
+def test_tokenizer_oracle_matches_java_whitespace(spark, tmp_path):
+    """Regression: DuckDB's RE2 \\s EXCLUDES vertical tab (U+000B) while
+    Java's \\s includes it, so a bare '\\s+' oracle diverges from Spark's
+    split on the first document containing one. The oracles now use the
+    explicit Java class [ \\t\\n\\x0B\\f\\r]."""
+    import duckdb
+
+    from streambench_spark.llm import text as text_ops
+    from streambench_spark.plans.llm_queries import _D_TOKENS
+
+    docs = spark.createDataFrame(
+        [(1, "a\x0bb c", "en", "src1", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.coalesce(1).write.mode("overwrite").parquet(sf + "/documents.parquet")
+    duck = duckdb.connect()
+    duck.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    spark_n = text_ops.token_counts(docs).first()["n_ws_tokens"]
+    duck_n = duck.sql(
+        f"SELECT len({_D_TOKENS.format(col='text')}) FROM documents"
+    ).fetchone()[0]
+    assert spark_n == duck_n == 3  # 'a', 'b', 'c' — \x0B splits on BOTH sides
