@@ -298,6 +298,64 @@ def global_row_number(
     return out
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order: list,
+    value_col: str,
+    cum_col: str = "_cum",
+    total_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Distributed running sum over a TOTAL order — the parallel
+    replacement for ``sum(v).over(Window.orderBy(...))``, whose empty
+    PARTITION BY plans a single-partition Exchange (every row through
+    one task). Same shape as ``global_row_number``: range-partition on
+    the sort expressions, per-partition Arrow cumulative sum, broadcast
+    cumulative offsets of the per-partition VALUE TOTALS. ``order`` must
+    be a total order (unique tiebreaker) or prefix sums of ties are
+    placement-dependent. ``total_col`` optionally attaches the grand
+    total (from the same per-partition totals — no extra pass).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    parts = spark.sparkContext.defaultParallelism
+    shards = (
+        df.repartitionByRange(parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+    def _cumsum(batches):
+        run = 0
+        for pdf in batches:
+            c = pdf[value_col].cumsum() + run
+            run = int(c.iloc[-1]) if len(c) else run
+            pdf = pdf.assign(_localcum=c)
+            yield pdf
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in shards.schema.fields
+    )
+    local = shards.mapInPandas(_cumsum, schema=fields + ", _localcum long")
+    if checkpoint:
+        local = local.localCheckpoint(eager=True)
+    sizes = local.groupBy("_pid").agg(F.sum(value_col).alias("_psum"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_off", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).cast("long")
+    ).select("_pid", "_off")
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(cum_col, F.col("_off") + F.col("_localcum"))
+        .drop("_pid", "_localcum", "_off")
+    )
+    if total_col is not None:
+        total = sizes.agg(F.sum("_psum").cast("long").alias(total_col))
+        out = out.crossJoin(F.broadcast(total))
+    return out
+
+
 def ntile_from_rank(rank, n, k: int):
     """Closed-form ntile(k) from a 1-based global rank and the total row
     count (both Columns): the first n % k buckets hold ceil(n/k) rows,

@@ -177,3 +177,47 @@ def hypertable_rollup(
         )
         out = out.unionByName(prev)
     return out.select("granularity", "bucket", *keys, count_alias, sum_alias)
+
+
+def sessionize_lag_sweep(
+    df: DataFrame,
+    ts_col: str,
+    gap_ms: int,
+    keys: list[str],
+) -> DataFrame:
+    """Gaps-and-islands sessionization: the input plus a per-key dense
+    ``sid`` column (1-based), for pipelines that need the SESSION ID ON
+    EVERY ROW — a keyed ``session_window`` aggregate can't give that
+    (e.g. per-session type sets, conversion flags).
+
+    Boundary contract (pinned by tests/test_boundaries.py): a new
+    session starts only when the delta STRICTLY exceeds the gap —
+    exact-gap touch merges, matching Spark's session_window and every
+    session oracle in the registry. This helper is the single home of
+    that rule for the lag-sweep form; round 4 caught two inline copies
+    carrying an identical `>=` bug.
+
+    One shuffle on the keys; the lag and running-sum windows share the
+    same (keys, ts) sort.
+    """
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy(*keys).orderBy(ts_col)
+    marked = df.withColumn(
+        "_new_session",
+        F.when(
+            F.lag(ts_col).over(wo).isNull()
+            | (
+                F.unix_millis(F.col(ts_col))
+                - F.unix_millis(F.lag(ts_col).over(wo))
+                > gap_ms
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return marked.withColumn(
+        "sid",
+        F.sum("_new_session").over(
+            wo.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).drop("_new_session")

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streambench_spark.catalog import load_table
+from streambench_spark.operators import windows as win_ops
 from streambench_spark.operators.aggregates import exact_percentiles_sorted
 from streambench_spark.operators.relational import asof_join
 from streambench_spark.plans.queries import register
@@ -333,6 +334,24 @@ def q_grep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def _activity_matrix(ev: DataFrame) -> DataFrame:
+    """THE wide per-user activity matrix, single-sourced so the unpivot
+    entry's round-trip proof tests the same matrix the pivot entry
+    registers (not a private copy that could drift). Explicit pivot
+    values keep the schema static — no extra distinct-values job."""
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            F.coalesce("view", F.lit(0)).alias("n_view"),
+            F.coalesce("click", F.lit(0)).alias("n_click"),
+            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+        )
+    )
+
+
 @register(
     "pivot_user_event_matrix",
     """
@@ -353,17 +372,7 @@ def q_pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic contract and the scalable form (no extra distinct-values
     job)."""
     ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["view", "click", "purchase"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "user_id",
-            F.coalesce("view", F.lit(0)).alias("n_view"),
-            F.coalesce("click", F.lit(0)).alias("n_click"),
-            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
-        )
-    )
+    return _activity_matrix(ev)
 
 
 @register(
@@ -1268,6 +1277,23 @@ r{i} AS (
     return "".join(parts)
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """THE co-purchase graph definition, single-sourced for pagerank /
+    triangles / degree-distribution: distinct part pairs sharing an
+    order, oriented src < dst (so the edge set is duplicate-free and
+    symmetrization downstream cannot double-count). One self-join on
+    l_orderkey; per-order line counts are bounded, so no hot key."""
+    return (
+        li.alias("a")
+        .join(li.alias("b"), F.expr(
+            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
 @register("copurchase_pagerank", _pagerank_oracle(3), tags=["analytics", "graph"])
 def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part co-purchase graph (parts sharing an order
@@ -1280,15 +1306,7 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streambench_spark.operators.graph import pagerank_exact
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.expr(
-            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     # edges are distinct and oriented src < dst → the symmetrized union
     # inside pagerank_exact cannot contain duplicates; skip its re-dedup
     return pagerank_exact(edges, iterations=3, edges_distinct=True)
@@ -1319,17 +1337,7 @@ def q_unpivot_activity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a generator evaluated row-locally in the same stage as the pivot
     aggregate — no extra shuffle beyond the pivot's own."""
     ev = load_table(spark, sf_dir, "events")
-    wide = (
-        ev.groupBy("user_id")
-        .pivot("event_type", ["view", "click", "purchase"])
-        .agg(F.count(F.lit(1)))
-        .select(
-            "user_id",
-            F.coalesce("view", F.lit(0)).alias("n_view"),
-            F.coalesce("click", F.lit(0)).alias("n_click"),
-            F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
-        )
-    )
+    wide = _activity_matrix(ev)
     return wide.select(
         "user_id",
         F.expr(
@@ -1865,20 +1873,25 @@ def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", (F.col("bh") * 3600000).alias("bucket_ms"), "c"
         )
     )
+    # DECIMAL(38,0) ledger for every product: at corpus scale s ~ 1e10
+    # makes s*s (and a hot hour's c*c inside the ss sum) exceed 2^63 —
+    # ANSI Spark errors where DuckDB's HUGEINT sums stay exact, so the
+    # exact-integer z-flag guarantee needs decimal arithmetic
+    d38 = "decimal(38,0)"
     stats = hourly.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+        F.sum(F.col("c").cast(d38) * F.col("c")).alias("ss"),
     )
     j = hourly.join(F.broadcast(stats), "event_type")
-    dev = F.col("c") * F.col("n") - F.col("s")
-    var_num = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    dev = F.col("c").cast(d38) * F.col("n") - F.col("s")
+    var_num = F.col("n").cast(d38) * F.col("ss") - F.col("s").cast(d38) * F.col("s")
     return (
-        j.filter(dev * dev * (F.col("n") - 1) > 4 * F.col("n") * var_num)
+        j.filter(dev * dev * (F.col("n") - 1) > 4 * F.col("n").cast(d38) * var_num)
         .select(
             "event_type", "bucket_ms", F.col("c").alias("cnt"),
             F.round(
-                dev / (
+                dev.cast("double") / (
                     F.col("n")
                     * F.sqrt(
                         var_num.cast("double")
@@ -1925,15 +1938,7 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streambench_spark.operators.graph import triangle_counts
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.expr(
-            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     return triangle_counts(edges)
 
 
@@ -2562,7 +2567,10 @@ def q_histogram_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     bins = (
         ev.select(
-            (F.round(F.col("value") * 100).cast("long") / 160)
+            # floor, not divide-then-cast: the cast truncates toward
+            # zero, but the oracle's // floors — they differ for
+            # negative cents (bin 0 vs bin -1)
+            F.floor(F.round(F.col("value") * 100).cast("long") / 160)
             .cast("long")
             .alias("bin")
         )
@@ -2701,15 +2709,22 @@ def q_cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     sketch = count_min_build(ev, "user_id", _CMS_D, _CMS_W)
+    # squares in DECIMAL(38,0): a single hot key with >= ~3e9 events
+    # makes c*c exceed 2^63 per row (ANSI error / wraparound) while the
+    # oracle's HUGEINT sums survive; output stays BIGINT-typed
     est = (
         sketch.groupBy("d")
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("s"))
+        .agg(F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt")).alias("s"))
         .agg(F.min("s").cast("long").alias("est_join_size"))
     )
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_join_size"))
+        .agg(
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+            .cast("long")
+            .alias("exact_join_size")
+        )
     )
     return est.crossJoin(exact)
 
@@ -2828,15 +2843,24 @@ def q_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = ranked.agg(F.sum("cnt").alias("tot"))
     r = ranked.crossJoin(F.broadcast(tot))
+    # DECIMAL(38,0) ledger: Σ rk·cnt ~ n·E overflows BIGINT at corpus
+    # scale (n=1e8 users × 1e3 events → 1e19 > 2^63, ANSI error) while
+    # DuckDB's HUGEINT sum survives — the same decimal-sum convention
+    # the correlation/chi2 ledgers use
+    big = "CAST(rk AS DECIMAL(38, 0)) * CAST(cnt AS DECIMAL(38, 0))"
     return r.agg(
         F.any_value("n").cast("long").alias("n_users"),
         F.any_value("tot").cast("long").alias("n_events"),
         F.round(
             (
-                2 * F.sum(F.col("rk") * F.col("cnt"))
-                - (F.any_value("n") + 1) * F.any_value("tot")
+                2 * F.sum(F.expr(big))
+                - (F.any_value("n") + 1).cast("decimal(38,0)")
+                * F.any_value("tot").cast("decimal(38,0)")
             ).cast("double")
-            / (F.any_value("n") * F.any_value("tot")),
+            / (
+                F.any_value("n").cast("decimal(38,0)")
+                * F.any_value("tot").cast("decimal(38,0)")
+            ).cast("double"),
             6,
         ).alias("gini"),
     )
@@ -3771,6 +3795,35 @@ FROM terms
 """
 
 
+def _week_labeled(ev: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(labeled, wks): integer-cents values labeled with their epoch week
+    + the (w0, w1) first/last-week bounds — the shared week-slice
+    contract of the three drift tests (PSI / KS / MWU). Single-sourced
+    so 'first week' and 'last week' cannot silently diverge between the
+    statistics."""
+    labeled = ev.select(
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
+    )
+    wks = labeled.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
+    return labeled, wks
+
+
+def _week_value_sides(ev: DataFrame) -> DataFrame:
+    """Per-cents (a, b) counts for the first (a) and last (b) week — the
+    merged value-domain frame KS and MWU both cumulate over."""
+    labeled, wks = _week_labeled(ev)
+    return (
+        labeled.crossJoin(F.broadcast(wks))
+        .filter((F.col("wk") == F.col("w0")) | (F.col("wk") == F.col("w1")))
+        .groupBy("cents")
+        .agg(
+            F.sum((F.col("wk") == F.col("w0")).cast("long")).alias("a"),
+            F.sum((F.col("wk") == F.col("w1")).cast("long")).alias("b"),
+        )
+    )
+
+
 @register("psi_value_drift", _PSI_ORACLE, tags=["analytics", "quality"])
 def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between the first and last week's
@@ -3782,13 +3835,7 @@ def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-term float sum is a bin-ordered left fold. Everything after the
     two scans is bin- or value-domain-cardinality."""
     ev = load_table(spark, sf_dir, "events")
-    labeled = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
-    )
-    wks = labeled.agg(
-        F.min("wk").alias("w0"), F.max("wk").alias("w1")
-    )
+    labeled, wks = _week_labeled(ev)
     lw = labeled.crossJoin(F.broadcast(wks))
     # checkpoint the two week slices: ref feeds the decile build AND the
     # binning, cur feeds the binning — without this each branch re-scans
@@ -3913,20 +3960,7 @@ def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers and the max is order-free. Value-domain cardinality
     bounds all post-scan work."""
     ev = load_table(spark, sf_dir, "events")
-    labeled = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
-    )
-    wks = labeled.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
-    sides = (
-        labeled.crossJoin(F.broadcast(wks))
-        .filter((F.col("wk") == F.col("w0")) | (F.col("wk") == F.col("w1")))
-        .groupBy("cents")
-        .agg(
-            F.sum((F.col("wk") == F.col("w0")).cast("long")).alias("a"),
-            F.sum((F.col("wk") == F.col("w1")).cast("long")).alias("b"),
-        )
-    )
+    sides = _week_value_sides(ev)
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
     cum = sides.select(
@@ -4002,20 +4036,7 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums only at the final z. All post-scan work is
     value-domain-cardinality."""
     ev = load_table(spark, sf_dir, "events")
-    labeled = ev.select(
-        F.round(F.col("value") * 100).cast("long").alias("cents"),
-        (F.unix_millis("ts") / 604800000).cast("long").alias("wk"),
-    )
-    wks = labeled.agg(F.min("wk").alias("w0"), F.max("wk").alias("w1"))
-    sides = (
-        labeled.crossJoin(F.broadcast(wks))
-        .filter((F.col("wk") == F.col("w0")) | (F.col("wk") == F.col("w1")))
-        .groupBy("cents")
-        .agg(
-            F.sum((F.col("wk") == F.col("w0")).cast("long")).alias("a"),
-            F.sum((F.col("wk") == F.col("w1")).cast("long")).alias("b"),
-        )
-    )
+    sides = _week_value_sides(ev)
     wb = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
     cum = sides.select(
         "a", "b", (F.col("a") + F.col("b")).alias("t"),
@@ -4070,9 +4091,10 @@ FROM d GROUP BY 1
 @register("weekday_seasonality", _WEEKDAY_ORACLE, tags=["analytics", "timeseries"])
 def q_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-of-week seasonality profile: traffic share and mean value per
-    weekday — the calendar pattern a forecast must strip. Spark's
-    dayofweek and DuckDB's dayofweek both index Sunday=1 over the same
-    UTC session, so the bucket is portable; everything else is exact
+    weekday — the calendar pattern a forecast must strip. Indexing is
+    NOT portable: Spark's dayofweek is Sunday=1 but DuckDB's is
+    Sunday=0, which is why the oracle adds +1 — removing that
+    'redundant' offset shifts every bucket. Everything else is exact
     integers into a 7-row frame."""
     ev = load_table(spark, sf_dir, "events")
     d = ev.select(
@@ -4277,19 +4299,24 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue, classed A
     while cumulative share <= 80%, B to 95%, else C — with the share
     boundaries tested as INTEGER cross-multiplications (cum*10 <=
-    tot*8), so no float division can flip a class. The cumulative
-    window runs over the part-cardinality revenue frame."""
+    tot*8), so no float division can flip a class. The cumulative sum
+    runs DISTRIBUTED (relational.global_prefix_sum: range-partitioned
+    local cumsums + broadcast offsets) over the part-cardinality revenue
+    frame — an unpartitioned sum().over(orderBy) window would funnel
+    every part through one task, the single-task-Exchange shape the
+    gini/pareto/rfm queries already migrated away from."""
+    from streambench_spark.operators.relational import global_prefix_sum
+
     li = load_table(spark, sf_dir, "lineitem")
     p = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    r = p.select(
-        "l_partkey", "cents",
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).alias("tot"),
+    r = global_prefix_sum(
+        p,
+        [F.desc("cents"), F.asc("l_partkey")],
+        "cents",
+        cum_col="cum",
+        total_col="tot",
     )
     abc = (
         F.when(F.col("cum") * 10 <= F.col("tot") * 8, "A")
@@ -4352,26 +4379,9 @@ def q_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # sessionize per USER (a grouped session_window keyed on (user, type)
     # would merge each type separately and the sessions never align);
-    # the lag/running-sum sweep matches the fixed-gap session oracle
-    wo = Window.partitionBy("user_id").orderBy("ts")
-    marked = ev.select(
-        "user_id", "ts", "event_type",
-        F.when(
-            F.lag("ts").over(wo).isNull()
-            | (
-                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
-                > 1800000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = marked.withColumn(
-        "sid",
-        F.sum("new_session").over(
-            wo.rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    # the shared lag-sweep helper pins the strict-> gap break
+    sess = win_ops.sessionize_lag_sweep(
+        ev.select("user_id", "ts", "event_type"), "ts", 1800000, ["user_id"]
     )
     st = sess.select("user_id", F.col("sid").alias("s0"), "event_type").distinct()
     n_sess = st.select("user_id", "s0").distinct().agg(
@@ -4490,23 +4500,8 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     intent and the purchase share a session). Per-user sweep
     sessionization + one flags aggregate per session."""
     ev = load_table(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts")
-    marked = ev.select(
-        "user_id", "ts", "event_type",
-        F.when(
-            F.lag("ts").over(wo).isNull()
-            | (
-                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(wo))
-                > 1800000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sess = marked.withColumn(
-        "sid",
-        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = win_ops.sessionize_lag_sweep(
+        ev.select("user_id", "ts", "event_type"), "ts", 1800000, ["user_id"]
     )
     flags = sess.groupBy("user_id", "sid").agg(
         F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
@@ -4662,15 +4657,7 @@ def q_copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     orientation and salted joins necessary). Bucket boundaries are
     exact powers of two; one edge build + one node aggregate."""
     li = load_table(spark, sf_dir, "lineitem")
-    edges = (
-        li.alias("a")
-        .join(li.alias("b"), F.expr(
-            "a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-    )
+    edges = _copurchase_edges(li)
     deg = (
         edges.select(F.col("src").alias("n"))
         .unionAll(edges.select(F.col("dst").alias("n")))

@@ -921,9 +921,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(_docs(spark, sf_dir), n=3)
 
 
-_TFIDF_ORACLE = """
+_TFIDF_ORACLE = f"""
 WITH tf AS (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+    SELECT doc_id, unnest({_D_TOKENS.format(col='text')}) AS term
     FROM documents
 ),
 tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
@@ -1420,13 +1420,13 @@ def q_neardup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(_docs(spark, sf_dir), threshold=0.6)
 
 
-_KEEP_BEST_ORACLE = """
+_KEEP_BEST_ORACLE = f"""
 WITH t AS (
     SELECT doc_id,
-           CAST(len(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
+           CAST(len(list_filter({_D_TOKENS.format(col='text')},
                                 x -> x <> '')) AS BIGINT)
                AS n_tok,
-           sha256(regexp_replace(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+           sha256(regexp_replace(trim(lower(text)), '{_D_WS}+', ' ', 'g'))
                AS text_hash
     FROM documents
 ),

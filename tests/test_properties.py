@@ -398,3 +398,41 @@ def test_session_window_matches_gap_model(spark, deltas):
         .collect()
     )
     assert got == sorted(expected)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_global_prefix_sum_matches_window(spark, values):
+    """The distributed prefix sum must equal the unpartitioned
+    sum().over(orderBy) window it replaces, for random values (including
+    negatives) and any partition placement."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from streambench_spark.operators.relational import global_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    ).repartition(4)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("cum"),
+            F.sum("v").over(Window.partitionBy()).alias("tot"),
+        ).collect()
+    }
+    got = {
+        r["id"]: (r["cum"], r["tot"])
+        for r in global_prefix_sum(
+            df, [F.asc("id")], "v", cum_col="cum", total_col="tot"
+        ).collect()
+    }
+    assert got == want
