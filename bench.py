@@ -297,7 +297,7 @@ def _skew_probe(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
 
     from streambench_spark.session import get_spark
 
@@ -350,7 +350,7 @@ def main() -> None:
     except Exception as exc:
         print(f"bench error in skew probe: {exc!r}", file=sys.stderr)
 
-    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "0"))
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE") or "0")
     scaled: dict = {}
     if replicate > 1:
         try:

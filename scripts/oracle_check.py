@@ -20,40 +20,51 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+from streambench_spark.schemas import TESTDATA_TABLES  # noqa: E402
+
+
+def _norm_val(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else round(v, 6)
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, (list, tuple)):
+        # recurse: NaN/last-ulp jitter inside (nested) arrays must get
+        # the same treatment as top-level cells
+        return tuple(_norm_val(x) for x in v)
+    return v
 
 
 def normalize(rows, colnames):
     """Sort columns by name, normalize cell values, sort rows."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-            elif isinstance(v, bool):
-                v = int(v)
-            elif isinstance(v, (list, tuple)):
-                v = tuple(
-                    round(x, 6) if isinstance(x, float) else x for x in v
-                )
-            vals.append(v)
-        out.append(tuple(vals))
+    out = [tuple(_norm_val(row[i]) for i in order) for row in rows]
     out.sort(key=repr)
     return out
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        # a query name in position 1 must not be silently eaten as sf_dir
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
 
     import duckdb
     from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+
+    # a typo'd filter name silently checking NOTHING is a false-green
+    # gate — fail fast instead
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
 
     # BARE session — exactly what the driver hands us.
     spark = (
@@ -64,15 +75,10 @@ def main():
     )
 
     con = duckdb.connect()
-    for t in TABLES:
+    for t in TESTDATA_TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-
-    import __spark_entry__ as E
-
-    qs = E.queries()
-    oracles = E.oracle_sql()
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -83,8 +89,14 @@ def main():
             scols = sorted(sdf.columns)
             srows = normalize([tuple(r) for r in sdf.collect()], sdf.columns)
             if name not in oracles:
-                print(f"  {name}: rows-only check, spark_rows={len(srows)} OK")
-                n_pass += 1
+                # the driver's rows-only check requires rows to exist;
+                # an empty result must not pass the local gate either
+                if srows:
+                    print(f"  {name}: rows-only check, spark_rows={len(srows)} OK")
+                    n_pass += 1
+                else:
+                    print(f"  {name}: FAIL rows-only check returned 0 rows")
+                    n_fail += 1
                 continue
             res = con.execute(oracles[name])
             ocols_raw = [d[0] for d in res.description]
@@ -113,6 +125,9 @@ def main():
             print(f"  {name}: ERROR")
             traceback.print_exc(limit=3)
 
+    if n_pass + n_fail == 0:
+        print("no queries matched the filter — nothing was checked")
+        sys.exit(2)
     print(f"\n{n_pass} pass / {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -16,10 +16,9 @@ oracle SQL so any engine can cross-check a result.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+from streambench_spark.catalog import DEFAULT_SF_DIR
 
 
 def _registry():
@@ -65,14 +64,12 @@ def cmd_run(args: argparse.Namespace) -> int:
 
 
 def cmd_explain(args: argparse.Namespace) -> int:
+    # public API (no private-JVM reach-through); note the CLI session
+    # runs at the full core count, so partition counts in this output
+    # can differ from PLANS.md, which dump_plans generates at 8
     qd = _resolve(args.query)
-    spark = _spark()
-    df = qd.fn(spark, args.sf_dir)
-    print(
-        spark._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-    )
+    df = qd.fn(_spark(), args.sf_dir)
+    df.explain(mode="formatted")
     return 0
 
 

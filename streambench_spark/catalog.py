@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from streambench_spark.schemas import TESTDATA_TABLES
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# Single source of the default data dir (the driver's correctness SF);
+# the bench keeps its own sf0.1 default — benchmarking SF is a different
+# knob from the functional default. __main__ imports this one.
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR") or "/root/testdata/sf0.01"
 
 
 def _ensure_session_confs(spark: SparkSession) -> None:

@@ -15,7 +15,8 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# set-but-empty env var = unset (int('') would crash at import time)
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
 
 
 def get_spark(
@@ -56,12 +57,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # getOrCreate() silently ignores .config() when a session already exists
-    # in the JVM — re-apply the runtime-settable correctness confs so they
-    # always take effect regardless of who created the session first.
-    for k, v in {
+    # in the JVM — re-apply every runtime-settable conf the caller relies
+    # on (correctness confs always; shuffle partitions and extra_conf when
+    # explicitly requested) so they take effect regardless of who created
+    # the session first.
+    reapply = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
-    }.items():
-        spark.conf.set(k, v)
+    }
+    if shuffle_partitions is not None:
+        reapply["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    reapply.update(extra_conf or {})
+    for k, v in reapply.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on a pre-existing session: not settable
     return spark
