@@ -46,7 +46,7 @@ def _norm(v):
     return v
 
 
-def assert_matches_oracle(spark_df, duck_con, sql, check_rows=True):
+def assert_matches_oracle(spark_df, duck_con, sql):
     """Driver-verify mimic: same columns (sorted by name), same multiset of
     rows (floats rounded)."""
     sdf = spark_df.toPandas()
@@ -55,8 +55,7 @@ def assert_matches_oracle(spark_df, duck_con, sql, check_rows=True):
         ddf.columns
     ), f"columns differ: {sorted(sdf.columns)} vs {sorted(ddf.columns)}"
     cols = sorted(sdf.columns)
-    if check_rows:
-        assert len(sdf) == len(ddf), f"row count {len(sdf)} vs {len(ddf)}"
+    assert len(sdf) == len(ddf), f"row count {len(sdf)} vs {len(ddf)}"
     srows = sorted(
         [tuple(_norm(v) for v in row) for row in sdf[cols].itertuples(index=False)]
     )

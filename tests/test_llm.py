@@ -123,16 +123,41 @@ def test_zero_norm_vectors_excluded_not_crashing(spark):
 
 
 def test_lsh_top1_subset_of_brute_force_quality(spark):
-    """Bucketed candidates: every reported neighbor must share the sign
-    bucket and the similarity must equal the exact pairwise cosine."""
+    """Bucketed candidates: every reported neighbor shares the sign
+    bucket, the reported sim equals the exact pairwise cosine (rounded
+    as the kernel rounds), and the neighbor IS the in-bucket argmax —
+    checked for EVERY row against a NumPy model (the round-4 test
+    review found the old version never read a similarity at all)."""
+    import numpy as np
+
     emb = load_table(spark, SF_DIR, "embeddings")
     lsh = similarity.lsh_top1(emb)
     withb = emb.withColumn("bucket", F.expr(similarity.lsh_bucket_expr()))
-    bmap = {r["vec_id"]: r["bucket"] for r in withb.select("vec_id", "bucket").collect()}
+    data = {
+        r["vec_id"]: (r["bucket"], np.asarray(r["embedding"], dtype=np.float64))
+        for r in withb.select("vec_id", "bucket", "embedding").collect()
+    }
     rows = lsh.collect()
     assert 0 < len(rows) <= emb.count()
-    for r in rows[:50]:
-        assert bmap[r["vec_id"]] == bmap[r["neighbor_id"]]
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b) / (na * nb)
+
+    def r6(x):
+        return np.sign(x) * np.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+    for r in rows:
+        vb, v = data[r["vec_id"]]
+        nb_, n = data[r["neighbor_id"]]
+        assert vb == nb_
+        assert abs(r6(cos(v, n)) - r["sim"]) < 1e-9
+        # argmax within the bucket (ties toward smaller neighbor id)
+        best = max(
+            ((cos(v, w), -nid) for nid, (b, w) in data.items()
+             if b == vb and nid != r["vec_id"] and np.linalg.norm(w) > 0),
+        )
+        assert (-best[1]) == r["neighbor_id"] or abs(best[0] - cos(v, n)) < 1e-9
 
 
 def test_banded_lsh_neardup_subset_of_exact(spark):
@@ -593,7 +618,10 @@ def test_chunk_docs_udtf_ascii_whitespace_only(spark):
     a = sorted(map(tuple, text.chunk_docs(docs, chunk_tokens=2).collect()))
     b = sorted(map(tuple, text.chunk_docs_udtf(docs, chunk_tokens=2).collect()))
     assert a == b
-    # 'a b' must stay ONE token on both paths
+    # 'a b' must stay ONE token on both paths: exactly one 2-token
+    # chunk — if BOTH twins started splitting on NBSP in lockstep there
+    # would be two chunks and a == b alone would not catch it
+    assert len(a) == 1
     assert a[0][3] == 2  # n_tokens of the single chunk: ['a b', 'c']
 
 

@@ -76,6 +76,7 @@ def test_tpch_q21_returnflag_pushed_single_agg_shuffle(spark):
     assert "EqualTo(o_orderstatus,F)" in joined
     # one hash shuffle for the s_name aggregate; top-20 is a heap, not a sort
     assert "TakeOrderedAndProject" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1
 
 
 def test_tpch_q22_integer_threshold_no_float_avg(spark):
@@ -193,11 +194,14 @@ def test_triangles_node_keyed_no_forced_broadcast(spark):
     a broadcast() hint on a node-cardinality frame would survive the
     threshold and break at 100×). No cartesian/nested-loop join anywhere
     (the wedge join is an equi-join under the degree orientation)."""
+    # save/restore (NOT unset: unset reverts to Spark's 10MB built-in,
+    # leaking a non-factory threshold into every later session test)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         plan = _plan(spark, "copurchase_triangles")
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("BroadcastExchange (") == 0
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -224,6 +228,7 @@ def test_pagerank_round_is_one_join_one_aggregate(spark):
                 F.col("b.l_partkey").alias("dst"))
         .distinct()
     )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         pr = pagerank_exact(edges, iterations=1, edges_distinct=True,
@@ -232,7 +237,7 @@ def test_pagerank_round_is_one_join_one_aggregate(spark):
             pr._jdf.queryExecution(), "formatted"
         )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert plan.count("BroadcastExchange (") == 0
     assert plan.count("Exchange (") == 4
     keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
