@@ -1021,78 +1021,49 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # Driver-facing ordering.
 #
 # The verify driver checks the FIRST 50 entries of queries() against their
-# oracles. Rounds 2+3 drove 100 distinct queries green (CORRECTNESS_r02/r03);
-# this round-4 window is 50 of the 119 never-driver-checked names: the two
-# new driver proofs (kafka_wire_roundtrip S4 wire path, session_windows_edges
-# W2 merge boundary), then the scale-critical backlog the round-3 verdict
-# named (ysb_sql, streaming interval/session variants, the sketch family,
-# graph, PCA/k-means, training_mix_pipeline, the five events_*_source rows,
-# the cogrouped as-of). Everything outside the window keeps the IDENTICAL
-# pytest oracle gate (tests/test_registry.py runs every registered oracle),
-# so rotation trades no protection away; _ROTATED_NEXT queues the remaining
-# 69 for rounds 5-6. The registry is otherwise FROZEN this round (verdict
-# item 1): +2 entries only, both driver proofs the verdict itself requested.
+# oracles. Rounds 2-4 drove 149 distinct queries green (CORRECTNESS_r02-r04);
+# this round-5 window is the one r04 RED row re-spent (the r05 verdict item 1
+# re-green order: events_partitioned_source, now session-hermetic in
+# sources/replay.py) plus 49 of the 69 never-driver-checked names — the
+# verdict item-2 priority list first (semantics guards: grouping sets,
+# VARIANT/LATERAL, CDC, null-semantics, drift tests, the embedding
+# linear-algebra tail), then the analytics backlog, deliberately including
+# rfm_segments / activity_gini / revenue_pareto / abc_classification (the
+# r04 distributed-rank rewrites, which deserve a driver proof of the new
+# plans). Everything outside the window keeps the IDENTICAL pytest oracle
+# gate (tests/test_registry.py runs every registered oracle), so rotation
+# trades no protection away; _ROTATED_NEXT queues the remaining 20 for r06.
+# The registry is FROZEN this round: no new entries (verdict item 2).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    "kafka_wire_roundtrip",
-    "session_windows_edges",
-    "ysb_sql",
-    "interval_join_full_outer_streaming",
-    "session_windows_dynamic_gap",
-    "session_windows_dynamic_gap_streaming",
-    "cms_heavy_hitters",
-    "cms_streaming_merge",
-    "bloom_decontaminate",
-    "bloom_join_prune",
-    "kmv_daily_rollup",
-    "neardup_clusters",
-    "copurchase_triangles",
-    "neardup_ngram_jaccard",
-    "embedding_topk_cosine",
-    "embedding_ivf_topk",
-    "simhash_fingerprint",
-    "streaming_minhash_dedup",
-    "training_mix_pipeline",
-    "pca_top_component",
-    "kmeans_iterations",
-    "stratified_sample",
-    "sequence_packing",
-    "events_csv_source",
-    "events_json_source",
-    "events_orc_source",
-    "events_partitioned_source",
-    "events_schema_evolution_source",
-    "compacted_events_source",
-    "asof_join_cogrouped_attribution",
-    "tpch_q12_shipping_modes",
-    "bpe_pair_counts",
-    "neardup_lsh_recall_report",
-    "canonical_per_source",
-    "doc_fingerprint",
-    "corpus_stats",
-    "embedding_quantize_int8",
-    "upsample_epochs",
-    "repetition_stats",
-    "edit_distance_neighbors",
-    "chunk_docs_overlap",
-    "neardup_embedding_cosine",
-    "frame_sampling_plan",
-    "audio_segment_plan",
-    "binary_features",
-    "image_resize",
-    "zorder_layout_keys",
-    "gopher_quality_rules",
-    "contamination_scores",
-    "neardup_containment",
-]
-
-# Still driver-unchecked after this round; they go right after the window
-# so the NEXT rotation is a pure list swap.
-_ROTATED_NEXT: list[str] = [
-    "segment_linear_trend",
-    "profile_columns",
+    "events_partitioned_source",  # r04 red; hermetic rewrite re-proved here
+    "grouping_sets_revenue",
+    "variant_json_extract",
+    "lateral_top_orders",
+    "recursive_date_spine",
+    "collated_event_types",
+    "null_semantics_audit",
     "cdc_latest_state",
+    "cdc_with_deletes",
+    "clamped_running_balance",
+    "observed_metrics",
+    "profile_columns",
+    "psi_value_drift",
+    "ks_value_drift",
+    "mannwhitney_value_drift",
+    "embedding_covariance",
+    "embedding_norm_stats",
+    "pca_variance_explained",
+    "kmeans_assign_step",
+    "embedding_centroids",
+    "weighted_sample",
+    "dedup_keep_best",
+    "bigram_lm_score",
+    "relational_division",
+    "snapshot_diff",
+    "table_checksums",
+    "segment_linear_trend",
     "mad_by_type",
     "ewma_hourly_value",
     "value_autocorr",
@@ -1109,56 +1080,38 @@ _ROTATED_NEXT: list[str] = [
     "cms_join_size_estimate",
     "frequent_itempairs",
     "activity_gini",
-    "null_semantics_audit",
     "user_activity_map",
     "benford_digit_test",
-    "grouping_sets_revenue",
     "twap_value_per_user",
     "range_frame_analytics",
     "interarrival_histogram",
+    "revenue_pareto",
+    "abc_classification",
+]
+
+# Still driver-unchecked after this round; they go right after the window
+# so the NEXT rotation is a pure list swap.
+_ROTATED_NEXT: list[str] = [
     "moments_by_type",
-    "cdc_with_deletes",
-    "relational_division",
     "kmv_set_operations",
     "daily_value_bands",
     "cumulative_unique_users",
     "dau_mau_stickiness",
     "weekly_revenue_growth",
-    "revenue_pareto",
-    "clamped_running_balance",
-    "psi_value_drift",
-    "ks_value_drift",
-    "mannwhitney_value_drift",
     "weekday_seasonality",
     "session_bounce_rate",
     "user_behavior_entropy",
     "longest_active_streak",
-    "abc_classification",
     "session_type_affinity",
     "new_vs_returning_daily",
     "session_conversion_rate",
     "hourly_ccf_purchase_error",
     "copurchase_degree_distribution",
-    "dedup_keep_best",
-    "weighted_sample",
-    "bigram_lm_score",
-    "embedding_norm_stats",
-    "embedding_covariance",
     "split_ngram_coverage",
-    "pca_variance_explained",
-    "embedding_centroids",
-    "kmeans_assign_step",
     "source_vocab_overlap",
     "hapax_ratio_by_source",
     "token_dispersion",
     "zipf_slope",
-    "observed_metrics",
-    "recursive_date_spine",
-    "variant_json_extract",
-    "lateral_top_orders",
-    "collated_event_types",
-    "snapshot_diff",
-    "table_checksums",
 ]
 
 

@@ -193,13 +193,36 @@ def partitioned_roundtrip_table(
     the files and zero bytes of the rest (the plan shows it under
     PartitionFilters, checked in tests/test_plans.py). The write itself
     shuffles nothing: each task fans its rows into per-value files.
+
+    Hermetic under a FOREIGN session (the driver's): r04 recorded a
+    hash mismatch here that no local session reproduced — this function
+    ran under whatever parquet/timestamp confs the driver's session
+    carried, unlike the other roundtrips which go through
+    ``_ensure_session_confs`` twice. So pin every conf the write/read
+    path consults, and read back with the source's explicit schema
+    (no footer merging, no partition-column type inference) so the
+    result depends only on the data, never on inherited session state.
     """
     import tempfile
 
-    src = load_table(spark, sf_dir, name)
+    src = load_table(spark, sf_dir, name)  # applies _ensure_session_confs
+    # timestamps leave as parquet MICROS regardless of the session's
+    # outputTimestampType (INT96/MILLIS would re-quantize differently),
+    # and rebase modes are pinned so neither side applies a calendar
+    # shift the other doesn't.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
     src.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    return spark.read.parquet(tmp)
+    # explicit schema: partition values resolve against the declared
+    # type (string), data columns read exactly as written; basePath
+    # pins partition discovery to the roundtrip root.
+    return (
+        spark.read.schema(src.schema)
+        .option("basePath", tmp)
+        .parquet(tmp)
+    )
 
 
 def schema_evolution_roundtrip(

@@ -37,6 +37,56 @@ def test_result_invariant_under_parallelism(spark, name):
     assert run(1) == run(32)
 
 
+def test_partitioned_roundtrip_hermetic_under_foreign_confs(spark):
+    """r04's only driver-red row: events_partitioned_source hash-mismatched
+    under the DRIVER's session while every local run agreed with the
+    oracle. The roundtrip must therefore be hermetic — identical results
+    even when the calling session carries adversarial parquet/timestamp
+    confs (non-UTC zone, INT96 output, LEGACY rebase), which is exactly
+    the state a foreign session can hand us."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.sources.replay import partitioned_roundtrip_table
+
+    def agg(df):
+        return sorted(
+            tuple(r)
+            for r in df.filter(F.col("event_type") == "view")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+                F.unix_millis(F.max("ts")).alias("t"),
+            )
+            .collect()
+        )
+
+    adversarial = {
+        "spark.sql.session.timeZone": "America/New_York",
+        "spark.sql.parquet.outputTimestampType": "INT96",
+        "spark.sql.parquet.int96RebaseModeInWrite": "LEGACY",
+        "spark.sql.parquet.int96RebaseModeInRead": "LEGACY",
+        "spark.sql.parquet.datetimeRebaseModeInWrite": "LEGACY",
+        "spark.sql.parquet.datetimeRebaseModeInRead": "LEGACY",
+        "spark.sql.parquet.mergeSchema": "true",
+        "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    }
+    clean = agg(partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type"))
+    saved = {k: spark.conf.get(k, None) for k in adversarial}
+    try:
+        for k, v in adversarial.items():
+            spark.conf.set(k, v)
+        dirty = agg(
+            partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type")
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert clean == dirty
+
+
 def test_repartition_for_compute_gates_on_width(spark):
     """Narrow plans widen to the target; already-wide plans are untouched
     (no gratuitous full-corpus shuffle on a many-split source)."""

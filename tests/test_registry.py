@@ -83,6 +83,10 @@ def test_driver_window_rotation():
             m = _re.search(r"round (\d+)", fh.readline())
         if m:
             verdict_round = int(m.group(1))
+    # Only GREEN rows are spent slots: a red row (hash/rows/schema
+    # mismatch or error) must be re-spendable, or a driver-side failure
+    # could never be re-proved (r04's events_partitioned_source is the
+    # case in point — the r05 verdict explicitly orders its re-green).
     checked: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
@@ -90,7 +94,14 @@ def test_driver_window_rotation():
         if k > verdict_round:
             continue  # the current round's own grading file
         with open(path) as fh:
-            checked |= set(json.load(fh))
+            rows = json.load(fh)
+        checked |= {
+            name
+            for name, row in rows.items()
+            if row.get("rows_match")
+            and row.get("schema_match")
+            and row.get("hash_match")
+        }
     overlap = sorted(checked & set(_DRIVER_WINDOW))
     assert not overlap, f"window re-spends driver-checked slots: {overlap}"
     # r02-proven queries stay registered (protected by this same file's
