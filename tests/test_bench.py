@@ -149,3 +149,22 @@ def test_bench_headline_and_scaled_names_registered():
 
     assert all(n in REGISTRY for n in bench.HEADLINE)
     assert all(n in REGISTRY for n in bench.SCALED_BATCH)
+
+
+def test_bench_carries_scaled_block_forward(tmp_path):
+    """With the replicate knob off, bench must not erase the last
+    measured replicate probe (the r04 round-close wiped the committed
+    8x evidence to {}); the carried copy is marked carried_forward."""
+    import json
+
+    import bench
+
+    full = tmp_path / "BENCH_FULL.json"
+    probe = {"copies": 8, "batch_median_ratio_per_copy": 0.184}
+    full.write_text(json.dumps({"scaled": probe}))
+    carried = bench._carry_scaled_forward(str(full))
+    assert carried == {**probe, "carried_forward": True}
+    # no prior file / empty prior block -> nothing to carry
+    assert bench._carry_scaled_forward(str(tmp_path / "missing.json")) == {}
+    full.write_text(json.dumps({"scaled": {}}))
+    assert bench._carry_scaled_forward(str(full)) == {}

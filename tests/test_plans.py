@@ -348,3 +348,32 @@ def test_gini_rank_is_distributed_not_single_task(spark):
     # per-partition sizes cumsum ordered by _pid
     assert "windowspecdefinition(cnt" not in plan
     assert "windowspecdefinition(user_id" not in plan
+
+
+def test_abc_prefix_sum_is_distributed_not_single_task(spark):
+    """abc_classification's cumulative revenue must ride the
+    range-partitioned global_prefix_sum lineage — the same pin the
+    global_row_number consumers carry: no ``sum().over(orderBy)`` with
+    an empty PARTITION BY over the part-cardinality frame (that plans a
+    single-partition Exchange), only the tiny _pid offsets window."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.operators.relational import global_prefix_sum
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("cents")
+    )
+    lineage = global_prefix_sum(
+        p, [F.desc("cents"), F.asc("l_partkey")], "cents",
+        cum_col="cum", total_col="tot", checkpoint=False,
+    )
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        lineage._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in plan
+    assert "MapInPandas" in plan
+    # the running sum must NOT be a window over the data columns
+    assert "windowspecdefinition(cents" not in plan
+    assert "windowspecdefinition(l_partkey" not in plan
