@@ -151,6 +151,25 @@ def test_bench_headline_and_scaled_names_registered():
     assert all(n in REGISTRY for n in bench.SCALED_BATCH)
 
 
+def test_committed_bench_full_keeps_scaled_evidence():
+    """The repo's BENCH_FULL.json must never ship with an empty scaled
+    block again (the r04 round-close erased the committed 8x replicate
+    probe) — carry-forward plus this guard keep the strongest scale
+    evidence in the published artifact."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_FULL.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        full = json.load(fh)
+    scaled = full.get("scaled") or {}
+    assert scaled.get("copies", 0) > 1
+    assert scaled.get("batch_median_ratio_per_copy") is not None
+
+
 def test_bench_carries_scaled_block_forward(tmp_path):
     """With the replicate knob off, bench must not erase the last
     measured replicate probe (the r04 round-close wiped the committed
