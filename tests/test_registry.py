@@ -102,8 +102,17 @@ def test_driver_window_rotation():
             and row.get("schema_match")
             and row.get("hash_match")
         }
-    overlap = sorted(checked & set(_DRIVER_WINDOW))
-    assert not overlap, f"window re-spends driver-checked slots: {overlap}"
+    unspent = sorted(set(REGISTRY) - checked)
+    if len(unspent) >= 50:
+        overlap = sorted(checked & set(_DRIVER_WINDOW))
+        assert not overlap, f"window re-spends driver-checked slots: {overlap}"
+    else:
+        # Endgame: fewer unspent names than window slots. Every remaining
+        # unspent name must be IN the window (nothing can hide from the
+        # driver), and the leftover slots legitimately re-verify
+        # previously-green names (re-proof is free coverage, not waste).
+        missing = sorted(set(unspent) - set(_DRIVER_WINDOW))
+        assert not missing, f"unspent names left outside the window: {missing}"
     # r02-proven queries stay registered (protected by this same file's
     # oracle parametrization), just outside the window
     for name in ("ysb", "ysb_streaming_append", "session_windows"):
