@@ -180,6 +180,21 @@ def roundtrip_table(
     return back
 
 
+def _pin_hermetic_parquet_io(spark: SparkSession) -> None:
+    """Pin every session conf a parquet write-then-read-back helper
+    consults, so results can't depend on inherited state from a FOREIGN
+    session (the driver's — r04's events_partitioned_source hash
+    mismatch that no local session reproduced). Timestamps leave as
+    parquet MICROS regardless of the session's outputTimestampType (the
+    Spark 4.1 session default is INT96, whose encode path additionally
+    reads int96RebaseMode* state; MILLIS would re-quantize), and both
+    rebase modes are pinned so neither side applies a calendar shift
+    the other doesn't."""
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+
+
 def partitioned_roundtrip_table(
     spark: SparkSession, sf_dir: str, name: str, partition_col: str
 ) -> DataFrame:
@@ -206,13 +221,7 @@ def partitioned_roundtrip_table(
     import tempfile
 
     src = load_table(spark, sf_dir, name)  # applies _ensure_session_confs
-    # timestamps leave as parquet MICROS regardless of the session's
-    # outputTimestampType (INT96/MILLIS would re-quantize differently),
-    # and rebase modes are pinned so neither side applies a calendar
-    # shift the other doesn't.
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+    _pin_hermetic_parquet_io(spark)
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
     src.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     # explicit schema: partition values resolve against the declared
@@ -241,10 +250,16 @@ def schema_evolution_roundtrip(
     The generation split is by event_id parity, so it is deterministic
     and oracle-replicable; column pruning/pushdown still reach both file
     generations through the merged schema.
+
+    Timestamp encoding is pinned (`_pin_hermetic_parquet_io`) — the
+    readback keeps mergeSchema footer reconciliation (that IS the
+    semantics under test), but the ts bytes written are MICROS/CORRECTED
+    regardless of the calling session's conf state.
     """
     import tempfile
 
     src = load_table(spark, sf_dir, name)
+    _pin_hermetic_parquet_io(spark)
     tmp = tempfile.mkdtemp(prefix=f"sb_evo_{name}_")
     old = src.filter(F.col("event_id") % 2 == 0)
     new = src.filter(F.col("event_id") % 2 == 1).withColumn(

@@ -37,16 +37,26 @@ def test_result_invariant_under_parallelism(spark, name):
     assert run(1) == run(32)
 
 
-def test_partitioned_roundtrip_hermetic_under_foreign_confs(spark):
+@pytest.mark.parametrize("builder", ["partitioned", "schema_evolution"])
+def test_parquet_roundtrips_hermetic_under_foreign_confs(spark, builder):
     """r04's only driver-red row: events_partitioned_source hash-mismatched
     under the DRIVER's session while every local run agreed with the
-    oracle. The roundtrip must therefore be hermetic — identical results
-    even when the calling session carries adversarial parquet/timestamp
-    confs (non-UTC zone, INT96 output, LEGACY rebase), which is exactly
-    the state a foreign session can hand us."""
+    oracle. Every parquet write-then-read-back helper that carries
+    timestamps must therefore be hermetic — identical results even when
+    the calling session carries adversarial parquet/timestamp confs
+    (non-UTC zone, INT96 output, LEGACY rebase), which is exactly the
+    state a foreign session can hand us."""
     from pyspark.sql import functions as F
 
-    from streambench_spark.sources.replay import partitioned_roundtrip_table
+    from streambench_spark.sources.replay import (
+        partitioned_roundtrip_table,
+        schema_evolution_roundtrip,
+    )
+
+    def build():
+        if builder == "partitioned":
+            return partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type")
+        return schema_evolution_roundtrip(spark, SF_DIR, "events")
 
     def agg(df):
         return sorted(
@@ -70,14 +80,12 @@ def test_partitioned_roundtrip_hermetic_under_foreign_confs(spark):
         "spark.sql.parquet.mergeSchema": "true",
         "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     }
-    clean = agg(partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type"))
+    clean = agg(build())
     saved = {k: spark.conf.get(k, None) for k in adversarial}
     try:
         for k, v in adversarial.items():
             spark.conf.set(k, v)
-        dirty = agg(
-            partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type")
-        )
+        dirty = agg(build())
     finally:
         for k, v in saved.items():
             if v is None:
