@@ -1090,7 +1090,12 @@ _DRIVER_WINDOW: list[str] = [
 ]
 
 # Still driver-unchecked after this round; they go right after the window
-# so the NEXT rotation is a pure list swap.
+# so the NEXT rotation is a pure list swap. r06 note: these 20 are fewer
+# than the 50 window slots — the rotation invariant's endgame branch
+# (tests/test_registry.py) then requires ALL of them inside the window,
+# with the ~30 leftover slots re-verifying previously-green names
+# (suggest: the oldest greens, CORRECTNESS_r02's, whose proofs are the
+# most code-drift removed).
 _ROTATED_NEXT: list[str] = [
     "moments_by_type",
     "kmv_set_operations",
