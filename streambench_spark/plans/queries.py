@@ -1021,82 +1021,25 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # Driver-facing ordering.
 #
 # The verify driver checks the FIRST 50 entries of queries() against their
-# oracles. Rounds 2-4 drove 149 distinct queries green (CORRECTNESS_r02-r04);
-# this round-5 window is the one r04 RED row re-spent (the r05 verdict item 1
-# re-green order: events_partitioned_source, now session-hermetic in
-# sources/replay.py) plus 49 of the 69 never-driver-checked names — the
-# verdict item-2 priority list first (semantics guards: grouping sets,
-# VARIANT/LATERAL, CDC, null-semantics, drift tests, the embedding
-# linear-algebra tail), then the analytics backlog, deliberately including
-# rfm_segments / activity_gini / revenue_pareto / abc_classification (the
-# r04 distributed-rank rewrites, which deserve a driver proof of the new
-# plans). Everything outside the window keeps the IDENTICAL pytest oracle
-# gate (tests/test_registry.py runs every registered oracle), so rotation
-# trades no protection away; _ROTATED_NEXT queues the remaining 20 for r06.
-# The registry is FROZEN this round: no new entries (verdict item 2).
+# oracles. Rounds 2-5 drove 198 distinct queries green (CORRECTNESS_r02-r05);
+# this round-6 window CLOSES the rotation (the endgame shape the r05 verdict
+# item 2 mandates): the 20 never-driver-checked names, the one red re-spend
+# (events_partitioned_source — r04+r05 hash-mismatch under the driver only;
+# the roundtrip wire now carries ONLY longs and strings, see
+# sources/replay.py:partitioned_roundtrip_table; whether that greens it is
+# for CORRECTNESS_r06 to say), and 29 re-verification slots spent on the
+# OLDEST proofs — CORRECTNESS_r02 names, chosen because their code is the
+# most drift-removed from its proof (percentiles/rank paths were rewritten
+# onto distributed-rank lineage in r04; YSB/session/stateful are the §2
+# core). Everything outside the window keeps the IDENTICAL pytest oracle
+# gate (tests/test_registry.py runs every registered oracle).
+# The registry stays FROZEN at 219: no new entries (verdict item 7).
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW: list[str] = [
-    "events_partitioned_source",  # r04 red; hermetic rewrite re-proved here
-    "grouping_sets_revenue",
-    "variant_json_extract",
-    "lateral_top_orders",
-    "recursive_date_spine",
-    "collated_event_types",
-    "null_semantics_audit",
-    "cdc_latest_state",
-    "cdc_with_deletes",
-    "clamped_running_balance",
-    "observed_metrics",
-    "profile_columns",
-    "psi_value_drift",
-    "ks_value_drift",
-    "mannwhitney_value_drift",
-    "embedding_covariance",
-    "embedding_norm_stats",
-    "pca_variance_explained",
-    "kmeans_assign_step",
-    "embedding_centroids",
-    "weighted_sample",
-    "dedup_keep_best",
-    "bigram_lm_score",
-    "relational_division",
-    "snapshot_diff",
-    "table_checksums",
-    "segment_linear_trend",
-    "mad_by_type",
-    "ewma_hourly_value",
-    "value_autocorr",
-    "hourly_anomalies",
-    "rfm_segments",
-    "funnel_time_to_convert",
-    "modal_value_by_type",
-    "equidepth_histogram",
-    "top_event_paths",
-    "validate_events",
-    "revenue_share_by_type",
-    "histogram_sketch_quantiles",
-    "conversion_rate_ci",
-    "cms_join_size_estimate",
-    "frequent_itempairs",
-    "activity_gini",
-    "user_activity_map",
-    "benford_digit_test",
-    "twap_value_per_user",
-    "range_frame_analytics",
-    "interarrival_histogram",
-    "revenue_pareto",
-    "abc_classification",
-]
-
-# Still driver-unchecked after this round; they go right after the window
-# so the NEXT rotation is a pure list swap. r06 note: these 20 are fewer
-# than the 50 window slots — the rotation invariant's endgame branch
-# (tests/test_registry.py) then requires ALL of them inside the window,
-# with the ~30 leftover slots re-verifying previously-green names
-# (suggest: the oldest greens, CORRECTNESS_r02's, whose proofs are the
-# most code-drift removed).
-_ROTATED_NEXT: list[str] = [
+    # the red re-spend (integer/string wire rewrite)
+    "events_partitioned_source",
+    # the 20 never-driver-checked names (all judge-verified at sf0.01 in r05)
     "moments_by_type",
     "kmv_set_operations",
     "daily_value_bands",
@@ -1117,7 +1060,43 @@ _ROTATED_NEXT: list[str] = [
     "hapax_ratio_by_source",
     "token_dispersion",
     "zipf_slope",
+    # 29 endgame re-verifications, all CORRECTNESS_r02 greens (the oldest
+    # proofs): YSB core, window/session/stateful families, and the
+    # percentile queries whose plans were rewritten since r02
+    "ysb",
+    "ysb_10s",
+    "ysb_streaming",
+    "ysb_streaming_append",
+    "session_windows",
+    "session_windows_streaming",
+    "interval_self_join",
+    "interval_self_join_banded",
+    "global_percentiles",
+    "grouped_percentiles",
+    "generator_events",
+    "generator_events_flink",
+    "filter_project",
+    "grouped_max",
+    "windowed_global_sum",
+    "windowed_distinct_users",
+    "windowed_collect",
+    "sliding_window_counts",
+    "sliding_window_streaming",
+    "stateful_running_counts",
+    "stateful_value_stats",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "incremental_mv",
+    "hypertable_rollup",
+    "hypertable_rollup_streaming",
+    "json_roundtrip",
+    "cross_join_metrics",
+    "ip_pack_pairs",
 ]
+
+# Rotation closed: every registry name either has a green driver row
+# (CORRECTNESS_r02-r05) or sits in this round's window. Nothing queued.
+_ROTATED_NEXT: list[str] = []
 
 
 def _ordered_names() -> list[str]:

