@@ -108,14 +108,16 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     replay = run_throughput_trial(spark, BenchParams(duration_s=60),
                                   source=bounded())
     streaming.update({f"replay_{k}": v for k, v in replay.items()})
-    # Latency needs LIVE event times: 20 s of the rate-source generator,
-    # arrival minus generation clock per micro-batch (M3). Honest sample
-    # math: nearest-rank over n batch samples means p99 == max whenever
-    # n <= 100 and p95 == max whenever n <= 20 — at ~20-60 batches per
-    # trial the reported p99 IS the max (latency_batches is published so
-    # the reader can see n); the tuple still matches the reference's
-    # shape and its min/avg/max are unaffected.
-    live = BenchParams(duration_s=20, rows_per_second=200_000,
+    # Latency needs LIVE event times: the rate-source generator, arrival
+    # minus generation clock per micro-batch (M3). Honest sample math:
+    # nearest-rank over n batch samples means p95 == max whenever
+    # n <= 20 and p99 == max whenever n <= 100 — the r05 trial ran 20 s
+    # (19 batches), so its whole percentile tail collapsed to the max
+    # and a one-off max excursion read as a p95 regression. 60 s gives
+    # ~55-60 batches: p95 separates from max with real resolution
+    # (p99 still rides the top-1 sample until n > 100; latency_batches
+    # is published so the reader can see n).
+    live = BenchParams(duration_s=60, rows_per_second=200_000,
                        ramp_up_seconds=0, watermark="1 second")
     streaming.update(run_latency_trial(spark, live, source=None))
     return streaming
@@ -295,11 +297,30 @@ def _skew_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def _current_round() -> int | None:
+    """The build round currently underway, anchored on VERDICT.md's
+    header: the judge writes "VERDICT — round N" at the END of round N,
+    so while it reads N the running round is N+1."""
+    import re
+
+    try:
+        with open(os.path.join(REPO, "VERDICT.md")) as fh:
+            m = re.search(r"round (\d+)", fh.readline())
+        return int(m.group(1)) + 1 if m else None
+    except Exception:
+        return None
+
+
 def _carry_scaled_forward(full_path: str) -> dict:
     """Replicate-knob off (the driver's per-round run doesn't set it):
     carry the last measured replicate probe forward instead of erasing
     it — the r04 round-close wiped the committed 8x evidence to {} this
-    way. The carried block is marked so a reader knows its age."""
+    way. The carried block is marked AND stamped with provenance
+    (``carry_count`` increments per carry; ``measured_round`` is the
+    round whose run actually produced the numbers) so the published
+    record can't republish arbitrarily stale scale evidence unnoticed —
+    the repo-state guard (tests/test_bench.py) fails a committed block
+    carried more than 3 runs."""
     try:
         with open(full_path) as fh:
             prev = json.load(fh).get("scaled") or {}
@@ -309,7 +330,55 @@ def _carry_scaled_forward(full_path: str) -> dict:
         return {}
     carried = dict(prev)
     carried["carried_forward"] = True
+    carried["carry_count"] = int(prev.get("carry_count") or 0) + 1
     return carried
+
+
+def _summary_point(block: dict) -> dict:
+    """The compact (copies, ratio, throughput, round) tuple a scaled
+    block contributes to the history ledger."""
+    return {
+        k: block.get(k)
+        for k in (
+            "copies",
+            "batch_median_ratio_per_copy",
+            "throughput_rows_per_s",
+            "measured_round",
+        )
+        if block.get(k) is not None
+    }
+
+
+def _merge_scaled_history(full_path: str, scaled: dict) -> dict:
+    """Keep every MEASURED replicate point across rewrites: the default
+    run measures 16x, but a one-off high-k run (e.g. 64x) would be
+    erased by the next default rewrite of BENCH_FULL.json — so each
+    measured block's summary is folded into a ``history`` list keyed by
+    (copies, measured_round), strongest evidence preserved."""
+    history: list[dict] = []
+    try:
+        with open(full_path) as fh:
+            prev = json.load(fh).get("scaled") or {}
+        history = list(prev.get("history") or [])
+        if prev.get("copies") and not prev.get("carried_forward"):
+            history.append(_summary_point(prev))
+    except Exception:
+        pass
+    if scaled.get("copies") and not scaled.get("carried_forward"):
+        history.append(_summary_point(scaled))
+    seen: set = set()
+    deduped: list[dict] = []
+    for h in history:
+        key = (h.get("copies"), h.get("measured_round"))
+        if key not in seen and h.get("copies"):
+            seen.add(key)
+            deduped.append(h)
+    deduped.sort(key=lambda h: (h.get("measured_round") or 0, h.get("copies") or 0))
+    if deduped:
+        out = dict(scaled)
+        out["history"] = deduped[-8:]
+        return out
+    return scaled
 
 
 def _quarantine_stderr() -> None:
@@ -373,28 +442,55 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    # Trial failures are recorded in the JSON artifact itself, not only
+    # in the (gitignored) stderr log — the published record must
+    # distinguish "knob off" from "trial crashed" (the r05 advice find).
+    trial_errors: list[str] = []
+
     streaming: dict = {}
     try:
         streaming = _streaming_trials(spark, sf_dir, cpus)
     except Exception as exc:
+        trial_errors.append(f"streaming: {exc!r}"[:300])
         print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
 
     skew: dict = {}
     try:
         skew = _skew_probe(spark, sf_dir)
     except Exception as exc:
+        trial_errors.append(f"skew_probe: {exc!r}"[:300])
         print(f"bench error in skew probe: {exc!r}", file=sys.stderr)
 
-    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE") or "0")
+    # Replicate-scale probe: MEASURED in every default run (16x unless
+    # overridden; 0/1 disables) — a carried-forward block is the
+    # fallback for a crashed/disabled probe, not the steady state (the
+    # r05 scaled block was carried from r04's run; an endgame record
+    # should be measured in-round).
+    replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE") or "16")
     scaled: dict = {}
     full_path = os.path.join(REPO, "BENCH_FULL.json")
     if replicate > 1:
         try:
             scaled = _replicated_trial(spark, sf_dir, replicate, timings)
+            rnd = _current_round()
+            if rnd is not None:
+                scaled["measured_round"] = rnd
         except Exception as exc:
+            trial_errors.append(f"replicated_trial: {exc!r}"[:300])
             print(f"bench error in replicated trial: {exc!r}", file=sys.stderr)
     if not scaled:
         scaled = _carry_scaled_forward(full_path)
+    scaled = _merge_scaled_history(full_path, scaled)
+
+    # Diagnostics volume in the quarantined stderr log: routine JVM WARN
+    # chatter makes a bare non-empty flag useless, so record the byte
+    # count — a reader sees at a glance whether the log holds the usual
+    # ~kB of teardown noise or a multi-kB stack trace worth opening.
+    try:
+        sys.stderr.flush()
+        stderr_bytes = os.path.getsize(os.path.join(REPO, "BENCH_STDERR.log"))
+    except OSError:
+        stderr_bytes = 0
 
     # Full record → file (the driver tail would truncate it inline).
     with open(full_path, "w") as fh:
@@ -408,6 +504,8 @@ def main() -> None:
                 "streaming_ysb": streaming,
                 "skew_probe": skew,
                 "scaled": scaled,
+                "trial_errors": trial_errors,
+                "stderr_bytes": stderr_bytes,
             },
             fh,
             indent=1,
@@ -431,6 +529,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": len(errors),
         "errors": errors[:5],
+        "n_trial_errors": len(trial_errors),
+        "trial_errors": [e[:120] for e in trial_errors[:2]],
+        "stderr_bytes": stderr_bytes,
         "queries": compact_queries,
         "streaming_ysb": streaming,
         "full": "BENCH_FULL.json",
@@ -438,6 +539,8 @@ def main() -> None:
     if scaled:
         # compact line carries the summary; per-query detail is in FULL
         line["scaled"] = {k: v for k, v in scaled.items() if k != "batch"}
+        if "history" in line["scaled"]:
+            line["scaled"]["history"] = line["scaled"]["history"][-3:]
     out = json.dumps(line)
     if len(out) > 1800:  # stay inside the driver's 2000-char stdout tail
         line.pop("queries", None)

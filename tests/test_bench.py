@@ -168,12 +168,22 @@ def test_committed_bench_full_keeps_scaled_evidence():
     scaled = full.get("scaled") or {}
     assert scaled.get("copies", 0) > 1
     assert scaled.get("batch_median_ratio_per_copy") is not None
+    # freshness: presence isn't enough — a block carried forward run
+    # after run republishes stale evidence indefinitely (the r05 advice
+    # find). More than 3 consecutive carries means nobody has re-measured
+    # in ~3 rounds: fail until someone runs SPARK_GRAFT_BENCH_REPLICATE.
+    assert int(scaled.get("carry_count") or 0) <= 3, (
+        "BENCH_FULL.json scaled block is stale (carried "
+        f"{scaled.get('carry_count')} runs) — re-run bench.py with "
+        "SPARK_GRAFT_BENCH_REPLICATE to re-measure"
+    )
 
 
 def test_bench_carries_scaled_block_forward(tmp_path):
     """With the replicate knob off, bench must not erase the last
     measured replicate probe (the r04 round-close wiped the committed
-    8x evidence to {}); the carried copy is marked carried_forward."""
+    8x evidence to {}); the carried copy is marked carried_forward and
+    counts its consecutive carries for the staleness guard."""
     import json
 
     import bench
@@ -182,8 +192,40 @@ def test_bench_carries_scaled_block_forward(tmp_path):
     probe = {"copies": 8, "batch_median_ratio_per_copy": 0.184}
     full.write_text(json.dumps({"scaled": probe}))
     carried = bench._carry_scaled_forward(str(full))
-    assert carried == {**probe, "carried_forward": True}
+    assert carried == {**probe, "carried_forward": True, "carry_count": 1}
+    # a re-carry increments the count instead of resetting it
+    full.write_text(json.dumps({"scaled": carried}))
+    recarried = bench._carry_scaled_forward(str(full))
+    assert recarried["carry_count"] == 2
     # no prior file / empty prior block -> nothing to carry
     assert bench._carry_scaled_forward(str(tmp_path / "missing.json")) == {}
     full.write_text(json.dumps({"scaled": {}}))
     assert bench._carry_scaled_forward(str(full)) == {}
+
+
+def test_merge_scaled_history_preserves_high_k_points(tmp_path):
+    """A one-off 64x measurement must survive the next default 16x
+    rewrite of BENCH_FULL.json — measured points accumulate in the
+    history ledger, deduped by (copies, measured_round)."""
+    import json
+
+    import bench
+
+    full = tmp_path / "BENCH_FULL.json"
+    p64 = {"copies": 64, "batch_median_ratio_per_copy": 0.035,
+           "throughput_rows_per_s": 2.0e6, "measured_round": 6}
+    full.write_text(json.dumps({"scaled": p64}))
+    fresh16 = {"copies": 16, "batch_median_ratio_per_copy": 0.096,
+               "throughput_rows_per_s": 1.0e6, "measured_round": 6}
+    merged = bench._merge_scaled_history(str(full), dict(fresh16))
+    pts = {(h["copies"], h["measured_round"]) for h in merged["history"]}
+    assert pts == {(64, 6), (16, 6)}
+    # a re-merge of the same points doesn't duplicate
+    full.write_text(json.dumps({"scaled": merged}))
+    again = bench._merge_scaled_history(str(full), dict(fresh16))
+    assert len(again["history"]) == 2
+    # a carried block contributes no new point but keeps the ledger
+    carried = {**fresh16, "carried_forward": True, "carry_count": 1}
+    full.write_text(json.dumps({"scaled": merged}))
+    kept = bench._merge_scaled_history(str(full), carried)
+    assert len(kept["history"]) == 2
