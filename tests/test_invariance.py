@@ -79,6 +79,16 @@ def test_parquet_roundtrips_hermetic_under_foreign_confs(spark, builder):
         "spark.sql.parquet.datetimeRebaseModeInRead": "LEGACY",
         "spark.sql.parquet.mergeSchema": "true",
         "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+        # widened in r06 (the conf surface two driver-red rounds never
+        # explained — exercise every remaining parquet/inference knob a
+        # foreign session could plausibly hold)
+        "spark.sql.parquet.compression.codec": "gzip",
+        "spark.sql.parquet.enableVectorizedReader": "false",
+        "spark.sql.parquet.filterPushdown": "false",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        "spark.sql.parquet.binaryAsString": "true",
+        "spark.sql.parquet.int96AsTimestamp": "false",
+        "spark.sql.files.maxPartitionBytes": "1048576",
     }
     clean = agg(build())
     saved = {k: spark.conf.get(k, None) for k in adversarial}

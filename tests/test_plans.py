@@ -165,6 +165,25 @@ def test_partitioned_source_prunes_partitions(spark):
     assert m and "event_type" in m.group(1)
 
 
+def test_partitioned_roundtrip_wire_is_integers_and_strings_only(spark):
+    """Wire-discipline pin for the r04/r05 driver-red class: the
+    partitioned roundtrip's parquet scan must read NO timestamp or
+    double column — those types' encodings consult session state
+    (rebase modes, outputTimestampType, float formatting), which is the
+    only surface a foreign session could use to shift values. The
+    ReadSchema of the roundtrip readback proves what's in the file."""
+    plan = _plan(spark, "events_partitioned_source")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    # the plan holds two scans: the source table (timestamps fine) and
+    # the roundtrip readback; the readback is the one scanning a
+    # sb_part_* tmp dir — identify it by its unix_micros'd ts:bigint
+    roundtrip = [s for s in schemas if "ts:bigint" in s]
+    assert roundtrip, f"no integer-wire scan found in: {schemas}"
+    for s in roundtrip:
+        assert "timestamp" not in s, s
+        assert "double" not in s, s
+
+
 def test_profile_columns_single_scan(spark):
     """Multi-distinct profile plans as one EXPAND over one scan, not one
     scan per profiled column."""
