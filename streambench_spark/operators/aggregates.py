@@ -109,7 +109,13 @@ def exact_percentiles_sorted(
     bit-for-bit with no rounding needed, and a property test pins
     equality with ``percentile()`` on random inputs. Integral h (both
     rank rows are the same row) returns v_lo exactly. Ties order doesn't
-    matter: equal values interpolate to themselves. Returns one row per
+    matter (equal straddle values interpolate through the same two
+    products on both engines), but note ``percentile()`` SHORT-CIRCUITS
+    an equal straddle to the value itself while quantile_cont computes
+    the products — they differ where the products round away (measured:
+    [5e-324, 5e-324] @ q50 → 0.0 here and in DuckDB, 5e-324 from the
+    builtin; tests/test_properties.py pins the oracle side of that
+    corner). Returns one row per
     key group: keys + one column per ``quantiles`` alias. The caller
     joins min/avg/max style companions from a plain aggregate (cheap:
     both sides are group-cardinality).

@@ -296,6 +296,24 @@ def test_bloom_matches_python_model(spark, members, probes):
     assert got == want
 
 
+def _two_sided_quantile(vals: list[float], q: float) -> float:
+    """The pure-Python arbiter for quantile_cont semantics: position
+    h = (n−1)·q on the 0-based sorted values; integral h returns the
+    element exactly; fractional h returns the TWO-SIDED weighted form
+    v_lo·(ceil(h)−h) + v_hi·(h−floor(h)) with NO equal-straddle
+    short-circuit — exactly what DuckDB quantile_cont (the driver
+    oracle) evaluates, and what exact_percentiles_sorted's SQL
+    expression tree evaluates, product-rounding and all."""
+    import math
+
+    vals = sorted(vals)
+    h = (len(vals) - 1) * q
+    lo, hi = math.floor(h), math.ceil(h)
+    if lo == hi:
+        return vals[lo]
+    return vals[lo] * (hi - h) + vals[hi] * (h - lo)
+
+
 @given(
     st.lists(
         st.tuples(
@@ -309,11 +327,19 @@ def test_bloom_matches_python_model(spark, members, probes):
 )
 @settings(max_examples=10, deadline=None)
 def test_exact_percentiles_sorted_matches_percentile_builtin(spark, rows):
-    """The distributed-sort exact percentile must agree with Spark's own
-    percentile() (the in-memory reference implementation it replaces)
-    bit-for-bit, for random values, group sizes 1..n, and quantiles
-    hitting integral and fractional rank positions — grouped AND global
-    paths."""
+    """The distributed-sort exact percentile must match quantile_cont
+    semantics (the _two_sided_quantile model == DuckDB, the driver
+    oracle) bit-for-bit — grouped AND global paths — and must match
+    Spark's own percentile() (the one-executor-buffer implementation it
+    replaces) everywhere EXCEPT the builtin's equal-straddle
+    short-circuit: when v[floor(h)] == v[ceil(h)], percentile() returns
+    the value directly while quantile_cont still computes the two-sided
+    products, which can round differently (hypothesis found
+    [5e-324, 5e-324] @ q50: products round to 0.0; DuckDB agrees with
+    0.0, the builtin returns 5e-324). The driver oracle wins, so that
+    corner is asserted against the model, not the builtin."""
+    import math
+
     import pyspark.sql.functions as F
 
     from streambench_spark.operators.aggregates import exact_percentiles_sorted
@@ -323,25 +349,69 @@ def test_exact_percentiles_sorted_matches_percentile_builtin(spark, rows):
     ).repartition(4)
     qs = {"q25": 0.25, "q50": 0.50, "q95": 0.95}
 
+    by_group: dict[int, list[float]] = {}
+    for g, v in rows:
+        by_group.setdefault(g, []).append(float(v))
+    model_g = {
+        (g,): tuple(_two_sided_quantile(vs, q) for q in qs.values())
+        for g, vs in by_group.items()
+    }
+
+    def straddle_equal(vs: list[float], q: float) -> bool:
+        vs = sorted(vs)
+        h = (len(vs) - 1) * q
+        return vs[math.floor(h)] == vs[math.ceil(h)]
+
+    got_g = {
+        tuple(r[:1]): (r["q25"], r["q50"], r["q95"])
+        for r in exact_percentiles_sorted(df, "v", qs, keys=["g"]).collect()
+    }
+    assert got_g == model_g
+
     ref_g = {
         tuple(r[:1]): (r["q25"], r["q50"], r["q95"])
         for r in df.groupBy("g").agg(
             *[F.expr(f"percentile(v, {q})").alias(a) for a, q in qs.items()]
         ).collect()
     }
-    got_g = {
-        tuple(r[:1]): (r["q25"], r["q50"], r["q95"])
-        for r in exact_percentiles_sorted(df, "v", qs, keys=["g"]).collect()
-    }
-    assert got_g == ref_g
+    for (g,), ref in ref_g.items():
+        for i, q in enumerate(qs.values()):
+            if straddle_equal(by_group[g], q):
+                # builtin short-circuits; known divergence class
+                assert ref[i] == sorted(by_group[g])[
+                    math.floor((len(by_group[g]) - 1) * q)
+                ]
+            else:
+                assert got_g[(g,)][i] == ref[i]
 
-    ref = df.agg(
-        *[F.expr(f"percentile(v, {q})").alias(a) for a, q in qs.items()]
-    ).first()
+    all_vals = [float(v) for _, v in rows]
     got = exact_percentiles_sorted(df, "v", qs).first()
-    assert (got["q25"], got["q50"], got["q95"]) == (
-        ref["q25"], ref["q50"], ref["q95"]
+    assert (got["q25"], got["q50"], got["q95"]) == tuple(
+        _two_sided_quantile(all_vals, q) for q in qs.values()
     )
+
+
+def test_percentile_equal_straddle_corner_matches_duckdb(spark):
+    """The [5e-324, 5e-324] @ q50 corner, pinned explicitly against
+    DuckDB itself (not just the Python model): quantile_cont computes
+    the two-sided products (→ 0.0, each 5e-324·0.5 rounds to even) and
+    exact_percentiles_sorted must agree with the ORACLE engine, not
+    with percentile()'s short-circuit (→ 5e-324)."""
+    import duckdb
+
+    from streambench_spark.operators.aggregates import exact_percentiles_sorted
+
+    con = duckdb.connect()
+    duck = con.execute(
+        "SELECT quantile_cont(v, 0.5) AS q FROM "
+        "(SELECT CAST(5e-324 AS DOUBLE) AS v UNION ALL "
+        " SELECT CAST(5e-324 AS DOUBLE)) t"
+    ).fetchone()[0]
+    con.close()
+    assert duck == 0.0
+    df = spark.createDataFrame([(5e-324,), (5e-324,)], "v double")
+    got = exact_percentiles_sorted(df, "v", {"q50": 0.5}).first()["q50"]
+    assert got == duck
 
 
 @given(
