@@ -31,6 +31,17 @@ What it measures and why it matters at 100 TB:
    parallelism the split size buys on this file layout (testdata-scale
    files are footer-bound; at 100 TB the default 128m splits dominate
    and this knob is the lever for small-file vs giant-file layouts).
+
+4. sketch_shuffle — the sketch-family scale contract, measured: exact
+   per-key count vs the Count-Min build, and exact per-group distinct
+   vs the KMV map-side-partial build, each at key cardinality 100k and
+   2M over the same fact. Map-side partial aggregation bounds the EXACT
+   agg's shuffle by (distinct keys per partition · partitions), so its
+   exchange grows with cardinality until it degenerates to all-rows;
+   the sketches shuffle a cardinality-INDEPENDENT frame (d·w cells per
+   partition for CMS; k hashes per group per partition for KMV). The
+   probe records shuffle-write bytes per variant — the number behind
+   SCALE.md's "kilobytes at any corpus size".
 """
 
 from __future__ import annotations
@@ -239,6 +250,42 @@ def main() -> None:
         with _conf(spark, **{"spark.sql.files.maxPartitionBytes": size}):
             scan[f"max_part_{int(size) // (1 << 20)}m"] = _noop_time(win_sum)
     out["trials"]["scan_split"] = scan
+
+    # -- 4. sketch vs exact: shuffle bytes as key cardinality grows
+    from streambench_spark.operators.aggregates import kmv_retained_partial
+    from streambench_spark.operators.sketches import count_min_build
+
+    sketch: dict = {}
+    for card in (100_000, 2_000_000):
+        keyed = events.select(
+            F.pmod(F.hash("event_idx"), F.lit(card)).alias("key"),
+            "event_type",
+        )
+        exact = keyed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+        t_exact = _noop_time(exact)
+        b_exact = _run_with_shuffle_bytes(exact)
+        cms = count_min_build(keyed, "key", depth=4, width=2048)
+        t_cms = _noop_time(cms)
+        b_cms = _run_with_shuffle_bytes(cms)
+        exact_distinct = keyed.groupBy("event_type").agg(
+            F.countDistinct("key").alias("nd")
+        )
+        t_exd = _noop_time(exact_distinct)
+        b_exd = _run_with_shuffle_bytes(exact_distinct)
+        kmv = kmv_retained_partial(keyed, ["event_type"], "key", k=32)
+        t_kmv = _noop_time(kmv)
+        b_kmv = _run_with_shuffle_bytes(kmv)
+        sketch[f"card_{card}"] = {
+            "exact_count_s": t_exact,
+            "exact_count_shuffle_bytes": b_exact,
+            "cms_build_s": t_cms,
+            "cms_build_shuffle_bytes": b_cms,
+            "exact_distinct_s": t_exd,
+            "exact_distinct_shuffle_bytes": b_exd,
+            "kmv_partial_s": t_kmv,
+            "kmv_partial_shuffle_bytes": b_kmv,
+        }
+    out["trials"]["sketch_shuffle"] = sketch
 
     spark.stop()
     print(json.dumps(out))
