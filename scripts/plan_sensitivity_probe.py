@@ -42,6 +42,17 @@ What it measures and why it matters at 100 TB:
    partition for CMS; k hashes per group per partition for KMV). The
    probe records shuffle-write bytes per variant — the number behind
    SCALE.md's "kilobytes at any corpus size".
+
+5. bloom_decontaminate — the decontamination scale contract: filter the
+   20M-row fact against a 1M-key banned set as (a) an exact anti-join
+   with broadcast DISABLED (the 100 TB regime, where the exact banned
+   set has outgrown the broadcast threshold: BOTH sides pay a full
+   exchange) vs (b) the Bloom pre-filter (build = map-side-combined
+   bit_or over ≤ m_words rows per partition; probe = one broadcast map
+   column + row-local bit tests — ZERO fact-side exchange, plan-pinned
+   in tests/test_plans.py and here measured in bytes). The Bloom path
+   is the constant-cost pre-filter; the exact anti-join on the (tiny)
+   survivor set restores exactness downstream.
 """
 
 from __future__ import annotations
@@ -286,6 +297,52 @@ def main() -> None:
             "kmv_partial_shuffle_bytes": b_kmv,
         }
     out["trials"]["sketch_shuffle"] = sketch
+
+    # -- 5. decontamination: exact anti-join (no broadcast) vs Bloom probe
+    from streambench_spark.llm.hashing import spark_hash32
+    from streambench_spark.operators.sketches import bloom_build, bloom_probe
+
+    n_banned = 1_000_000
+    keyed = events.select(
+        F.pmod(F.hash("event_idx"), F.lit(2_000_000)).alias("key"), "value"
+    )
+    banned = spark.range(n_banned).select(
+        (F.col("id") * 2).alias("key")  # every even key in [0, 2M)
+    )
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        exact_anti = keyed.join(banned, "key", "left_anti")
+        t_anti = _noop_time(exact_anti)
+        b_anti = _run_with_shuffle_bytes(exact_anti)
+    m_words = 16_384  # 1 Mbit for 1M keys at k=3 — same sizing rule
+    banned_h = banned.select(
+        F.expr(spark_hash32("CAST(key AS STRING)")).alias("h")
+    )
+    bloom = bloom_build(banned_h, "h", m_words=m_words, k=3)
+    t_build = _noop_time(bloom)
+    b_build = _run_with_shuffle_bytes(bloom)
+    probe_in = keyed.withColumn(
+        "h", F.expr(spark_hash32("CAST(key AS STRING)"))
+    )
+    # the probe flags rows PRESENT in the filter (no false negatives —
+    # every truly-banned row is flagged; decontaminate = drop flagged)
+    survivors = bloom_probe(probe_in, bloom, "h", m_words=m_words, k=3)
+    t_probe = _noop_time(survivors)
+    b_probe = _run_with_shuffle_bytes(survivors)
+    out["trials"]["bloom_decontaminate"] = {
+        "n_banned": n_banned,
+        "exact_anti_join_s": t_anti,
+        "exact_anti_join_shuffle_bytes": b_anti,
+        "bloom_build_s": t_build,
+        "bloom_build_shuffle_bytes": b_build,
+        "bloom_probe_s": t_probe,
+        "bloom_probe_shuffle_bytes": b_probe,
+    }
 
     spark.stop()
     print(json.dumps(out))

@@ -101,19 +101,32 @@ def count_min_estimate(
     )
 
 
-def _bloom_pos_exprs(h_col: str, k: int, m_bits: int) -> list[str]:
-    """Spark SQL: the k bit positions of hash column `h_col` (double
-    hashing g_i = h1 + i*step per Kirsch-Mitzenmacher 2006 — two portable
-    hashes derive all k probes, identical literals in the oracle). The
-    step is 1 + (h2 % (m_bits-1)), never 0 — a raw h2 % m_bits == 0
-    (expected once per ~m_bits keys) would collapse all k probes onto
-    one bit and degrade that key's FP contribution from p^k toward p."""
+def _bloom_posarr_expr(h_col: str, k: int, m_bits: int) -> str:
+    """Spark SQL: ARRAY of the k bit positions of hash column `h_col`
+    (double hashing g_i = h1 + i*step per Kirsch-Mitzenmacher 2006 — two
+    portable hashes derive all k probes, identical literals in the
+    oracle). The step is 1 + (h2 % (m_bits-1)), never 0 — a raw
+    h2 % m_bits == 0 (expected once per ~m_bits keys) would collapse all
+    k probes onto one bit and degrade that key's FP contribution from
+    p^k toward p.
+
+    Shape matters as much as values: the two md5 chains are evaluated
+    ONCE per row inside the array(named_struct(...)) constructor and the
+    positions derive from the struct FIELDS. The obvious alternative — a
+    list of k standalone position expressions — re-inlines both md5
+    chains into every reference (Catalyst collapses projections, so
+    hoisting them into a withColumn does not survive optimization), and
+    a probe that tests k positions touches each one twice: measured 12
+    md5 evaluations per row and 21 s vs 7.6 s for the same 20M-row
+    decontamination (scripts/plan_sensitivity_probe.py trial 5)."""
     h1 = spark_hash32(f"concat('bf1:', CAST({h_col} AS STRING))")
     h2 = spark_hash32(f"concat('bf2:', CAST({h_col} AS STRING))")
-    return [
-        f"CAST(({h1} + {i} * (1 + ({h2} % {m_bits - 1}))) % {m_bits} AS BIGINT)"
-        for i in range(k)
-    ]
+    return (
+        f"flatten(transform(array(named_struct("
+        f"'h1', {h1}, 'st', 1 + ({h2} % {m_bits - 1}))),"
+        f" s -> transform(sequence(0, {k - 1}),"
+        f" i -> CAST((s.h1 + i * s.st) % {m_bits} AS BIGINT))))"
+    )
 
 
 def bloom_build(
@@ -127,9 +140,8 @@ def bloom_build(
     per-partition partial words; two filters merge by bit_or per widx.
     """
     m_bits = m_words * BITS_PER_WORD
-    pos = _bloom_pos_exprs(h_col, k, m_bits)
     frags = hashes.select(
-        F.expr(f"explode(array({', '.join(pos)}))").alias("pos")
+        F.explode(F.expr(_bloom_posarr_expr(h_col, k, m_bits))).alias("pos")
     ).select(
         (F.col("pos") / BITS_PER_WORD).cast("long").alias("widx"),
         F.expr(f"shiftleft(1L, CAST(pos % {BITS_PER_WORD} AS INT))").alias("bit"),
@@ -143,30 +155,38 @@ def bloom_probe(
 ) -> DataFrame:
     """Filter `hashes` to rows whose value tests positive in `bloom`.
 
-    Probe shape: the filter's word frame collapses to ONE map-column row
-    (widx → word, at most m_words entries) cross-broadcast onto the
-    probe side, and each row checks its k bit positions with row-local
-    element_at/bitwise expressions — a pure Filter over the probe scan,
-    NO probe-side shuffle, no generate, no re-aggregation (an earlier
-    explode+join+groupBy draft shuffled the fact on (row, hash): the
-    plan audit is why this is a map lookup). Standard one-sided error:
-    no false negatives; false-positive rate ~ (1 - e^{-kn/m})^k. Row
-    multiplicity and columns of `hashes` pass through unchanged.
+    Probe shape: the sketch is materialized DRIVER-SIDE as a dense
+    length-m_words word list (a bounded, O(m_words) collect — the same
+    fixed-size object Spark's own ``stat.bloomFilter`` hands back for
+    exactly this use) and embedded as an ARRAY LITERAL in a pure Filter
+    over the probe scan: no probe-side shuffle, no generate, no join.
+    Three measured per-row cost traps shape the implementation (numbers
+    from scripts/plan_sensitivity_probe.py trial 5, 20M rows × 16k
+    words): (1) the lookup MUST be an array index, not a map — Spark's
+    element_at on MapType is a LINEAR key scan, O(m_words) per position
+    (59 s as a map); (2) the k position expressions MUST evaluate the two
+    md5 chains once per row via `_bloom_posarr_expr`'s struct shape — k
+    standalone position expressions re-inline both chains per reference,
+    12 md5/row (21 s vs 7.6 s); (3) the words must NOT arrive by
+    broadcast-joining a one-row array column — the filter becomes the
+    BroadcastNestedLoopJoin's condition, which disables whole-stage
+    codegen AND copies the full array into every surviving row (25 s,
+    scaling with m_words, vs 7.6 s as a literal). The bit test divides
+    by a power of two instead of shiftleft (same bits: words are
+    nonnegative and < 2^31, so the double division is exact and the
+    long cast is floor). Standard one-sided error: no false negatives;
+    false-positive rate ~ (1 - e^{-kn/m})^k. Row multiplicity and
+    columns of `hashes` pass through unchanged.
     """
     m_bits = m_words * BITS_PER_WORD
-    pos = _bloom_pos_exprs(h_col, k, m_bits)
-    words = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("widx", "word"))
-        ).alias("_bf")
-    )
-    conds = " AND ".join(
-        f"(coalesce(element_at(_bf, CAST(({p}) DIV {BITS_PER_WORD} AS BIGINT)), 0L)"
-        f" & shiftleft(1L, CAST(({p}) % {BITS_PER_WORD} AS INT))) != 0L"
-        for p in pos
-    )
-    return (
-        hashes.join(F.broadcast(words))
-        .filter(F.expr(conds))
-        .drop("_bf")
-    )
+    word_of = {r["widx"]: r["word"] for r in bloom.collect()}
+    dense = [int(word_of.get(i, 0)) for i in range(m_words)]
+    bf = F.lit(dense).cast("array<bigint>")
+    posarr = F.expr(_bloom_posarr_expr(h_col, k, m_bits))
+
+    def _bit_set(p):
+        word = F.element_at(bf, (p / BITS_PER_WORD).cast("int") + 1)
+        pw2 = F.pow(F.lit(2.0), (p % BITS_PER_WORD).cast("double"))
+        return ((word / pw2).cast("long") % 2) == 1
+
+    return hashes.filter(F.forall(posarr, _bit_set))

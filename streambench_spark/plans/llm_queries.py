@@ -1460,7 +1460,7 @@ def _bloom_decon_oracle(n: int = 8) -> str:
     h = _D_H32.format(s="s")
     h1 = _D_H32.format(s="'bf1:' || CAST(h AS VARCHAR)")
     h2 = _D_H32.format(s="'bf2:' || CAST(h AS VARCHAR)")
-    # step 1 + (h2 % (bits-1)) mirrors sketches._bloom_pos_exprs: never 0,
+    # step 1 + (h2 % (bits-1)) mirrors sketches._bloom_posarr_expr: never 0,
     # so the k probes can't collapse onto one bit
     pos = f"(({h1}) + i * (1 + (({h2}) % {_BF_BITS - 1}))) % {_BF_BITS}"
     return f"""
