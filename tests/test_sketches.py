@@ -96,6 +96,26 @@ def test_bloom_probe_preserves_row_multiplicity(spark):
     assert bloom_probe(dup, bloom, "h", 64, 3).count() == 100
 
 
+def test_bloom_probe_plan_single_eval_no_join(spark):
+    """Pin the probe's measured cost structure (see bloom_probe docstring;
+    59 s -> 7.3 s at 20M rows): the two portable-md5 position chains are
+    evaluated ONCE per row each (predicate pushdown re-inlines filter
+    aliases regardless of cost, so k positions naively cost 4k md5/row),
+    and the sketch words arrive as a literal, never by joining a one-row
+    array column (a conditioned BroadcastNestedLoopJoin disables codegen
+    and copies the array into every surviving row)."""
+    members = spark.range(50).select(F.col("id").alias("h"))
+    bloom = bloom_build(members, "h", 64, 3)
+    plan = (
+        bloom_probe(members, bloom, "h", 64, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("md5") == 2, plan
+    assert "Join" not in plan, plan
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 plus a pendant edge: K4 has 4 triangles, each K4 node sits in
     exactly 3; the pendant node in none."""
