@@ -56,6 +56,23 @@ def test_capped_jaccard_subset_of_exact(spark):
     assert len(capped) > 0
 
 
+def test_signature_plans_hash_once_per_shingle(spark):
+    """Pin the single-md5 property of the signature builders: the
+    portable-hash chain must appear exactly once in the physical plan.
+    Aggregates/Projects reference child attributes, so Catalyst does not
+    re-inline the hash the way filter-predicate pushdown does (the
+    bloom_probe trap, tests/test_sketches.py) — this guard catches any
+    refactor that moves the hash into a multi-reference filter/condition
+    context, which costs num_hashes x md5 per shingle at corpus scale."""
+    docs = load_table(spark, SF_DIR, "documents")
+    for builder in (
+        lambda d: dedup.minhash_signatures(d, num_hashes=16),
+        lambda d: dedup.simhash_fingerprints(d),
+    ):
+        plan = builder(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("md5") == 1, plan
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     docs = load_table(spark, SF_DIR, "documents")
     pair = dedup.ngram_jaccard_pairs(docs, 0.9).orderBy("id_a", "id_b").first()
