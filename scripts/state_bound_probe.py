@@ -59,12 +59,26 @@ def main() -> None:
             F.count(F.lit(1)).alias("n")
         )
 
-    def run(mode: str, watermark: str | None) -> dict:
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+
+    def run(mode: str, watermark: str | None, rocksdb: bool = False) -> dict:
         src = keyed_stream()
         if watermark is not None:
             src = src.withWatermark("ts", watermark)
-        q = start_query(windowed(src), fmt="noop", mode=mode,
-                        trigger_interval_ms=1000)
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if rocksdb:
+            spark.conf.set(key, _ROCKSDB)
+        try:
+            q = start_query(windowed(src), fmt="noop", mode=mode,
+                            trigger_interval_ms=1000)
+        finally:
+            if rocksdb:
+                (spark.conf.set(key, prev) if prev
+                 else spark.conf.unset(key))
         time.sleep(duration_s)
         # recentProgress items are StreamingQueryProgress objects in
         # pyspark 4 (dict-like via .json in older releases)
@@ -87,9 +101,17 @@ def main() -> None:
                 }
             )
         totals = [s["rows_total"] for s in series if s["rows_total"] is not None]
+        rates = [
+            p.get("processedRowsPerSecond")
+            for p in progress
+            if p.get("processedRowsPerSecond")
+        ]
         n = len(totals)
         return {
             "batches": n,
+            "processed_rows_per_s_mean": (
+                round(sum(rates) / len(rates), 1) if rates else None
+            ),
             "state_rows_series": totals,
             "state_rows_max": max(totals) if totals else None,
             "state_rows_final": totals[-1] if totals else None,
@@ -115,6 +137,10 @@ def main() -> None:
         "window": "5 seconds",
         "bounded_append_watermark_1s": run("append", "1 second"),
         "unbounded_update_no_watermark": run("update", None),
+        # same bounded pipeline on the disk-backed store (the 100 TB
+        # provider choice; result-identity is pinned by
+        # tests/test_streaming.py — this records the local COST)
+        "bounded_append_rocksdb": run("append", "1 second", rocksdb=True),
     }
     spark.stop()
     print(json.dumps(out))
