@@ -145,11 +145,13 @@ FLAGSHIPS = {
         "lookup); final per-key min is group-cardinality."
     ),
     "bloom_join_prune": (
-        "The bloom word-map collapses to ONE row cross-broadcast onto "
-        "the fact; membership is a row-local Filter (element_at + "
-        "bitwise) — ZERO fact-side Exchange anywhere in the plan. The "
-        "exact dim side is a BroadcastExchange LeftSemi after the "
-        "probe-bit filter, so FP rows die before the join."
+        "The bloom words are a driver-materialized DENSE array literal "
+        "(bounded O(m_words) — never data-sized); membership is a "
+        "row-local Filter (single-eval md5 positions + array element_at "
+        "+ bitwise) with NO join delivering the sketch — ZERO fact-side "
+        "Exchange anywhere in the plan. The exact dim side is a "
+        "BroadcastExchange LeftSemi after the probe-bit filter, so FP "
+        "rows die before the join."
     ),
     "copurchase_triangles": (
         "Edge build is the one lineitem self-join on l_orderkey; degree "
