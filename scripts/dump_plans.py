@@ -128,9 +128,12 @@ FLAGSHIPS = {
         "zero Exchanges, zero Python, the one-pass 100 TB filter shape."
     ),
     "events_partitioned_source": (
-        "The event_type predicate lands in PartitionFilters (directory "
-        "prune over the Hive layout — zero bytes of other partitions "
-        "read), not PushedFilters; one 1-row global aggregate above it."
+        "Since the r07 bisect the filter runs on the duplicated DATA "
+        "copy of event_type (PushedFilters, data-scan predicate) so the "
+        "partition-value directory readback is excluded from the output "
+        "path; the PartitionFilters directory-prune behavior of the same "
+        "layout is pinned separately in tests/test_plans.py on a direct "
+        "partition-column filter. One 1-row global aggregate above."
     ),
     "profile_columns": (
         "One scan + one Expand feeds all per-column count/count-distinct "

@@ -223,7 +223,11 @@ class _pin_hermetic_parquet_io:
 
 
 def partitioned_roundtrip_table(
-    spark: SparkSession, sf_dir: str, name: str, partition_col: str
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    partition_col: str,
+    data_copy_col: str | None = None,
 ) -> DataFrame:
     """Hive-style partitioned-layout roundtrip: write the frozen table
     partitioned by ``partition_col`` (directory-per-value), read it back
@@ -256,14 +260,30 @@ def partitioned_roundtrip_table(
 
     The conf pins stay (now scoped save/restore, so nothing leaks into
     the calling session) purely as belt-and-braces for the write path.
+
+    ``data_copy_col`` (round-7 bisect of the same driver-red): when set,
+    the partition column's value ALSO travels as a duplicated ordinary
+    data column of that name INSIDE the data files. The partition value
+    itself round-trips through a DIRECTORY NAME (written by the Hive
+    layout, re-parsed by partition discovery on read) — the one wire
+    surface the integer/string rewrite above could not touch. A consumer
+    that filters/aggregates on the data copy excludes partition-value
+    readback from its output path entirely, while the layout, discovery,
+    and pruning behavior (provable by filtering on ``partition_col``)
+    are unchanged. The copy is appended as the LAST output column.
     """
     import tempfile
 
     src = load_table(spark, sf_dir, name)  # applies _ensure_session_confs
+    # plain TimestampType ONLY: unix_micros/timestamp_micros round-trip
+    # instants. A timestamp_ntz column must NOT match — decoding it back
+    # via timestamp_micros would change its type (and shift the wall time
+    # under a non-UTC session), so NTZ fields pass through as raw parquet
+    # (the hermetic pins still govern their encoding).
     ts_cols = [
         f.name
         for f in src.schema.fields
-        if f.dataType.simpleString().startswith("timestamp")
+        if f.dataType.simpleString() == "timestamp"
     ]
     dbl_cols = [
         f.name for f in src.schema.fields if f.dataType.simpleString() == "double"
@@ -273,6 +293,8 @@ def partitioned_roundtrip_table(
         enc = enc.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
     for c in dbl_cols:
         enc = enc.withColumn(c, F.col(c).cast("string"))
+    if data_copy_col is not None:
+        enc = enc.withColumn(data_copy_col, F.col(partition_col))
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
     with _pin_hermetic_parquet_io(spark):
         enc.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
@@ -286,8 +308,11 @@ def partitioned_roundtrip_table(
     for c in dbl_cols:
         back = back.withColumn(c, F.col(c).cast("double"))
     # partitioned readback surfaces partition columns last; restore the
-    # source column order
-    return back.select(*[f.name for f in src.schema.fields])
+    # source column order (the data copy, if requested, stays appended)
+    out_cols = [f.name for f in src.schema.fields]
+    if data_copy_col is not None:
+        out_cols.append(data_copy_col)
+    return back.select(*out_cols)
 
 
 def schema_evolution_roundtrip(

@@ -37,7 +37,9 @@ def test_result_invariant_under_parallelism(spark, name):
     assert run(1) == run(32)
 
 
-@pytest.mark.parametrize("builder", ["partitioned", "schema_evolution"])
+@pytest.mark.parametrize(
+    "builder", ["partitioned", "partitioned_datacopy", "schema_evolution"]
+)
 def test_parquet_roundtrips_hermetic_under_foreign_confs(spark, builder):
     """r04's only driver-red row: events_partitioned_source hash-mismatched
     under the DRIVER's session while every local run agreed with the
@@ -56,12 +58,20 @@ def test_parquet_roundtrips_hermetic_under_foreign_confs(spark, builder):
     def build():
         if builder == "partitioned":
             return partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type")
+        if builder == "partitioned_datacopy":
+            # the registered query's exact shape since the r07 bisect:
+            # filter on the duplicated data column, not the partition value
+            return partitioned_roundtrip_table(
+                spark, SF_DIR, "events", "event_type", data_copy_col="event_type_d"
+            )
         return schema_evolution_roundtrip(spark, SF_DIR, "events")
+
+    filter_col = "event_type_d" if builder == "partitioned_datacopy" else "event_type"
 
     def agg(df):
         return sorted(
             tuple(r)
-            for r in df.filter(F.col("event_type") == "view")
+            for r in df.filter(F.col(filter_col) == "view")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),

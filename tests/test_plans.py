@@ -157,10 +157,21 @@ def test_ysb_sql_frontend_same_physical_shape(spark):
 
 
 def test_partitioned_source_prunes_partitions(spark):
-    """The event_type filter over the Hive-partitioned rewrite lands in
-    PartitionFilters (a directory prune), not PushedFilters (a data scan
-    predicate)."""
-    plan = _plan(spark, "events_partitioned_source")
+    """A filter on the PARTITION column over the Hive-partitioned rewrite
+    lands in PartitionFilters (a directory prune), not PushedFilters (a
+    data scan predicate). Pinned on a direct partition-column filter: the
+    registered query filters on the duplicated DATA column since the r07
+    bisect (see q_events_partitioned_source), so pruning is proven here,
+    independent of the bisect."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.sources.replay import partitioned_roundtrip_table
+
+    ev = partitioned_roundtrip_table(spark, SF_DIR, "events", "event_type")
+    df = ev.filter(F.col("event_type") == "view").agg(F.count(F.lit(1)).alias("n"))
+    plan = spark._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1)
 
