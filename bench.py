@@ -111,15 +111,20 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     # Latency needs LIVE event times: the rate-source generator, arrival
     # minus generation clock per micro-batch (M3). Honest sample math:
     # nearest-rank over n batch samples means p95 == max whenever
-    # n <= 20 and p99 == max whenever n <= 100 — the r05 trial ran 20 s
-    # (19 batches), so its whole percentile tail collapsed to the max
-    # and a one-off max excursion read as a p95 regression. 60 s gives
-    # ~55-60 batches: p95 separates from max with real resolution
-    # (p99 still rides the top-1 sample until n > 100; latency_batches
-    # is published so the reader can see n).
+    # n <= 20 and p99 == max whenever n <= 100 — so the trial runs until
+    # AT LEAST 110 micro-batches are collected (floor 60 s, hard cap
+    # 300 s): p95 and p99 both separate from max in the RECORDED
+    # artifact, which is the number the docs must cite (the r06 close
+    # recorded 39 batches and its whole tail was the max sample).
+    # gc_probe stamps per-batch driver-JVM GC time: the top-3 latency
+    # batches are published with their GC deltas, so a tail spike is
+    # attributed to (or exonerated from) GC in the artifact itself.
     live = BenchParams(duration_s=60, rows_per_second=200_000,
                        ramp_up_seconds=0, watermark="1 second")
-    streaming.update(run_latency_trial(spark, live, source=None))
+    streaming.update(
+        run_latency_trial(spark, live, source=None, min_batches=110,
+                          max_duration_s=300, gc_probe=True)
+    )
     return streaming
 
 
@@ -354,7 +359,10 @@ def _merge_scaled_history(full_path: str, scaled: dict) -> dict:
     run measures 16x, but a one-off high-k run (e.g. 64x) would be
     erased by the next default rewrite of BENCH_FULL.json — so each
     measured block's summary is folded into a ``history`` list keyed by
-    (copies, measured_round), strongest evidence preserved."""
+    (copies, measured_round), LAST point wins per key: a same-round
+    re-measurement supersedes the earlier one (the r06 ledger silently
+    dropped a fresher 16x point because the dedup was first-wins — the
+    r06 advice find)."""
     history: list[dict] = []
     try:
         with open(full_path) as fh:
@@ -366,19 +374,36 @@ def _merge_scaled_history(full_path: str, scaled: dict) -> dict:
         pass
     if scaled.get("copies") and not scaled.get("carried_forward"):
         history.append(_summary_point(scaled))
-    seen: set = set()
-    deduped: list[dict] = []
+    by_key: dict = {}
     for h in history:
-        key = (h.get("copies"), h.get("measured_round"))
-        if key not in seen and h.get("copies"):
-            seen.add(key)
-            deduped.append(h)
-    deduped.sort(key=lambda h: (h.get("measured_round") or 0, h.get("copies") or 0))
+        if h.get("copies"):
+            # later entries overwrite: the list is ordered oldest-first
+            # (prior ledger, then prior block, then this run's block)
+            by_key[(h.get("copies"), h.get("measured_round"))] = h
+    deduped = sorted(
+        by_key.values(),
+        key=lambda h: (h.get("measured_round") or 0, h.get("copies") or 0),
+    )
     if deduped:
         out = dict(scaled)
         out["history"] = deduped[-8:]
         return out
     return scaled
+
+
+def _cpu_gauge() -> float:
+    """Host-contention gauge: seconds for a FIXED pure-Python workload
+    (5M LCG steps, single thread, no allocation). The workload never
+    changes, so round-over-round variation in this number is the host —
+    not the engine. Recorded at bench start and end; a registry-runtime
+    drift with a matching gauge drift is environmental by construction
+    (the r06 total moved +13.8% on untouched code — this makes the next
+    such delta attributable inside the artifact itself)."""
+    t0 = time.perf_counter()
+    x = 1
+    for _ in range(5_000_000):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+    return round(time.perf_counter() - t0, 3)
 
 
 def _quarantine_stderr() -> None:
@@ -402,6 +427,12 @@ def main() -> None:
     _quarantine_stderr()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS") or "32")
+    # SPARK_GRAFT_BENCH_REGISTRY_ONLY=1: time ONLY the registry queries
+    # (skip streaming/skew/replicate trials) — the apples-to-apples mode
+    # for chasing registry-total drift across runs without any probe
+    # heating the JVM or disk in between.
+    registry_only = os.environ.get("SPARK_GRAFT_BENCH_REGISTRY_ONLY") == "1"
+    gauge_start = _cpu_gauge()
 
     from streambench_spark.session import get_spark
 
@@ -448,18 +479,20 @@ def main() -> None:
     trial_errors: list[str] = []
 
     streaming: dict = {}
-    try:
-        streaming = _streaming_trials(spark, sf_dir, cpus)
-    except Exception as exc:
-        trial_errors.append(f"streaming: {exc!r}"[:300])
-        print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
+    if not registry_only:
+        try:
+            streaming = _streaming_trials(spark, sf_dir, cpus)
+        except Exception as exc:
+            trial_errors.append(f"streaming: {exc!r}"[:300])
+            print(f"bench error in streaming trial: {exc!r}", file=sys.stderr)
 
     skew: dict = {}
-    try:
-        skew = _skew_probe(spark, sf_dir)
-    except Exception as exc:
-        trial_errors.append(f"skew_probe: {exc!r}"[:300])
-        print(f"bench error in skew probe: {exc!r}", file=sys.stderr)
+    if not registry_only:
+        try:
+            skew = _skew_probe(spark, sf_dir)
+        except Exception as exc:
+            trial_errors.append(f"skew_probe: {exc!r}"[:300])
+            print(f"bench error in skew probe: {exc!r}", file=sys.stderr)
 
     # Replicate-scale probe: MEASURED in every default run (16x unless
     # overridden; 0/1 disables) — a carried-forward block is the
@@ -467,8 +500,15 @@ def main() -> None:
     # r05 scaled block was carried from r04's run; an endgame record
     # should be measured in-round).
     replicate = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE") or "16")
+    if registry_only:
+        replicate = 0
     scaled: dict = {}
-    full_path = os.path.join(REPO, "BENCH_FULL.json")
+    # registry-only runs record to a SEPARATE file: they are drift
+    # diagnostics, not the published full record, and must not clobber
+    # BENCH_FULL.json's trial/scaled blocks.
+    full_path = os.path.join(
+        REPO, "BENCH_REGISTRY_ONLY.json" if registry_only else "BENCH_FULL.json"
+    )
     if replicate > 1:
         try:
             scaled = _replicated_trial(spark, sf_dir, replicate, timings)
@@ -478,9 +518,10 @@ def main() -> None:
         except Exception as exc:
             trial_errors.append(f"replicated_trial: {exc!r}"[:300])
             print(f"bench error in replicated trial: {exc!r}", file=sys.stderr)
-    if not scaled:
-        scaled = _carry_scaled_forward(full_path)
-    scaled = _merge_scaled_history(full_path, scaled)
+    if not registry_only:
+        if not scaled:
+            scaled = _carry_scaled_forward(full_path)
+        scaled = _merge_scaled_history(full_path, scaled)
 
     # Diagnostics volume in the quarantined stderr log: routine JVM WARN
     # chatter makes a bare non-empty flag useless, so record the byte
@@ -491,6 +532,8 @@ def main() -> None:
         stderr_bytes = os.path.getsize(os.path.join(REPO, "BENCH_STDERR.log"))
     except OSError:
         stderr_bytes = 0
+
+    gauge_end = _cpu_gauge()
 
     # Full record → file (the driver tail would truncate it inline).
     with open(full_path, "w") as fh:
@@ -506,6 +549,8 @@ def main() -> None:
                 "scaled": scaled,
                 "trial_errors": trial_errors,
                 "stderr_bytes": stderr_bytes,
+                "cpu_gauge_s": {"start": gauge_start, "end": gauge_end},
+                "registry_only": registry_only,
             },
             fh,
             indent=1,
@@ -532,6 +577,7 @@ def main() -> None:
         "n_trial_errors": len(trial_errors),
         "trial_errors": [e[:120] for e in trial_errors[:2]],
         "stderr_bytes": stderr_bytes,
+        "cpu_gauge_s": [gauge_start, gauge_end],
         "queries": compact_queries,
         "streaming_ysb": streaming,
         "full": "BENCH_FULL.json",

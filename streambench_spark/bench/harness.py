@@ -198,38 +198,73 @@ def run_throughput_trial(
 
 
 def run_latency_trial(
-    spark: SparkSession, params: BenchParams, source: DataFrame | None = None
+    spark: SparkSession,
+    params: BenchParams,
+    source: DataFrame | None = None,
+    min_batches: int | None = None,
+    max_duration_s: float | None = None,
+    gc_probe: bool = False,
 ) -> dict:
     """M3: one trial through the latency-marking sink; per-batch latency =
-    arrival wall clock − max event last_update in the batch."""
+    arrival wall clock − max event last_update in the batch.
+
+    ``min_batches`` (live source only) keeps the trial running past
+    ``duration_s`` until that many micro-batches are collected, capped at
+    ``max_duration_s`` (default 4x duration_s). Nearest-rank percentiles
+    over n batch samples collapse p95 to max at n <= 20 and p99 to max at
+    n <= 100 — a published tail needs n > 100 for p99 to carry information
+    (the r06 close artifact recorded 39 batches and its whole tail was one
+    sample). ``gc_probe`` stamps cumulative driver-JVM GC time per batch
+    and reports the per-batch GC delta alongside the top latency samples,
+    attributing (or exonerating) GC for tail spikes."""
     sdf = source if source is not None else _ysb_stream(spark, params)
     collector: list = []
     t0 = time.time()
     q = latency_marking_sink(sdf, collector, mode="update",
-                             available_now=source is not None)
+                             available_now=source is not None,
+                             gc_probe=gc_probe)
     if source is not None:
         ok = q.awaitTermination(params.duration_s + 300)
         if not ok:
             q.stop()
             raise TimeoutError("bounded latency trial did not drain")
     else:
-        time.sleep(params.duration_s)
+        cap = max_duration_s if max_duration_s is not None else 4 * params.duration_s
+        while True:
+            elapsed = time.time() - t0
+            if elapsed >= params.duration_s and (
+                min_batches is None
+                or len(collector) >= min_batches
+                or elapsed >= cap
+            ):
+                break
+            time.sleep(0.5)
         q.stop()
         q.awaitTermination(60)
     total_ms = (time.time() - t0) * 1000
-    samples = [
-        arrival - max_lu
-        for arrival, rows, max_lu in collector
-        if rows and max_lu is not None
-    ]
+    recs = [r for r in collector if r[1] and r[2] is not None]
+    samples = [r[0] - r[2] for r in recs]
     report = latency_report(samples)
     # keys prefixed so t.update() in run_benchmark can't clobber the
     # throughput trial's totalDurationMillis
-    return {
+    out = {
         "latency_total_ms": round(total_ms, 1),
         "latency_batches": len(collector),
         **{f"latency_{k}_ms": round(v, 1) for k, v in report.items()},
     }
+    if gc_probe and recs and len(recs[0]) > 3:
+        # per-batch GC delta: GC time accumulated between the previous
+        # batch's arrival and this one's ≈ GC during this batch
+        gc_of = {
+            i: recs[i][3] - recs[i - 1][3] for i in range(1, len(recs))
+        }
+        ranked = sorted(range(1, len(recs)), key=lambda i: -samples[i])
+        out["latency_top_batches"] = [
+            {"lat_ms": int(samples[i]), "gc_ms": int(gc_of[i])}
+            for i in ranked[:3]
+        ]
+        out["latency_gc_total_ms"] = int(recs[-1][3] - recs[0][3])
+    return out
 
 
 def run_benchmark(

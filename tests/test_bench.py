@@ -41,6 +41,30 @@ def test_latency_trial_bounded(spark):
     assert m["latency_max_ms"] >= m["latency_p99_ms"] >= m["latency_min_ms"]
 
 
+def test_latency_trial_gc_probe(spark):
+    """gc_probe stamps cumulative JVM GC time per batch and publishes the
+    top latency batches with their GC deltas (the r06 tail-spike
+    attribution). Bounded source: the latency VALUES are clock skew, but
+    the GC bookkeeping path is identical to the live trial's."""
+    params = BenchParams(duration_s=5)
+    m = run_latency_trial(
+        spark, params, source=_bounded_source(spark), gc_probe=True
+    )
+    if m["latency_batches"] >= 2:
+        assert m["latency_gc_total_ms"] >= 0
+        assert all(
+            b["gc_ms"] >= 0 and "lat_ms" in b for b in m["latency_top_batches"]
+        )
+
+
+def test_jvm_gc_millis_monotone(spark):
+    from streambench_spark.sinks.sinks import jvm_gc_millis
+
+    a = jvm_gc_millis(spark)
+    assert a >= 0
+    assert jvm_gc_millis(spark) >= a
+
+
 def test_benchmark_trial_loop(spark):
     params = BenchParams(trials=2, warmup_trials=1, duration_s=5)
     report = run_benchmark(spark, params, source_factory=lambda: _bounded_source(spark))
@@ -229,3 +253,22 @@ def test_merge_scaled_history_preserves_high_k_points(tmp_path):
     full.write_text(json.dumps({"scaled": merged}))
     kept = bench._merge_scaled_history(str(full), carried)
     assert len(kept["history"]) == 2
+
+
+def test_merge_scaled_history_same_key_latest_wins(tmp_path):
+    """A same-(copies, round) re-measurement must supersede the earlier
+    point, not be silently dropped (r06 advice: first-wins dedup kept a
+    stale 0.087 ratio while the live run measured 0.124)."""
+    import json
+
+    import bench
+
+    full = tmp_path / "BENCH_FULL.json"
+    stale = {"copies": 16, "batch_median_ratio_per_copy": 0.087,
+             "throughput_rows_per_s": 1.0e6, "measured_round": 6}
+    full.write_text(json.dumps({"scaled": {"history": [stale], **stale}}))
+    fresh = {"copies": 16, "batch_median_ratio_per_copy": 0.124,
+             "throughput_rows_per_s": 1.1e6, "measured_round": 6}
+    merged = bench._merge_scaled_history(str(full), dict(fresh))
+    assert len(merged["history"]) == 1
+    assert merged["history"][0]["batch_median_ratio_per_copy"] == 0.124
