@@ -57,7 +57,9 @@ def with_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFr
     )
 
 
-def with_hashed_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def with_hashed_shingles(
+    docs: DataFrame, text_col: str = "text", n: int = 3, hash_mode: str = "md5"
+) -> DataFrame:
     """Attach `hsh`: the distinct 32-bit hashes of the shingles.
 
     Hash collisions merge shingles identically in the SQL oracle (same
@@ -65,14 +67,15 @@ def with_hashed_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) ->
     NOTE: row-local array shape — do not ``explode`` this column (see
     shingle_postings for why); it exists for per-row signature-style
     consumers and tests."""
-    h = spark_hash32("s")
+    h = spark_hash32("s", mode=hash_mode)
     return with_shingles(docs, text_col, n).withColumn(
         "hsh", F.expr(f"array_distinct(transform(shingles, s -> {h} % {MERSENNE_P}L))")
     )
 
 
 def shingle_postings(
-    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True
+    docs: DataFrame, n: int = 3, text_col: str = "text", distinct: bool = True,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, h) inverted-index postings: one row per distinct shingle
     hash per document — the shared substrate of the set-based dedup ops.
@@ -91,7 +94,7 @@ def shingle_postings(
     a semi-join against a small gram set) and deduplicates only the
     survivors — that keeps the full corpus shuffle-free.
     """
-    h = spark_hash32("shingle")
+    h = spark_hash32("shingle", mode=hash_mode)
     tk = TOKENS_EXPR.format(col=text_col)
     gram = F.concat_ws(" ", *[F.expr(f"tk[i + {j}]") for j in range(n)])
     posts = (
@@ -110,7 +113,7 @@ def shingle_set_sizes(posts: DataFrame) -> DataFrame:
 
 
 def doc_shingle_sets(
-    docs: DataFrame, n: int = 3, text_col: str = "text"
+    docs: DataFrame, n: int = 3, text_col: str = "text", hash_mode: str = "md5"
 ) -> DataFrame:
     """(doc_id, hsh array<long>, n_sh): each document's distinct shingle-
     hash SET as one array row, built with the explode-first postings
@@ -125,7 +128,7 @@ def doc_shingle_sets(
     # non-distinct postings + collect_set: the set semantics land in the
     # aggregate (map-side partial sets), not in a posting-level shuffle —
     # and the shingle pipeline itself lives in ONE place
-    raw = shingle_postings(docs, n, text_col, distinct=False)
+    raw = shingle_postings(docs, n, text_col, distinct=False, hash_mode=hash_mode)
     return (
         raw.groupBy("doc_id")
         .agg(F.collect_set("h").alias("hsh"))
@@ -311,6 +314,7 @@ def minhash_signatures(
     n: int = 3,
     text_col: str = "text",
     posts: DataFrame | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Attach a `sig` array<long> MinHash signature per document.
 
@@ -323,7 +327,7 @@ def minhash_signatures(
     """
     coeffs = minhash_coefficients(num_hashes)
     if posts is None:
-        posts = shingle_postings(docs, n, text_col)
+        posts = shingle_postings(docs, n, text_col, hash_mode=hash_mode)
     mins = [
         F.min(F.expr(f"({a}L * h + {b}L) % {MERSENNE_P}L")).alias(f"_s{j}")
         for j, (a, b) in enumerate(coeffs)
@@ -377,6 +381,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH candidates + exact verify.
 
@@ -390,9 +395,10 @@ def minhash_lsh_pairs(
     recall at high J.
     """
     rows = num_hashes // bands
-    sets = doc_shingle_sets(docs, n, text_col)
+    sets = doc_shingle_sets(docs, n, text_col, hash_mode=hash_mode)
     posts = sets.select("doc_id", F.explode("hsh").alias("h"))
-    sig = minhash_signatures(docs, num_hashes, n, text_col, posts=posts)
+    sig = minhash_signatures(docs, num_hashes, n, text_col, posts=posts,
+                             hash_mode=hash_mode)
     cand = lsh_candidate_pairs(sig, bands, rows)
     # row-local array_intersect verify against the per-doc sets (no
     # posting-level join, no separate sizes pass)
@@ -404,7 +410,9 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_fingerprints(docs: DataFrame, bits: int = 32, text_col: str = "text") -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, bits: int = 32, text_col: str = "text", hash_mode: str = "md5"
+) -> DataFrame:
     """32-bit SimHash per document (Charikar): for each bit position i,
     sum ±1 over token occurrences according to bit i of the token hash;
     bit i of the fingerprint is set iff the sum is > 0.
@@ -416,7 +424,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, text_col: str = "text"
     linear scan. Near-dup detection then groups by fingerprint (or by
     rotated prefixes for hamming-distance blocking).
     """
-    h = spark_hash32("t")
+    h = spark_hash32("t", mode=hash_mode)
     tk = TOKENS_EXPR.format(col=text_col)
     return (
         docs.withColumn("_th", F.expr(f"transform({tk}, t -> {h})"))
@@ -438,7 +446,7 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, text_col: str = "text"
 
 
 def span_dedup_counts(
-    docs: DataFrame, span: int = 10, text_col: str = "text"
+    docs: DataFrame, span: int = 10, text_col: str = "text", hash_mode: str = "md5"
 ) -> DataFrame:
     """Cross-document span dedup: (doc_id, n_spans, n_dup_spans) where a
     span is a fixed-size non-overlapping run of ``span`` tokens and a span
@@ -456,7 +464,7 @@ def span_dedup_counts(
     shuffle, not a million (the skew-safe property the window-function
     formulation row_number() OVER (PARTITION BY h) lacks).
     """
-    h = spark_hash32("span_text")
+    h = spark_hash32("span_text", mode=hash_mode)
     tk = TOKENS_EXPR.format(col=text_col)
     posts = (
         docs.select("doc_id", F.expr(tk).alias("tk"))
@@ -500,7 +508,8 @@ def span_dedup_counts(
 
 
 def with_minhash_key(
-    docs: DataFrame, num_hashes: int = 8, n: int = 3, text_col: str = "text"
+    docs: DataFrame, num_hashes: int = 8, n: int = 3, text_col: str = "text",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig_key): the MinHash signature computed ROW-LOCALLY as
     higher-order array expressions and joined into one string key.
@@ -519,7 +528,7 @@ def with_minhash_key(
     coeffs = minhash_coefficients(num_hashes)
     tk = TOKENS_EXPR.format(col=text_col)
     gram = "concat_ws(' ', " + ", ".join(f"_tk[i + {j}]" for j in range(n)) + ")"
-    h = spark_hash32(gram)
+    h = spark_hash32(gram, mode=hash_mode)
     sig_elems = ", ".join(
         f"array_min(transform(_hsh, h -> ({a}L * h + {b}L) % {MERSENNE_P}L))"
         for a, b in coeffs

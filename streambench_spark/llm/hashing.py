@@ -9,9 +9,17 @@ hex-prefix → integer conversion exists as a builtin in both engines:
 - Spark SQL : ``CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)``
 - DuckDB    : ``CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)``
 
-At 100 TB one would swap in ``xxhash64`` (cheaper, also JVM-side) — the
-operators below take the hash expression as a parameter so that swap is a
-one-liner; md5 is the default because it is oracle-checkable.
+At 100 TB one swaps in ``hash_mode="xxhash64"`` (Spark's builtin
+xxHash64 — one JVM-side integer kernel instead of a full md5 digest +
+hex/conv chain): the sketch/minhash/sampling builders thread the mode
+through every hash site, and both modes emit values in the same
+``[0, 2^32)`` domain so all downstream modular arithmetic (``% P`` in
+signed 64-bit) is overflow-safe in either mode. md5 stays the default
+because it is oracle-checkable — DuckDB has no xxhash64 builtin, so
+xxhash64-mode results are verified by property tests (dedup invariants,
+Bloom FP bounds, split proportions — tests/test_hash_modes.py) and a
+measured per-row cost probe (scripts/hash_mode_probe.py), not by the
+SQL oracles.
 
 MinHash coefficients are derived from a fixed LCG so both the Spark plan
 builder and the SQL oracle embed the *same* literals.
@@ -20,14 +28,32 @@ builder and the SQL oracle embed the *same* literals.
 from __future__ import annotations
 
 # Modulus for minhash permutations: 2^31 - 1 (Mersenne prime). Keeping
-# a, h < 2^31 bounds a*h < 2^62, safe in signed 64-bit in both engines
-# (DuckDB raises on BIGINT overflow rather than wrapping).
+# a < 2^31 and the reduced hash < 2^31 bounds a*h < 2^62, safe in signed
+# 64-bit in both engines (DuckDB raises on BIGINT overflow rather than
+# wrapping).
 MERSENNE_P = 2_147_483_647
 
+HASH_MODES = ("md5", "xxhash64")
 
-def spark_hash32(expr: str) -> str:
-    """Spark SQL expression: portable 32-bit hash of string expr."""
-    return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+
+def spark_hash32(expr: str, mode: str = "md5") -> str:
+    """Spark SQL expression: deterministic hash of string expr into
+    ``[0, 2^32)``.
+
+    ``md5`` (default): first 8 hex chars of md5 — portable, bit-identical
+    in DuckDB (see duck_hash32), the oracle-checkable mode.
+    ``xxhash64``: Spark's builtin xxHash64 masked to the low 32 bits —
+    the same value domain, one codegen'd integer kernel per row (no
+    digest, no hex round-trip), the production mode for corpus-scale
+    probes where the hash dominates per-row cost."""
+    if mode == "md5":
+        return f"CAST(conv(substring(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
+    if mode == "xxhash64":
+        # & 0xFFFFFFFF keeps the value non-negative and < 2^32 — the
+        # exact domain of the md5 mode, so every downstream `% P`,
+        # `% width`, and `(a*h + b) % P` behaves identically.
+        return f"(xxhash64({expr}) & 4294967295)"
+    raise ValueError(f"unknown hash mode {mode!r}; expected one of {HASH_MODES}")
 
 
 def duck_hash32(expr: str) -> str:

@@ -53,6 +53,7 @@ def with_split(
     train_pct: int = 90,
     val_pct: int = 5,
     buckets: int = 100,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Attach `bucket` (H32(key) mod buckets) and `split`
     ('train' | 'val' | 'test') columns.
@@ -63,7 +64,7 @@ def with_split(
     (a doc can never migrate from test into train between runs). Zero
     shuffle: evaluated in codegen during the scan's projection.
     """
-    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    h = spark_hash32(f"CAST({key_col} AS STRING)", mode=hash_mode)
     bucket = F.expr(f"{h} % {buckets}")
     split = (
         F.when(bucket < train_pct, "train")
@@ -80,6 +81,7 @@ def stratified_rate_sample(
     key_col: str = "doc_id",
     buckets: int = 100,
     salt: str = "",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Deterministic per-stratum Bernoulli-style sampling: keep a document
     iff H32(salt || key) mod buckets < rate[stratum]. ``rates`` maps
@@ -108,7 +110,7 @@ def stratified_rate_sample(
     # '' doubling: the salt is caller data, not SQL — a quote inside it
     # must not terminate the literal
     s = salt.replace("'", "''") if salt else salt
-    h = spark_hash32(f"concat('{s}', {key})" if salt else key)
+    h = spark_hash32(f"concat('{s}', {key})" if salt else key, mode=hash_mode)
     return (
         docs.join(rates_df, stratum_col)
         .filter(F.expr(f"{h} % {buckets}") < F.col("_rate"))
@@ -121,6 +123,7 @@ def stratified_topn_sample(
     n_per_stratum: int,
     stratum_col: str = "lang",
     key_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Exact-quota stratified sample: the n_per_stratum documents with the
     smallest (H32(key), key) per stratum. Hash-ordering makes the quota a
@@ -137,7 +140,7 @@ def stratified_topn_sample(
     """
     from pyspark.sql.window import Window
 
-    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    h = spark_hash32(f"CAST({key_col} AS STRING)", mode=hash_mode)
     w = (
         Window.partitionBy(stratum_col)
         .orderBy(F.expr(h).asc(), F.col(key_col).asc())
@@ -258,7 +261,8 @@ def upsample_by_rate(
 
 
 def dataset_shuffle(
-    docs, seed: str = "epoch0", key_col: str = "doc_id", checkpoint: bool = True
+    docs, seed: str = "epoch0", key_col: str = "doc_id", checkpoint: bool = True,
+    hash_mode: str = "md5",
 ):
     """Deterministic corpus shuffle: a dense training order 0..N-1 from
     the portable 32-bit hash of (key, seed) — re-seeding gives a fresh
@@ -279,7 +283,7 @@ def dataset_shuffle(
     from streambench_spark.operators.relational import global_row_number
 
     esc = seed.replace("'", "''")  # seed is data, not SQL
-    h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{esc}')")
+    h = spark_hash32(f"concat(CAST({key_col} AS STRING), '{esc}')", mode=hash_mode)
     hashed = docs.select(key_col, F.expr(h).alias("_h"))
     ranked = global_row_number(
         hashed,
@@ -332,7 +336,8 @@ def contamination_scores(
 
 
 def weighted_topn_sample(
-    docs: DataFrame, n: int, weight_col: str, key_col: str = "doc_id"
+    docs: DataFrame, n: int, weight_col: str, key_col: str = "doc_id",
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement (Efraimidis &
     Spirakis 2006, A-ES): each row draws u in (0, 1] from the portable
@@ -348,7 +353,7 @@ def weighted_topn_sample(
     """
     from streambench_spark.llm.hashing import spark_hash32
 
-    h = spark_hash32(f"CAST({key_col} AS STRING)")
+    h = spark_hash32(f"CAST({key_col} AS STRING)", mode=hash_mode)
     score = F.expr(
         f"pow(({h} + 1) / 4294967296.0, 1.0 / {weight_col})"
     ).alias("_k")

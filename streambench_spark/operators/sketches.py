@@ -37,14 +37,15 @@ from streambench_spark.llm.hashing import spark_hash32
 BITS_PER_WORD = 31
 
 
-def _cms_idx_expr(key_expr: str, row: int, width: int) -> str:
+def _cms_idx_expr(key_expr: str, row: int, width: int, hash_mode: str = "md5") -> str:
     """Spark SQL: column index of `key_expr` in sketch row `row`."""
-    h = spark_hash32(f"concat('cms{row}:', {key_expr})")
+    h = spark_hash32(f"concat('cms{row}:', {key_expr})", mode=hash_mode)
     return f"CAST({h} % {width} AS INT)"
 
 
 def count_min_build(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 512
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 512,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Build a Count-Min Sketch over `key_col` as a (d, idx, cnt) frame.
 
@@ -56,7 +57,7 @@ def count_min_build(
     """
     key = f"CAST({key_col} AS STRING)"
     coords = ", ".join(
-        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width)})"
+        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width, hash_mode)})"
         for j in range(depth)
     )
     return (
@@ -72,6 +73,7 @@ def count_min_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 512,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Point-estimate counts for `keys` against a built sketch.
 
@@ -83,7 +85,7 @@ def count_min_estimate(
     """
     key = f"CAST({key_col} AS STRING)"
     coords = ", ".join(
-        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width)})"
+        f"named_struct('d', {j}, 'idx', {_cms_idx_expr(key, j, width, hash_mode)})"
         for j in range(depth)
     )
     probes = keys.select(
@@ -101,7 +103,7 @@ def count_min_estimate(
     )
 
 
-def _bloom_posarr_expr(h_col: str, k: int, m_bits: int) -> str:
+def _bloom_posarr_expr(h_col: str, k: int, m_bits: int, hash_mode: str = "md5") -> str:
     """Spark SQL: ARRAY of the k bit positions of hash column `h_col`
     (double hashing g_i = h1 + i*step per Kirsch-Mitzenmacher 2006 — two
     portable hashes derive all k probes, identical literals in the
@@ -119,8 +121,8 @@ def _bloom_posarr_expr(h_col: str, k: int, m_bits: int) -> str:
     a probe that tests k positions touches each one twice: measured 12
     md5 evaluations per row and 21 s vs 7.6 s for the same 20M-row
     decontamination (scripts/plan_sensitivity_probe.py trial 5)."""
-    h1 = spark_hash32(f"concat('bf1:', CAST({h_col} AS STRING))")
-    h2 = spark_hash32(f"concat('bf2:', CAST({h_col} AS STRING))")
+    h1 = spark_hash32(f"concat('bf1:', CAST({h_col} AS STRING))", mode=hash_mode)
+    h2 = spark_hash32(f"concat('bf2:', CAST({h_col} AS STRING))", mode=hash_mode)
     return (
         f"flatten(transform(array(named_struct("
         f"'h1', {h1}, 'st', 1 + ({h2} % {m_bits - 1}))),"
@@ -130,7 +132,8 @@ def _bloom_posarr_expr(h_col: str, k: int, m_bits: int) -> str:
 
 
 def bloom_build(
-    hashes: DataFrame, h_col: str = "h", m_words: int = 2048, k: int = 3
+    hashes: DataFrame, h_col: str = "h", m_words: int = 2048, k: int = 3,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Aggregate a Bloom filter over the values of `h_col`.
 
@@ -141,7 +144,7 @@ def bloom_build(
     """
     m_bits = m_words * BITS_PER_WORD
     frags = hashes.select(
-        F.explode(F.expr(_bloom_posarr_expr(h_col, k, m_bits))).alias("pos")
+        F.explode(F.expr(_bloom_posarr_expr(h_col, k, m_bits, hash_mode))).alias("pos")
     ).select(
         (F.col("pos") / BITS_PER_WORD).cast("long").alias("widx"),
         F.expr(f"shiftleft(1L, CAST(pos % {BITS_PER_WORD} AS INT))").alias("bit"),
@@ -151,7 +154,7 @@ def bloom_build(
 
 def bloom_probe(
     hashes: DataFrame, bloom: DataFrame, h_col: str = "h",
-    m_words: int = 2048, k: int = 3,
+    m_words: int = 2048, k: int = 3, hash_mode: str = "md5",
 ) -> DataFrame:
     """Filter `hashes` to rows whose value tests positive in `bloom`.
 
@@ -177,12 +180,23 @@ def bloom_probe(
     long cast is floor). Standard one-sided error: no false negatives;
     false-positive rate ~ (1 - e^{-kn/m})^k. Row multiplicity and
     columns of `hashes` pass through unchanged.
+
+    EAGER, BATCH-ONLY on the ``bloom`` side: the collect happens at
+    DataFrame-CONSTRUCTION time (building the plan runs a real Spark job
+    for the sketch), and a streaming ``bloom`` cannot be collected — the
+    assert below turns that into a clear error instead of a deep Spark
+    one. The PROBE side composes lazily as a plain Filter, so a
+    streaming ``hashes`` works fine against a batch-built sketch.
     """
+    assert not bloom.isStreaming, (
+        "bloom_probe materializes the sketch eagerly (driver-side "
+        "collect); build the bloom filter from a BATCH frame"
+    )
     m_bits = m_words * BITS_PER_WORD
     word_of = {r["widx"]: r["word"] for r in bloom.collect()}
     dense = [int(word_of.get(i, 0)) for i in range(m_words)]
     bf = F.lit(dense).cast("array<bigint>")
-    posarr = F.expr(_bloom_posarr_expr(h_col, k, m_bits))
+    posarr = F.expr(_bloom_posarr_expr(h_col, k, m_bits, hash_mode))
 
     def _bit_set(p):
         word = F.element_at(bf, (p / BITS_PER_WORD).cast("int") + 1)
