@@ -98,11 +98,23 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     # request-capped; 20/28/36M/s requested → 16.4/16.8/16.8M processed,
     # saturated). 28M/s sits safely past the ~16.8M/s knee; reported is
     # processed rows/s — vs the reference targets of 2M/s (Spark path)
-    # and 2.7M/s (StreamBox release config).
+    # and 2.7M/s (StreamBox release config). Like the reference's trial
+    # loop (Benchmark.scala:59-126, M4), the headline is the MEDIAN of 3
+    # measured trials after 1 warmup — a single 15 s point is dominated
+    # by post-registry JVM state and transient host windows (measured
+    # spread on one r07 day: 7.5-16.8M for single shots vs a stable
+    # 16.8M knee for warmed trials); all four raw points are published.
     live_tput = BenchParams(duration_s=15, rows_per_second=28_000_000,
                             ramp_up_seconds=0, watermark="1 second",
                             num_partitions=cpus)
-    streaming.update(run_throughput_trial(spark, live_tput, source=None))
+    runs = [run_throughput_trial(spark, live_tput, source=None)
+            for _ in range(4)]
+    measured = sorted(runs[1:], key=lambda r: r["throughput_rows_per_s"])
+    streaming.update(measured[1])  # the median measured trial's tuple
+    streaming["throughput_trials_rows_per_s"] = [
+        r["throughput_rows_per_s"] for r in runs
+    ]
+    streaming["throughput_warmup_trials"] = 1
     # Secondary: bounded file-replay drain of the frozen sf events table
     # (deterministic row count; proves the S7 path end-to-end).
     replay = run_throughput_trial(spark, BenchParams(duration_s=60),
@@ -112,7 +124,8 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     # minus generation clock per micro-batch (M3). Honest sample math:
     # nearest-rank over n batch samples means p95 == max whenever
     # n <= 20 and p99 == max whenever n <= 100 — so the trial runs until
-    # AT LEAST 110 micro-batches are collected (floor 60 s, hard cap
+    # AT LEAST 120 VALID samples are collected (empty micro-batches
+    # contribute no sample and must not count; floor 60 s, hard cap
     # 300 s): p95 and p99 both separate from max in the RECORDED
     # artifact, which is the number the docs must cite (the r06 close
     # recorded 39 batches and its whole tail was the max sample).
@@ -122,7 +135,7 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     live = BenchParams(duration_s=60, rows_per_second=200_000,
                        ramp_up_seconds=0, watermark="1 second")
     streaming.update(
-        run_latency_trial(spark, live, source=None, min_batches=110,
+        run_latency_trial(spark, live, source=None, min_batches=120,
                           max_duration_s=300, gc_probe=True)
     )
     return streaming
@@ -406,6 +419,36 @@ def _cpu_gauge() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _proc_stat() -> dict | None:
+    """Aggregate CPU jiffies from /proc/stat — the contention a
+    single-threaded gauge can't see: hypervisor STEAL hits all 32
+    threads of a saturated trial while barely moving a 1-thread loop."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        keys = ("user", "nice", "system", "idle",
+                "iowait", "irq", "softirq", "steal")
+        return dict(zip(keys, map(int, parts[1:9])))
+    except Exception:
+        return None
+
+
+def _host_cpu_pct(a: dict | None, b: dict | None) -> dict:
+    """steal/iowait/busy as % of total jiffies elapsed between two
+    _proc_stat snapshots (the whole bench run)."""
+    if not a or not b:
+        return {}
+    d = {k: b[k] - a[k] for k in a}
+    tot = sum(d.values()) or 1
+    return {
+        "steal_pct": round(100 * d["steal"] / tot, 2),
+        "iowait_pct": round(100 * d["iowait"] / tot, 2),
+        "busy_pct": round(
+            100 * (d["user"] + d["nice"] + d["system"]) / tot, 2
+        ),
+    }
+
+
 def _quarantine_stderr() -> None:
     """Route fd 2 to BENCH_STDERR.log BEFORE the JVM launches.
 
@@ -433,6 +476,7 @@ def main() -> None:
     # heating the JVM or disk in between.
     registry_only = os.environ.get("SPARK_GRAFT_BENCH_REGISTRY_ONLY") == "1"
     gauge_start = _cpu_gauge()
+    stat_start = _proc_stat()
 
     from streambench_spark.session import get_spark
 
@@ -534,6 +578,7 @@ def main() -> None:
         stderr_bytes = 0
 
     gauge_end = _cpu_gauge()
+    host_cpu = _host_cpu_pct(stat_start, _proc_stat())
 
     # Full record → file (the driver tail would truncate it inline).
     with open(full_path, "w") as fh:
@@ -550,6 +595,7 @@ def main() -> None:
                 "trial_errors": trial_errors,
                 "stderr_bytes": stderr_bytes,
                 "cpu_gauge_s": {"start": gauge_start, "end": gauge_end},
+                "host_cpu_pct": host_cpu,
                 "registry_only": registry_only,
             },
             fh,
@@ -578,6 +624,7 @@ def main() -> None:
         "trial_errors": [e[:120] for e in trial_errors[:2]],
         "stderr_bytes": stderr_bytes,
         "cpu_gauge_s": [gauge_start, gauge_end],
+        "steal_pct": host_cpu.get("steal_pct"),
         "queries": compact_queries,
         "streaming_ysb": streaming,
         "full": "BENCH_FULL.json",
@@ -593,7 +640,10 @@ def main() -> None:
         out = json.dumps(line)
     if len(out) > 1800:
         line["streaming_ysb"] = {
-            k: v for k, v in streaming.items() if not k.startswith("replay_")
+            k: v
+            for k, v in streaming.items()
+            if not k.startswith(("replay_", "throughput_trials",
+                                 "throughput_warmup"))
         }
         out = json.dumps(line)
     # Tail hygiene: the driver records only a ~2000-char stdout TAIL, so the

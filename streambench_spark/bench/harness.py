@@ -230,11 +230,20 @@ def run_latency_trial(
             raise TimeoutError("bounded latency trial did not drain")
     else:
         cap = max_duration_s if max_duration_s is not None else 4 * params.duration_s
+
+        def _valid() -> int:
+            # count SAMPLES, not raw batches: empty micro-batches (rows
+            # == 0, e.g. trigger fired before new data) contribute no
+            # latency sample, and the percentile math runs on samples —
+            # a 110-batch trial with 10 empty batches is a 100-sample
+            # tail whose nearest-rank p99 collapses onto max again
+            return sum(1 for r in collector if r[1] and r[2] is not None)
+
         while True:
             elapsed = time.time() - t0
             if elapsed >= params.duration_s and (
                 min_batches is None
-                or len(collector) >= min_batches
+                or _valid() >= min_batches
                 or elapsed >= cap
             ):
                 break
@@ -250,6 +259,7 @@ def run_latency_trial(
     out = {
         "latency_total_ms": round(total_ms, 1),
         "latency_batches": len(collector),
+        "latency_samples": len(samples),
         **{f"latency_{k}_ms": round(v, 1) for k, v in report.items()},
     }
     if gc_probe and recs and len(recs[0]) > 3:
