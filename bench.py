@@ -96,15 +96,17 @@ def _streaming_trials(spark, sf_dir: str, cpus: int) -> dict:
     # pipeline capacity or the trial measures the GENERATOR, not the
     # engine (measured on local[32]: 6M/s requested → 5.1M processed,
     # request-capped; 20/28/36M/s requested → 16.4/16.8/16.8M processed,
-    # saturated). 28M/s sits safely past the ~16.8M/s knee; reported is
-    # processed rows/s — vs the reference targets of 2M/s (Spark path)
-    # and 2.7M/s (StreamBox release config). Like the reference's trial
-    # loop (Benchmark.scala:59-126, M4), the headline is the MEDIAN of 3
-    # measured trials after 1 warmup — a single 15 s point is dominated
-    # by post-registry JVM state and transient host windows (measured
-    # spread on one r07 day: 7.5-16.8M for single shots vs a stable
-    # 16.8M knee for warmed trials); all four raw points are published.
-    live_tput = BenchParams(duration_s=15, rows_per_second=28_000_000,
+    # saturated). 28M/s sits safely past the knee; reported is processed
+    # rows/s — vs the reference targets of 2M/s (Spark path) and 2.7M/s
+    # (StreamBox release config). Like the reference's trial loop
+    # (Benchmark.scala:59-126, M4), the headline is the MEDIAN of 3
+    # measured trials after 1 warmup, and each trial runs 30 s: 15 s
+    # trials measured BIMODAL (9.3-18.6M on one r07 day — the ~2-4 s
+    # query startup and batch-boundary quantization land inside the
+    # window and swing the listener count), while 30 s trials are
+    # stable (20.5/20.5/20.5/22.4M back-to-back, startup amortized).
+    # All four raw points are published in BENCH_FULL.
+    live_tput = BenchParams(duration_s=30, rows_per_second=28_000_000,
                             ramp_up_seconds=0, watermark="1 second",
                             num_partitions=cpus)
     runs = [run_throughput_trial(spark, live_tput, source=None)
@@ -612,6 +614,13 @@ def main() -> None:
     )
     compact_queries = {n: timings[n] for n in HEADLINE if n in timings}
     compact_queries.update(slowest)
+    # diagnostics-only blocks live in BENCH_FULL; the line stays lean so
+    # the per-query timings survive the 1800-byte budget
+    line_streaming = {
+        k: v
+        for k, v in streaming.items()
+        if k not in ("latency_top_batches", "throughput_trials_rows_per_s")
+    }
     line = {
         "metric": "registry_total_runtime",
         "value": total,
@@ -626,7 +635,7 @@ def main() -> None:
         "cpu_gauge_s": [gauge_start, gauge_end],
         "steal_pct": host_cpu.get("steal_pct"),
         "queries": compact_queries,
-        "streaming_ysb": streaming,
+        "streaming_ysb": line_streaming,
         "full": "BENCH_FULL.json",
     }
     if scaled:
@@ -641,9 +650,8 @@ def main() -> None:
     if len(out) > 1800:
         line["streaming_ysb"] = {
             k: v
-            for k, v in streaming.items()
-            if not k.startswith(("replay_", "throughput_trials",
-                                 "throughput_warmup"))
+            for k, v in line_streaming.items()
+            if not k.startswith(("replay_", "throughput_warmup"))
         }
         out = json.dumps(line)
     # Tail hygiene: the driver records only a ~2000-char stdout TAIL, so the
