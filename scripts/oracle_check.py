@@ -66,13 +66,22 @@ def main():
         print(f"unknown query name(s): {sorted(unknown)}")
         sys.exit(2)
 
-    # BARE session — exactly what the driver hands us.
-    spark = (
+    # BARE session — exactly what the driver hands us. The driver's
+    # contract is sf0.01, where the default 1g heap suffices; a FULL
+    # sf0.1 sweep needs more executor headroom (measured r07:
+    # copurchase_triangles' join buffers OOM a 1g/8-thread heap at
+    # sf0.1 — deterministically, 115 queries in), so the heap is the
+    # one knob exposed: SPARK_GRAFT_ORACLE_MEM=8g for sf0.1 sweeps,
+    # unset = bare 1g default, the driver-sim shape.
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    spark = builder.getOrCreate()
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
