@@ -264,13 +264,20 @@ def run_latency_trial(
     }
     if gc_probe and recs and len(recs[0]) > 3:
         # per-batch GC delta: GC time accumulated between the previous
-        # batch's arrival and this one's ≈ GC during this batch
+        # batch's arrival and this one's ≈ GC during this batch. Batch 0
+        # has no prior snapshot (gc_ms null) but still ranks — its
+        # startup latency is often the max and must not vanish from the
+        # top list.
         gc_of = {
             i: recs[i][3] - recs[i - 1][3] for i in range(1, len(recs))
         }
-        ranked = sorted(range(1, len(recs)), key=lambda i: -samples[i])
+        ranked = sorted(range(len(recs)), key=lambda i: -samples[i])
         out["latency_top_batches"] = [
-            {"lat_ms": int(samples[i]), "gc_ms": int(gc_of[i])}
+            {
+                "batch": i,
+                "lat_ms": int(samples[i]),
+                "gc_ms": int(gc_of[i]) if i in gc_of else None,
+            }
             for i in ranked[:3]
         ]
         out["latency_gc_total_ms"] = int(recs[-1][3] - recs[0][3])
