@@ -636,7 +636,7 @@ def main() -> None:
         "steal_pct": host_cpu.get("steal_pct"),
         "queries": compact_queries,
         "streaming_ysb": line_streaming,
-        "full": "BENCH_FULL.json",
+        "full": os.path.basename(full_path),
     }
     if scaled:
         # compact line carries the summary; per-query detail is in FULL
