@@ -71,6 +71,14 @@ def test_signature_plans_hash_once_per_shingle(spark):
     ):
         plan = builder(docs)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("md5") == 1, plan
+    # same single-eval property in the production hash mode
+    for builder in (
+        lambda d: dedup.minhash_signatures(d, num_hashes=16, hash_mode="xxhash64"),
+        lambda d: dedup.simhash_fingerprints(d, hash_mode="xxhash64"),
+    ):
+        plan = builder(docs)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("xxhash64") == 1, plan
+        assert "md5" not in plan, plan
 
 
 def test_simhash_near_dups_have_small_hamming_distance(spark):

@@ -116,6 +116,24 @@ def test_bloom_probe_plan_single_eval_no_join(spark):
     assert "Join" not in plan, plan
 
 
+def test_bloom_probe_plan_single_eval_no_join_xxhash64(spark):
+    """The same cost-structure pin for the production hash mode: exactly
+    two xxhash64 kernels per row (one per double-hashing chain), zero
+    md5, no join — flipping hash_mode must not re-open any of the three
+    measured per-row cost traps."""
+    members = spark.range(50).select(F.col("id").alias("h"))
+    bloom = bloom_build(members, "h", 64, 3, hash_mode="xxhash64")
+    plan = (
+        bloom_probe(members, bloom, "h", 64, 3, hash_mode="xxhash64")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("xxhash64") == 2, plan
+    assert "md5" not in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_triangle_counts_known_graph(spark):
     """K4 plus a pendant edge: K4 has 4 triangles, each K4 node sits in
     exactly 3; the pendant node in none."""
