@@ -1033,77 +1033,90 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # Driver-facing ordering.
 #
 # The verify driver checks the FIRST 50 entries of queries() against their
-# oracles. The rotation CLOSED in r06: all 219 registry names now hold a
-# driver CORRECTNESS row (218 green, 1 red). The round-7 window is the
-# endgame steady state the rotation test enforces: the single unspent name
-# (events_partitioned_source — red r04+r05+r06, re-spent with the r07
-# data-column bisect, see q_events_partitioned_source) plus 49
-# re-verification slots spent on the OLDEST surviving proofs — the r02-era
-# greens were refreshed in r06, so the stalest proofs are now the
-# CORRECTNESS_r03 names: the TPC-H suite, the LLM dedup/sampling/text core,
-# and the trigger/pacing queries. `decontaminate` is deliberately included:
-# its Bloom-probe lineage was rewritten in r06 (operators/sketches.py) and
-# its driver row predates that rewrite. Of the 50 r03-era names, only
-# ysb_trigger_early_fire is left for the next window (wall-clock
-# trigger-paced, code-untouched since its proof — the cheapest to defer).
+# oracles. The rotation CLOSED in r06: all 219 registry names hold a driver
+# CORRECTNESS row. Round 8 invokes the r05/r06 pre-committed DRIVER-SIDE
+# EXCLUSION for events_partitioned_source (see _DRIVER_EXCLUDED below): the
+# slot is no longer re-spent, so every one of the 50 slots is a
+# re-verification of the OLDEST surviving green proofs. Proof ages computed
+# from the recorded CORRECTNESS_r*.json files (latest green round per
+# name): 21 names bottom out at r02 (never re-windowed since — the r06
+# refresh covered the other r02-era names), ysb_trigger_early_fire at r03
+# (T4's driver proof, the r07 deferral, VERDICT r07 item 2), and the
+# remaining 28 slots take the alphabetically-first of the 49 r04-era
+# proofs. The 21 r04 leftovers lead the r09 window.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
 # ---------------------------------------------------------------------------
 
+# Names adjudicated OUT of the driver window (still registered, still under
+# the pytest oracle gate every round). events_partitioned_source: driver-only
+# hash mismatch four consecutive rounds (r04-r07) while every Spark-side
+# surface was eliminated round by round — r05 scoped/adversarial confs, r06
+# integer/string-only wire, r07 a data-column-only output path (the filter
+# runs on event_type_d, a byte-identical in-file copy of the partition
+# value; partition-directory readback never reaches the output) — and the
+# identical query + DuckDB oracle passed in 8+ independent builder/judge
+# runs at sf0.01 AND sf0.1, including judge-run driver-simulating bare
+# sessions after the r07 red. Per the r05/r06 pre-commitment the r07
+# verdict orders the exclusion invoked (VERDICT r07, "Next round" item 1).
+# Full evidence chain: SURVEY.md §2.10, README.md.
+_DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
+
 _DRIVER_WINDOW: list[str] = [
-    # the red re-spend (r07 bisect: filter on the duplicated data column)
-    "events_partitioned_source",
-    # 49 re-verifications: every r03-proof name except ysb_trigger_early_fire
-    "chi2_independence",
-    "chunk_docs",
-    "copurchase_pagerank",
-    "corpus_clean_pipeline",
-    "dataset_shuffle",
-    "dataset_split",
-    "decontaminate",
-    "doc_stats",
-    "embedding_lsh_multiprobe_topk",
-    "embedding_lsh_topk",
-    "event_transition_matrix",
-    "exact_dedup",
-    "full_outer_activity",
-    "lang_id",
-    "minhash_lsh_neardup",
-    "mixture_rate_sample",
-    "neardup_embedding_lsh",
-    "neardup_ngram_jaccard_capped",
-    "ohlc_hourly_bars",
-    "pii_scrub",
-    "quality_filter",
-    "span_dedup",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "token_counts",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "unpivot_activity_matrix",
-    "value_correlation",
-    "ysb_paced_files_drain",
+    # 21 r02-era proofs (stalest in the ledger)
+    "analytic_rank_functions",
+    "asof_join_attribution",
+    "cohort_retention",
+    "cube_order_priority_status",
+    "funnel_conversion",
+    "grep_docs",
+    "interval_join_left_outer_streaming",
+    "interval_join_streaming",
+    "kmv_distinct_users",
+    "lag_event_deltas",
+    "moving_avg_value",
+    "pivot_user_event_matrix",
+    "rank_top_orders_per_customer",
+    "rollup_revenue",
+    "setops_viewers_and_buyers",
+    "setops_viewers_not_buyers",
+    "skew_salted_enrichment",
+    "top_k_users",
+    "user_state_history",
+    "value_histogram",
+    "wordcount_top20",
+    # the single r03 leftover (T4 trigger/early-fire semantics)
+    "ysb_trigger_early_fire",
+    # 28 of the 49 r04-era proofs (alphabetical; rest lead r09)
+    "asof_join_cogrouped_attribution",
+    "audio_segment_plan",
+    "binary_features",
+    "bloom_decontaminate",
+    "bloom_join_prune",
+    "bpe_pair_counts",
+    "canonical_per_source",
+    "chunk_docs_overlap",
+    "cms_heavy_hitters",
+    "cms_streaming_merge",
+    "compacted_events_source",
+    "contamination_scores",
+    "copurchase_triangles",
+    "corpus_stats",
+    "doc_fingerprint",
+    "edit_distance_neighbors",
+    "embedding_ivf_topk",
+    "embedding_quantize_int8",
+    "embedding_topk_cosine",
+    "events_csv_source",
+    "events_json_source",
+    "events_orc_source",
+    "events_schema_evolution_source",
+    "frame_sampling_plan",
+    "gopher_quality_rules",
+    "image_resize",
+    "interval_join_full_outer_streaming",
+    "kafka_wire_roundtrip",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;

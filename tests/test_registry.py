@@ -53,11 +53,19 @@ def test_driver_window_rotation():
     import json
     import os
 
-    from streambench_spark.plans.queries import _DRIVER_WINDOW, queries, oracles
+    from streambench_spark.plans.queries import (
+        _DRIVER_EXCLUDED, _DRIVER_WINDOW, queries, oracles,
+    )
 
     ordered = list(queries())
     assert len(_DRIVER_WINDOW) == 50
     assert ordered[:50] == _DRIVER_WINDOW
+    # Adjudicated exclusions never occupy a window slot (r08: the
+    # events_partitioned_source driver-side exclusion, VERDICT r07 item 1)
+    # but stay registered under the pytest oracle gate.
+    assert not _DRIVER_EXCLUDED & set(_DRIVER_WINDOW)
+    for name in _DRIVER_EXCLUDED:
+        assert name in REGISTRY and REGISTRY[name].oracle
     assert len(ordered) == len(set(ordered)) == len(REGISTRY)
     assert set(ordered) == set(REGISTRY)
     ora = oracles()
@@ -102,7 +110,7 @@ def test_driver_window_rotation():
             and row.get("schema_match")
             and row.get("hash_match")
         }
-    unspent = sorted(set(REGISTRY) - checked)
+    unspent = sorted(set(REGISTRY) - checked - _DRIVER_EXCLUDED)
     if len(unspent) >= len(_DRIVER_WINDOW):
         overlap = sorted(checked & set(_DRIVER_WINDOW))
         assert not overlap, f"window re-spends driver-checked slots: {overlap}"
