@@ -264,23 +264,33 @@ def run_latency_trial(
     }
     if gc_probe and recs and len(recs[0]) > 3:
         # per-batch GC delta: GC time accumulated between the previous
-        # batch's arrival and this one's ≈ GC during this batch. Batch 0
-        # has no prior snapshot (gc_ms null) but still ranks — its
-        # startup latency is often the max and must not vanish from the
-        # top list.
+        # MICRO-BATCH's arrival (empty or not — every collector entry
+        # snapshots the GC clock) and this one's ≈ GC during this batch.
+        # Deltas against the immediately preceding collector entry, not
+        # the previous VALID sample, so GC accrued during skipped empty
+        # micro-batches is not mis-attributed to the next valid batch;
+        # `batch` is the real collector position, not the index within
+        # the filtered sample list. The first collector entry has no
+        # prior snapshot (gc_ms null) but still ranks — its startup
+        # latency is often the max and must not vanish from the top list.
+        valid_pos = [
+            i for i, r in enumerate(collector) if r[1] and r[2] is not None
+        ]
         gc_of = {
-            i: recs[i][3] - recs[i - 1][3] for i in range(1, len(recs))
+            j: collector[ci][3] - collector[ci - 1][3]
+            for j, ci in enumerate(valid_pos)
+            if ci > 0
         }
         ranked = sorted(range(len(recs)), key=lambda i: -samples[i])
         out["latency_top_batches"] = [
             {
-                "batch": i,
+                "batch": valid_pos[i],
                 "lat_ms": int(samples[i]),
                 "gc_ms": int(gc_of[i]) if i in gc_of else None,
             }
             for i in ranked[:3]
         ]
-        out["latency_gc_total_ms"] = int(recs[-1][3] - recs[0][3])
+        out["latency_gc_total_ms"] = int(collector[-1][3] - collector[0][3])
     return out
 
 

@@ -188,10 +188,13 @@ def bloom_probe(
     one. The PROBE side composes lazily as a plain Filter, so a
     streaming ``hashes`` works fine against a batch-built sketch.
     """
-    assert not bloom.isStreaming, (
-        "bloom_probe materializes the sketch eagerly (driver-side "
-        "collect); build the bloom filter from a BATCH frame"
-    )
+    if bloom.isStreaming:
+        # explicit raise, not assert: the guard must survive python -O
+        # (r07 advice) — it exists to pre-empt a deep Spark error
+        raise TypeError(
+            "bloom_probe materializes the sketch eagerly (driver-side "
+            "collect); build the bloom filter from a BATCH frame"
+        )
     m_bits = m_words * BITS_PER_WORD
     word_of = {r["widx"]: r["word"] for r in bloom.collect()}
     dense = [int(word_of.get(i, 0)) for i in range(m_words)]

@@ -289,12 +289,26 @@ def partitioned_roundtrip_table(
         f.name for f in src.schema.fields if f.dataType.simpleString() == "double"
     ]
     enc = src
+    if data_copy_col is not None:
+        # copy BEFORE the wire encoding so the duplicate gets the same
+        # encode/decode treatment as its source type (a timestamp or
+        # double partition column would otherwise surface its encoded
+        # long/string form), and refuse a silent overwrite of an
+        # existing column (r07 advice)
+        if data_copy_col in {f.name for f in src.schema.fields}:
+            raise ValueError(
+                f"data_copy_col {data_copy_col!r} collides with an "
+                f"existing column of {name!r}"
+            )
+        enc = enc.withColumn(data_copy_col, F.col(partition_col))
+        if partition_col in ts_cols:
+            ts_cols = ts_cols + [data_copy_col]
+        elif partition_col in dbl_cols:
+            dbl_cols = dbl_cols + [data_copy_col]
     for c in ts_cols:
         enc = enc.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
     for c in dbl_cols:
         enc = enc.withColumn(c, F.col(c).cast("string"))
-    if data_copy_col is not None:
-        enc = enc.withColumn(data_copy_col, F.col(partition_col))
     tmp = tempfile.mkdtemp(prefix=f"sb_part_{name}_")
     with _pin_hermetic_parquet_io(spark):
         enc.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)

@@ -3,6 +3,8 @@ replay so trials are deterministic and fast."""
 
 from __future__ import annotations
 
+import pytest
+
 from streambench_spark.bench import BenchParams, latency_report, run_benchmark
 from streambench_spark.bench.harness import run_latency_trial, run_throughput_trial
 from streambench_spark.catalog import load_table
@@ -50,10 +52,13 @@ def test_latency_trial_gc_probe(spark):
     m = run_latency_trial(
         spark, params, source=_bounded_source(spark), gc_probe=True
     )
-    if m["latency_batches"] >= 2:
-        assert m["latency_gc_total_ms"] >= 0
+    if m.get("latency_top_batches"):
+        assert m.get("latency_gc_total_ms", 0) >= 0
         assert all(
-            b["gc_ms"] >= 0 and "lat_ms" in b for b in m["latency_top_batches"]
+            (b["gc_ms"] is None or b["gc_ms"] >= 0)
+            and b["batch"] >= 0
+            and "lat_ms" in b
+            for b in m["latency_top_batches"]
         )
 
 
@@ -215,11 +220,13 @@ def test_committed_bench_full_latency_tail_has_resolution():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH_FULL.json")
     if not os.path.exists(path):
-        return
+        pytest.skip("no committed BENCH_FULL.json — guard has nothing to check")
     with open(path) as fh:
         s = json.load(fh).get("streaming_ysb") or {}
     if not s:
-        return  # trials crashed; trial_errors records it
+        # trials crashed; trial_errors records it — skip VISIBLY so the
+        # guard can't green without checking anything (r07 advice)
+        pytest.skip("BENCH_FULL.json has no streaming_ysb block")
     assert s.get("latency_samples", 0) > 100, (
         "committed latency artifact has too few valid samples for its "
         "percentile tail to mean anything — re-run bench.py"

@@ -72,6 +72,17 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
     assert fp / 4000 < 0.06
 
 
+def test_bloom_probe_rejects_streaming_sketch(spark):
+    """The eager-sketch guard must be a real raise (survives python -O,
+    r07 advice), with a message pointing at the batch contract."""
+    import pytest
+
+    probes = spark.range(10).select(F.col("id").alias("h"))
+    streaming_bloom = spark.readStream.format("rate").load()
+    with pytest.raises(TypeError, match="BATCH"):
+        bloom_probe(probes, streaming_bloom, "h", 256, 3)
+
+
 def test_bloom_merge_is_bitwise_or(spark):
     a = spark.range(0, 300).select(F.col("id").alias("h"))
     b = spark.range(300, 600).select(F.col("id").alias("h"))
