@@ -10,6 +10,9 @@ Three probes, each timed end-to-end into a noop sink on local[32]:
   minhash16  — 16-perm MinHash signatures over ~1.2M shingle postings
                per 100k docs replicated to ~20M postings (1 hash/posting
                + 16 modular mins)
+  kmv        — kmv_retained over 20M rows / 32 groups / k=32 (1 hash/row
+               + distinct + windowed top-k; added r08 with the KMV
+               hash_mode threading)
 
 Usage: python scripts/hash_mode_probe.py  (prints one JSON line last)
 """
@@ -92,7 +95,21 @@ def main() -> None:
             lambda: minhash_signatures(docs, num_hashes=16, hash_mode=mode)
         )
 
-    for fam in ("raw", "bloom", "minhash16"):
+    # kmv: 20M rows, 32 groups, k=32 retained per group (1 hash/row +
+    # distinct + windowed top-k; r08 — the knob now covers the KMV family)
+    from streambench_spark.operators.aggregates import kmv_retained
+
+    kmv_in = (
+        spark.range(N)
+        .select((F.col("id") % 32).alias("g"), F.col("id").alias("v"))
+        .localCheckpoint()
+    )
+    for mode in ("md5", "xxhash64"):
+        out["probes"][f"kmv_{mode}_s"] = timed(
+            lambda: kmv_retained(kmv_in, ["g"], "v", 32, hash_mode=mode)
+        )
+
+    for fam in ("raw", "bloom", "minhash16", "kmv"):
         md5_t = out["probes"][f"{fam}_md5_s"]
         xx_t = out["probes"][f"{fam}_xxhash64_s"]
         out["probes"][f"{fam}_speedup"] = round(md5_t / xx_t, 2) if xx_t else None

@@ -179,13 +179,17 @@ def exact_percentiles_sorted(
 
 
 def kmv_distinct(
-    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """K-minimum-values distinct-count sketch per group — a mergeable
     sketch with a DETERMINISTIC, oracle-replicable construction (portable
     md5-based hash, llm/hashing.py): keep the k smallest distinct hash
     values; estimate = (k-1) · P / kth_smallest, exact count when fewer
-    than k distinct hashes exist.
+    than k distinct hashes exist. ``hash_mode="xxhash64"`` swaps the md5
+    chain for Spark's codegen'd integer kernel (same [0, 2^32) domain,
+    not DuckDB-checkable — proven by the dual-mode property tests in
+    tests/test_hash_modes.py, like the CMS/Bloom/dedup/sampling builders).
 
     Why a sketch when Spark has approx_count_distinct: HLL registers are
     engine-internal (not checkable against another engine, not readable
@@ -199,11 +203,15 @@ def kmv_distinct(
     bounded by k·partitions per group) — identical retained sets, pinned
     by tests/test_sketches.py.
     """
-    return kmv_estimate(kmv_retained(df, group_keys, col, k), group_keys, k)
+    return kmv_estimate(
+        kmv_retained(df, group_keys, col, k, hash_mode=hash_mode),
+        group_keys, k,
+    )
 
 
 def kmv_retained(
-    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """The KMV sketch ITSELF: per group, the k smallest distinct portable
     hashes of ``col`` as plain (group..., _h) rows. This is the mergeable
@@ -215,7 +223,7 @@ def kmv_retained(
 
     from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
 
-    h = spark_hash32(f"CAST({col} AS STRING)")
+    h = spark_hash32(f"CAST({col} AS STRING)", mode=hash_mode)
     hashed = df.select(
         *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
     ).distinct()
@@ -228,7 +236,8 @@ def kmv_retained(
 
 
 def kmv_retained_partial(
-    df: DataFrame, group_keys: list[str], col: str, k: int = 32
+    df: DataFrame, group_keys: list[str], col: str, k: int = 32,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """``kmv_retained`` with MAP-SIDE PARTIALS — the 100 TB shape the
     plain version's docstring promises: each input partition first
@@ -251,7 +260,7 @@ def kmv_retained_partial(
 
     from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
 
-    h = spark_hash32(f"CAST({col} AS STRING)")
+    h = spark_hash32(f"CAST({col} AS STRING)", mode=hash_mode)
     hashed = df.select(
         *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
     )
