@@ -251,7 +251,13 @@ def run_latency_trial(
         q.stop()
         q.awaitTermination(60)
     total_ms = (time.time() - t0) * 1000
-    recs = [r for r in collector if r[1] and r[2] is not None]
+    # one valid-sample predicate, one pass: valid_pos carries each valid
+    # sample's COLLECTOR position and recs is derived from it, so the
+    # sample list and the GC-attribution positions below cannot drift
+    valid_pos = [
+        i for i, r in enumerate(collector) if r[1] and r[2] is not None
+    ]
+    recs = [collector[i] for i in valid_pos]
     samples = [r[0] - r[2] for r in recs]
     report = latency_report(samples)
     # keys prefixed so t.update() in run_benchmark can't clobber the
@@ -273,9 +279,6 @@ def run_latency_trial(
         # the filtered sample list. The first collector entry has no
         # prior snapshot (gc_ms null) but still ranks — its startup
         # latency is often the max and must not vanish from the top list.
-        valid_pos = [
-            i for i, r in enumerate(collector) if r[1] and r[2] is not None
-        ]
         gc_of = {
             j: collector[ci][3] - collector[ci - 1][3]
             for j, ci in enumerate(valid_pos)

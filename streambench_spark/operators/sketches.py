@@ -184,7 +184,8 @@ def bloom_probe(
     EAGER, BATCH-ONLY on the ``bloom`` side: the collect happens at
     DataFrame-CONSTRUCTION time (building the plan runs a real Spark job
     for the sketch), and a streaming ``bloom`` cannot be collected — the
-    assert below turns that into a clear error instead of a deep Spark
+    explicit TypeError below (a raise, not an assert, so it survives
+    ``python -O``) turns that into a clear error instead of a deep Spark
     one. The PROBE side composes lazily as a plain Filter, so a
     streaming ``hashes`` works fine against a batch-built sketch.
     """
