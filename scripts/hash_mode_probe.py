@@ -2,11 +2,16 @@
 hash mode at 20M rows — the evidence behind llm/hashing.py's claim that
 the mode switch converts the oracle-portability tax into a flipped knob.
 
-Three probes, each timed end-to-end into a noop sink on local[32]:
+Four probe families, each timed end-to-end into a noop sink on
+local[32]; every family×mode gets one warm execution of the exact plan
+followed by three timed trials (trial lists published, median cited):
   raw        — one bare hash per row (the kernel cost itself)
   bloom      — bloom_probe over 20M keys vs a 1M-key sketch (2 hash
-               chains/row + k array probes; the decontamination shape
-               where hashing dominated in the r06 plan probe)
+               chains/row + k array probes; the decontamination shape).
+               Plan construction (sketch collect + m_words literal
+               embed) is reported separately from execution — r08
+               re-measurement showed the earlier in-loop construction
+               cost was most of the apparent md5/xxhash64 gap here
   minhash16  — 16-perm MinHash signatures over ~1.2M shingle postings
                per 100k docs replicated to ~20M postings (1 hash/posting
                + 16 modular mins)
@@ -35,10 +40,27 @@ from streambench_spark.session import get_spark  # noqa: E402
 N = 20_000_000
 
 
+TRIALS = 3
+
+
 def timed(build) -> float:
     t0 = time.perf_counter()
     build().write.format("noop").mode("overwrite").save()
     return round(time.perf_counter() - t0, 3)
+
+
+def measured(out: dict, key: str, build) -> None:
+    """Uniform methodology for every family×mode: one warm execution of
+    the EXACT plan being measured (codegen/JIT land in the warm run for
+    both modes, not just whichever is timed first), then TRIALS timed
+    runs; the trial list is published alongside the median so the
+    committed script reproduces the cited statistic."""
+    import statistics
+
+    timed(build)  # warm this exact plan
+    trials = [timed(build) for _ in range(TRIALS)]
+    out["probes"][f"{key}_trials_s"] = trials
+    out["probes"][f"{key}_s"] = round(statistics.median(trials), 3)
 
 
 def main() -> None:
@@ -52,20 +74,27 @@ def main() -> None:
     # raw kernel: one hash per row
     for mode in ("md5", "xxhash64"):
         h = spark_hash32("CAST(h AS STRING)", mode=mode)
-        timed(lambda: base.select(F.expr(h).alias("x")))  # warm
-        out["probes"][f"raw_{mode}_s"] = timed(
-            lambda: base.select(F.expr(h).alias("x"))
-        )
+        measured(out, f"raw_{mode}",
+                 lambda: base.select(F.expr(h).alias("x")))
 
-    # bloom probe: 20M rows vs a 1M-key sketch (2 chains + k probes/row)
+    # bloom probe: 20M rows vs a 1M-key sketch (2 chains + k probes/row).
+    # Construction (sketch collect + embedding the m_words literal into
+    # the plan) is a one-time per-query cost and is reported separately;
+    # the timed trials re-execute ONE pre-built probe plan, so they
+    # measure the per-row scan cost that scales with data volume.
     from streambench_spark.operators.sketches import bloom_build, bloom_probe
 
     members = spark.range(1_000_000).select(F.col("id").alias("h"))
     for mode in ("md5", "xxhash64"):
-        bloom = bloom_build(members, m_words=16384, k=3, hash_mode=mode)
-        out["probes"][f"bloom_{mode}_s"] = timed(
-            lambda: bloom_probe(base, bloom, m_words=16384, k=3, hash_mode=mode)
+        bloom = bloom_build(
+            members, m_words=16384, k=3, hash_mode=mode
+        ).localCheckpoint()
+        c0 = time.perf_counter()
+        probe = bloom_probe(base, bloom, m_words=16384, k=3, hash_mode=mode)
+        out["probes"][f"bloom_{mode}_construct_s"] = round(
+            time.perf_counter() - c0, 3
         )
+        measured(out, f"bloom_{mode}", lambda: probe)
 
     # minhash: 100k short docs -> explode to ~20M postings equivalent by
     # replicating the posting stream; measures hash + 16 modular mins
@@ -91,9 +120,9 @@ def main() -> None:
         .localCheckpoint()
     )
     for mode in ("md5", "xxhash64"):
-        out["probes"][f"minhash16_{mode}_s"] = timed(
-            lambda: minhash_signatures(docs, num_hashes=16, hash_mode=mode)
-        )
+        measured(out, f"minhash16_{mode}",
+                 lambda: minhash_signatures(docs, num_hashes=16,
+                                            hash_mode=mode))
 
     # kmv: 20M rows, 32 groups, k=32 retained per group (1 hash/row +
     # distinct + windowed top-k; r08 — the knob now covers the KMV family)
@@ -104,13 +133,10 @@ def main() -> None:
         .select((F.col("id") % 32).alias("g"), F.col("id").alias("v"))
         .localCheckpoint()
     )
-    # warm the distinct+window plan shape once so first-job setup cost
-    # doesn't land in whichever mode is timed first
-    timed(lambda: kmv_retained(kmv_in, ["g"], "v", 32, hash_mode="md5"))
     for mode in ("md5", "xxhash64"):
-        out["probes"][f"kmv_{mode}_s"] = timed(
-            lambda: kmv_retained(kmv_in, ["g"], "v", 32, hash_mode=mode)
-        )
+        measured(out, f"kmv_{mode}",
+                 lambda: kmv_retained(kmv_in, ["g"], "v", 32,
+                                      hash_mode=mode))
 
     for fam in ("raw", "bloom", "minhash16", "kmv"):
         md5_t = out["probes"][f"{fam}_md5_s"]

@@ -52,14 +52,18 @@ def test_latency_trial_gc_probe(spark):
     m = run_latency_trial(
         spark, params, source=_bounded_source(spark), gc_probe=True
     )
-    if m.get("latency_top_batches"):
-        assert m.get("latency_gc_total_ms", 0) >= 0
-        assert all(
-            (b["gc_ms"] is None or b["gc_ms"] >= 0)
-            and b["batch"] >= 0
-            and "lat_ms" in b
-            for b in m["latency_top_batches"]
-        )
+    # the bounded source deterministically yields valid samples, so the
+    # probe output must be PRESENT — a conditional here would let a
+    # zero-sample regression green silently (r08 self-review)
+    assert m["latency_samples"] >= 1
+    assert m["latency_top_batches"], "gc_probe produced no top-batch list"
+    assert m.get("latency_gc_total_ms", 0) >= 0
+    assert all(
+        (b["gc_ms"] is None or b["gc_ms"] >= 0)
+        and b["batch"] >= 0
+        and "lat_ms" in b
+        for b in m["latency_top_batches"]
+    )
 
 
 def test_jvm_gc_millis_monotone(spark):

@@ -199,43 +199,10 @@ def test_weighted_topn_deterministic(spark, mode):
     assert a == b and len(a) == 50
 
 
-@pytest.mark.parametrize("mode", MODES)
-def test_kmv_merge_lossless(spark, mode):
-    """KMV merge = union retained frames from any sharding, re-take the k
-    smallest: IDENTICAL to sketching the union directly (no approximation
-    introduced by merging), and the map-side-partial path returns the
-    identical retained frame — in both modes (r07 verdict item 5)."""
-    from pyspark.sql import Window
-
-    from streambench_spark.operators.aggregates import (
-        kmv_retained,
-        kmv_retained_partial,
-    )
-
-    k = 16
-    a = spark.range(0, 3000).select(
-        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
-    )
-    b = spark.range(2000, 6000).select(
-        (F.col("id") % 5).alias("g"), F.col("id").alias("v")
-    )
-    whole = sorted(map(tuple, kmv_retained(
-        a.unionAll(b), ["g"], "v", k, hash_mode=mode).collect()))
-    w = Window.partitionBy("g").orderBy("_h")
-    merged = sorted(map(tuple, (
-        kmv_retained(a, ["g"], "v", k, hash_mode=mode)
-        .unionAll(kmv_retained(b, ["g"], "v", k, hash_mode=mode))
-        .distinct()
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
-    ).collect()))
-    assert merged == whole
-    partial = sorted(map(tuple, kmv_retained_partial(
-        a.unionAll(b), ["g"], "v", k, hash_mode=mode).collect()))
-    assert partial == whole
-
-
+# KMV merge-losslessness and the partial≡plain identity are pinned in
+# BOTH modes by the parametrized tests in tests/test_sketches.py (the
+# single home of that construction); this file adds the estimator-side
+# invariants.
 @pytest.mark.parametrize("mode", MODES)
 def test_kmv_estimate_exact_below_k_and_monotone(spark, mode):
     """Below k distinct the sketch is EXACT; above it the estimate grows

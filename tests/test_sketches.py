@@ -8,6 +8,7 @@ import os
 import sys
 
 import pyspark.sql.functions as F
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO not in sys.path:
@@ -75,8 +76,6 @@ def test_bloom_no_false_negatives_and_fp_rate(spark):
 def test_bloom_probe_rejects_streaming_sketch(spark):
     """The eager-sketch guard must be a real raise (survives python -O,
     r07 advice), with a message pointing at the batch contract."""
-    import pytest
-
     probes = spark.range(10).select(F.col("id").alias("h"))
     streaming_bloom = spark.readStream.format("rate").load()
     with pytest.raises(TypeError, match="BATCH"):
@@ -213,9 +212,13 @@ def test_asof_cogrouped_agrees_with_builtin(spark):
     assert a.count() == 20  # every probe has an earlier quote
 
 
-def test_kmv_retained_merge_is_lossless(spark):
+@pytest.mark.parametrize("mode", ["md5", "xxhash64"])
+def test_kmv_retained_merge_is_lossless(spark, mode):
     """Union of per-shard retained sets, re-topped to k, equals the
-    whole-data sketch — KMV merge introduces NO approximation."""
+    whole-data sketch — KMV merge introduces NO approximation. The ONE
+    home of this pin, parametrized over both hash modes (r08: the KMV
+    family gained the hash_mode knob; DuckDB can't oracle xxhash64, so
+    this property test is what stands behind that mode)."""
     from pyspark.sql import Window
 
     from streambench_spark.operators.aggregates import (
@@ -227,26 +230,28 @@ def test_kmv_retained_merge_is_lossless(spark):
     a = df.filter(F.col("v") < 1200)   # overlapping shards
     b = df.filter(F.col("v") >= 800)
     merged = (
-        kmv_retained(a, ["g"], "v", 32)
-        .unionAll(kmv_retained(b, ["g"], "v", 32))
+        kmv_retained(a, ["g"], "v", 32, hash_mode=mode)
+        .unionAll(kmv_retained(b, ["g"], "v", 32, hash_mode=mode))
         .select("g", "_h").distinct()
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy("g").orderBy("_h")))
         .filter(F.col("_rn") <= 32)
         .select("g", "_h")
     )
-    whole = kmv_retained(df, ["g"], "v", 32)
+    whole = kmv_retained(df, ["g"], "v", 32, hash_mode=mode)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
     est = kmv_estimate(whole, ["g"], 32).first()
     assert est["n_kept"] == 32 and 1300 <= est["estimate"] <= 2700
 
 
-def test_kmv_partial_path_identical_to_plain(spark):
+@pytest.mark.parametrize("mode", ["md5", "xxhash64"])
+def test_kmv_partial_path_identical_to_plain(spark, mode):
     """The map-side-partial KMV (narrow Arrow k-smallest per partition,
     then the relational merge) must return the IDENTICAL retained frame
     as the single distinct+window version — the merge is lossless by
-    construction. Run over a multi-partition, multi-group frame with
-    heavy duplication so per-partition heaps actually evict."""
+    construction, in BOTH hash modes. Run over a multi-partition,
+    multi-group frame with heavy duplication so per-partition heaps
+    actually evict."""
     from streambench_spark.operators.aggregates import (
         kmv_retained,
         kmv_retained_partial,
@@ -259,8 +264,10 @@ def test_kmv_partial_path_identical_to_plain(spark):
             (F.col("id") % 700).alias("v"),  # duplicates across partitions
         )
     )
-    plain = sorted(map(tuple, kmv_retained(df, ["g"], "v", 16).collect()))
-    partial = sorted(map(tuple, kmv_retained_partial(df, ["g"], "v", 16).collect()))
+    plain = sorted(map(tuple, kmv_retained(
+        df, ["g"], "v", 16, hash_mode=mode).collect()))
+    partial = sorted(map(tuple, kmv_retained_partial(
+        df, ["g"], "v", 16, hash_mode=mode).collect()))
     assert partial == plain and len(plain) == 3 * 16
 
 
