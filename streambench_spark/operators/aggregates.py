@@ -223,10 +223,17 @@ def kmv_retained(
 
     from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
 
+    if k < 2:
+        # (k-1)·P/kth is identically 0 at k=1 — a silent wrong estimate
+        # for every group (r08 review)
+        raise ValueError(f"KMV needs k >= 2, got {k}")
     h = spark_hash32(f"CAST({col} AS STRING)", mode=hash_mode)
+    # NULL values hash to NULL; drop them (COUNT(DISTINCT) semantics —
+    # and a NULL would otherwise sort into the retained set's first
+    # slot, corrupting the kth-smallest estimator)
     hashed = df.select(
         *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
-    ).distinct()
+    ).filter(F.col("_h").isNotNull()).distinct()
     w = Window.partitionBy(*group_keys).orderBy("_h")
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -260,10 +267,12 @@ def kmv_retained_partial(
 
     from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
 
+    if k < 2:
+        raise ValueError(f"KMV needs k >= 2, got {k}")
     h = spark_hash32(f"CAST({col} AS STRING)", mode=hash_mode)
     hashed = df.select(
         *group_keys, F.expr(f"{h} % {MERSENNE_P}L").alias("_h")
-    )
+    ).filter(F.col("_h").isNotNull())
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in hashed.schema.fields
     )
@@ -280,7 +289,16 @@ def kmv_retained_partial(
         best: dict = {}
         for pdf in batches:
             hvals = pdf["_h"].to_numpy()
-            gcols = [pdf[c].to_numpy() for c in keys]
+            # object dtype + notna→None: a NULL group key arrives as NaN
+            # in a float-coerced numpy column, and nan != nan would mint
+            # a FRESH dict entry per NULL row — unbounded state and a
+            # NaN-in-long output column. None is hashable and equal to
+            # itself, so NULLs form one group, matching kmv_retained's
+            # relational groupBy (r08 review).
+            gcols = [
+                pdf[c].astype(object).where(pd.notna(pdf[c]), None).to_numpy()
+                for c in keys
+            ]
             for idx in range(len(hvals)):
                 g = tuple(c[idx] for c in gcols)
                 hv = int(hvals[idx])

@@ -181,6 +181,13 @@ def bloom_probe(
     false-positive rate ~ (1 - e^{-kn/m})^k. Row multiplicity and
     columns of `hashes` pass through unchanged.
 
+    ``m_words``/``k`` MUST match the build's parameters — the position
+    hashes are derived from them, so any mismatch silently produces
+    false negatives. A sketch wider than the declared m_words is
+    detected and refused (ValueError below); a NARROWER one is
+    indistinguishable from a sparse sketch driver-side, so that half of
+    the contract stays on the caller.
+
     EAGER, BATCH-ONLY on the ``bloom`` side: the collect happens at
     DataFrame-CONSTRUCTION time (building the plan runs a real Spark job
     for the sketch), and a streaming ``bloom`` cannot be collected — the
@@ -198,6 +205,16 @@ def bloom_probe(
         )
     m_bits = m_words * BITS_PER_WORD
     word_of = {r["widx"]: r["word"] for r in bloom.collect()}
+    if word_of and max(word_of) >= m_words:
+        # a sketch built with a LARGER m_words than the probe declares
+        # would silently drop its upper words here — false NEGATIVES,
+        # violating the one-sided-error contract (r08 review). The
+        # mismatch is a mis-parameterization, never valid.
+        raise ValueError(
+            f"bloom sketch has word index {max(word_of)} but the probe "
+            f"declares m_words={m_words}; build and probe must use the "
+            "same m_words"
+        )
     dense = [int(word_of.get(i, 0)) for i in range(m_words)]
     bf = F.lit(dense).cast("array<bigint>")
     posarr = F.expr(_bloom_posarr_expr(h_col, k, m_bits, hash_mode))

@@ -79,7 +79,7 @@ def indexed_ads(campaigns: DataFrame) -> tuple[DataFrame, int]:
     from streambench_spark.sources.replay import with_index
 
     n = campaigns.count()
-    return with_index(campaigns, "ad_id"), n
+    return with_index(campaigns, "ad_id", precounted=n), n
 
 
 def _derived_columns(value_col, deterministic_ts: bool,

@@ -81,7 +81,10 @@ def paced_replay(
     return keyed.join(F.broadcast(lookup), "idx").drop("idx")
 
 
-def with_index(df: DataFrame, order_col: str, max_rows: int = 2_000_000) -> DataFrame:
+def with_index(
+    df: DataFrame, order_col: str, max_rows: int = 2_000_000,
+    precounted: int | None = None,
+) -> DataFrame:
     """Attach a dense 0..N-1 idx by order_col — one-time prep of the
     replay LOOKUP table, which is dim-sized by design (it is broadcast by
     paced_replay). The global single-partition sort is the price of a
@@ -93,7 +96,10 @@ def with_index(df: DataFrame, order_col: str, max_rows: int = 2_000_000) -> Data
     OOM, exactly the degradation the guard exists to name."""
     from pyspark.sql import Window
 
-    n = df.count()
+    # precounted: callers that already ran the count job (indexed_ads
+    # returns N to its own callers) pass it in so the guard doesn't
+    # re-scan the dim (r08 review: two count jobs per generator build)
+    n = df.count() if precounted is None else precounted
     if n > max_rows:
         raise ValueError(
             f"with_index is for broadcastable lookup tables; got {n} rows "
@@ -152,20 +158,37 @@ def roundtrip_table(
     it back with the same explicit schema, proving quoting/escaping/
     number round-trip fidelity for text sources.
 
-    events.ts travels as epoch-millis LONG inside the text file — text
+    events.ts travels as epoch-MICROS LONG inside the text file — text
     timestamp parsing is locale/zone-ambiguous across engines, epoch
-    integers are not. Doubles round-trip exactly (Java Double.toString
-    shortest-repr is re-parsed to the identical bits). Scale: one narrow
-    write + one scan, no shuffle; schema-on-read with an explicit schema
-    (never inferSchema, which double-scans)."""
+    integers are not, and micros is Spark's native TimestampType
+    precision, so the encode is bijective (r08: the earlier epoch-millis
+    wire silently truncated the sub-ms component on ~99.95% of events
+    rows — invisible to the registered aggregates, whose only ts output
+    is a monotone ms-floored max, but a real fidelity gap for any
+    µs-sensitive consumer). Plain TimestampType only: a timestamp_ntz
+    column is REFUSED — its naive wall time has no session-independent
+    epoch-integer form for a text wire (the parquet twin lets NTZ pass
+    through natively; text has no such channel). Doubles round-trip
+    exactly (Java Double.toString shortest-repr is re-parsed to the
+    identical bits). Scale: one narrow write + one scan, no shuffle;
+    schema-on-read with an explicit schema (never inferSchema, which
+    double-scans)."""
     import tempfile
 
     src = load_table(spark, sf_dir, name)
+    ntz = [f.name for f in src.schema.fields
+           if f.dataType.simpleString() == "timestamp_ntz"]
+    if ntz:
+        raise ValueError(
+            f"roundtrip_table: timestamp_ntz columns {ntz} have no "
+            "session-independent text encoding; cast to TimestampType "
+            "first or use the parquet roundtrip"
+        )
     ts_cols = [f.name for f in src.schema.fields
-               if f.dataType.simpleString().startswith("timestamp")]
+               if f.dataType.simpleString() == "timestamp"]
     out = src
     for c in ts_cols:
-        out = out.withColumn(c, F.unix_millis(F.col(c).cast("timestamp")))
+        out = out.withColumn(c, F.unix_micros(F.col(c).cast("timestamp")))
     tmp = tempfile.mkdtemp(prefix=f"sb_{fmt}_{name}_")
     writer = out.write.mode("overwrite").format(fmt)
     if fmt == "csv":
@@ -176,7 +199,7 @@ def roundtrip_table(
         reader = reader.option("header", True).option("escape", '"')
     back = reader.load(tmp)
     for c in ts_cols:
-        back = back.withColumn(c, F.timestamp_millis(F.col(c)))
+        back = back.withColumn(c, F.timestamp_micros(F.col(c)))
     return back
 
 

@@ -148,6 +148,8 @@ class PeriodicStatsReporter:
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
+        self._pending: list = []
+
         outer = self
 
         class _Counter(StreamingQueryListener):
@@ -157,23 +159,21 @@ class PeriodicStatsReporter:
             def onQueryProgress(self, event) -> None:
                 p = event.progress
                 # query is None only in the callable form, between
-                # listener registration and query start — no progress
-                # event for OUR query can exist yet, so dropping
-                # other-query events here loses nothing.
-                if outer.query is None or str(p.id) != str(outer.query.id):
+                # listener registration and the `self.query = factory()`
+                # assignment completing. The query STARTS inside
+                # factory() and the listener bus is async, so a fast
+                # first micro-batch CAN report in that window (r08
+                # review — the old drop here undercounted an
+                # availableNow drain's first batch). Buffer until the
+                # query id is known; start() replays the buffer.
+                if outer.query is None:
+                    with outer._lock:
+                        if outer.query is None:
+                            outer._pending.append(p)
+                            return
+                if str(p.id) != str(outer.query.id):
                     return
-                with outer._lock:
-                    outer._rows_lifetime += p.numInputRows
-                    ops = p.stateOperators or []
-                    if ops:
-                        outer._state_ops = [
-                            {
-                                "operator": op.operatorName,
-                                "state_rows": op.numRowsTotal,
-                                "state_mem_bytes": op.memoryUsedBytes,
-                            }
-                            for op in ops
-                        ]
+                outer._absorb(p)
 
             def onQueryIdle(self, event) -> None:
                 pass
@@ -182,6 +182,20 @@ class PeriodicStatsReporter:
                 pass
 
         self._listener = _Counter()
+
+    def _absorb(self, p) -> None:
+        with self._lock:
+            self._rows_lifetime += p.numInputRows
+            ops = p.stateOperators or []
+            if ops:
+                self._state_ops = [
+                    {
+                        "operator": op.operatorName,
+                        "state_rows": op.numRowsTotal,
+                        "state_mem_bytes": op.memoryUsedBytes,
+                    }
+                    for op in ops
+                ]
 
     def _streams(self):
         from pyspark.sql import SparkSession
@@ -193,10 +207,19 @@ class PeriodicStatsReporter:
 
         if callable(self.query):
             # exactly-once form: listener is live before the first
-            # micro-batch can possibly report progress
+            # micro-batch can possibly report progress; events that
+            # arrive while the query id is still unknown are buffered
+            # by the listener and replayed here — each event is
+            # delivered exactly once (buffered XOR direct), so nothing
+            # is lost or double-counted
             factory, self.query = self.query, None
             self._streams().addListener(self._listener)
             self.query = factory()
+            with self._lock:
+                pending, self._pending = self._pending, []
+            for p in pending:
+                if str(p.id) == str(self.query.id):
+                    self._absorb(p)
         else:
             self._streams().addListener(self._listener)
         self._t0 = self._t_prev = _t.time()

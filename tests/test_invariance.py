@@ -329,3 +329,46 @@ def test_tokenizer_oracle_matches_java_whitespace(spark, tmp_path):
         f"SELECT len({_D_TOKENS.format(col='text')}) FROM documents"
     ).fetchone()[0]
     assert spark_n == duck_n == 3  # 'a', 'b', 'c' — \x0B splits on BOTH sides
+
+
+def test_text_roundtrip_preserves_microseconds(spark):
+    """The csv/json wire carries epoch-MICROS (r08: the earlier millis
+    wire silently truncated sub-ms components on ~99.95% of events rows,
+    invisible to the ms-floored registry aggregates). The roundtrip must
+    be EXACTLY lossless at Spark's native timestamp precision."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.catalog import load_table
+    from streambench_spark.sources.replay import roundtrip_table
+    from tests.conftest import SF_DIR
+
+    src = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+    for fmt in ("csv", "json"):
+        back = roundtrip_table(spark, SF_DIR, "events", fmt).select(
+            "event_id", F.col("ts").alias("ts_rt")
+        )
+        diff = (
+            src.join(back, "event_id")
+            .filter(F.col("ts") != F.col("ts_rt"))
+            .count()
+        )
+        assert diff == 0, f"{fmt}: {diff} rows lost timestamp precision"
+    # and the source really does exercise sub-ms precision (else this
+    # test proves nothing)
+    submy = src.filter(F.unix_micros("ts") % 1000 != 0).count()
+    assert submy > 0
+
+
+def test_text_roundtrip_refuses_ntz(spark):
+    """timestamp_ntz has no session-independent epoch-integer text
+    encoding — the helper must refuse instead of silently re-typing the
+    column and shifting wall time under a non-UTC session (the guard the
+    parquet twin documents; r08 review)."""
+    import pytest
+
+    from streambench_spark.sources.replay import roundtrip_table
+    from tests.conftest import SF_DIR
+
+    # orders.o_orderdate is stored as timestamp_ntz in the testdata
+    with pytest.raises(ValueError, match="timestamp_ntz"):
+        roundtrip_table(spark, SF_DIR, "orders", "csv")

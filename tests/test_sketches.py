@@ -82,6 +82,15 @@ def test_bloom_probe_rejects_streaming_sketch(spark):
         bloom_probe(probes, streaming_bloom, "h", 256, 3)
 
 
+def test_bloom_probe_rejects_wider_sketch(spark):
+    """A sketch built with larger m_words than the probe declares would
+    silently lose its upper words — false negatives. Must refuse."""
+    members = spark.range(500).select(F.col("id").alias("h"))
+    wide = bloom_build(members, "h", m_words=4096, k=3)
+    with pytest.raises(ValueError, match="m_words"):
+        bloom_probe(members, wide, "h", m_words=2048, k=3)
+
+
 def test_bloom_merge_is_bitwise_or(spark):
     a = spark.range(0, 300).select(F.col("id").alias("h"))
     b = spark.range(300, 600).select(F.col("id").alias("h"))
@@ -269,6 +278,58 @@ def test_kmv_partial_path_identical_to_plain(spark, mode):
     partial = sorted(map(tuple, kmv_retained_partial(
         df, ["g"], "v", 16, hash_mode=mode).collect()))
     assert partial == plain and len(plain) == 3 * 16
+
+
+def test_kmv_null_keys_and_values(spark):
+    """NULL group keys form ONE group (not one state entry per NULL row
+    in the partial path's per-task dict — the r08 review's unbounded
+    state finding), NULL values are ignored like COUNT(DISTINCT), and
+    the partial path still returns the identical retained frame."""
+    from streambench_spark.operators.aggregates import (
+        kmv_distinct,
+        kmv_retained,
+        kmv_retained_partial,
+    )
+
+    df = (
+        spark.range(0, 4000, 1, 8)
+        .select(
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise(F.col("id") % 2).alias("g"),
+            F.when(F.col("id") % 5 == 0, None)
+            .otherwise(F.col("id")).alias("v"),
+        )
+    )
+    nkey = lambda t: tuple((x is None, x) for x in t)  # None sorts last
+    plain = sorted(
+        map(tuple, kmv_retained(df, ["g"], "v", 16).collect()), key=nkey
+    )
+    partial = sorted(
+        map(tuple, kmv_retained_partial(df, ["g"], "v", 16).collect()),
+        key=nkey,
+    )
+    assert partial == plain
+    groups = {r[0] for r in plain}
+    assert None in groups and len(groups) == 3  # NULL, 0, 1
+    est = {
+        r["g"]: r["estimate"]
+        for r in kmv_distinct(df, ["g"], "v", 32).collect()
+    }
+    assert len(est) == 3 and all(v > 0 for v in est.values())
+
+
+def test_kmv_rejects_k_below_two(spark):
+    """k=1 makes the estimator identically zero — refuse loudly."""
+    from streambench_spark.operators.aggregates import (
+        kmv_retained,
+        kmv_retained_partial,
+    )
+
+    df = spark.range(10).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_retained(df, ["g"], "v", 1)
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_retained_partial(df, ["g"], "v", 1)
 
 
 def test_star_cc_matches_minlabel_on_random_graph(spark):
