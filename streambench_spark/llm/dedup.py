@@ -107,11 +107,6 @@ def shingle_postings(
     return posts.distinct() if distinct else posts
 
 
-def shingle_set_sizes(posts: DataFrame) -> DataFrame:
-    """|distinct shingle set| per doc, from the postings (one groupBy)."""
-    return posts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-
-
 def doc_shingle_sets(
     docs: DataFrame, n: int = 3, text_col: str = "text", hash_mode: str = "md5"
 ) -> DataFrame:
@@ -393,7 +388,19 @@ def minhash_lsh_pairs(
     missed with probability (1 - 0.9^2)^8 ≈ 2e-6; the exact verify removes
     all false positives, so output ⊆ ngram_jaccard_pairs with near-1
     recall at high J.
+
+    ``bands`` must divide ``num_hashes`` exactly: trailing signature
+    slots would be computed (paid in every per-shingle aggregate) but
+    never banded — the caller would believe they run num_hashes-hash LSH
+    at lower recall; bands > num_hashes would make rows=0 and a
+    malformed band key (r08 review).
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            "exactly — trailing un-banded hashes would silently lower "
+            "recall"
+        )
     rows = num_hashes // bands
     sets = doc_shingle_sets(docs, n, text_col, hash_mode=hash_mode)
     posts = sets.select("doc_id", F.explode("hsh").alias("h"))

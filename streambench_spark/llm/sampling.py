@@ -82,10 +82,18 @@ def stratified_rate_sample(
     buckets: int = 100,
     salt: str = "",
     hash_mode: str = "md5",
+    on_missing: str = "drop",
 ) -> DataFrame:
     """Deterministic per-stratum Bernoulli-style sampling: keep a document
     iff H32(salt || key) mod buckets < rate[stratum]. ``rates`` maps
     stratum value to a per-cent keep rate (0..buckets).
+
+    ``on_missing`` names the fate of documents whose stratum value is
+    absent from ``rates`` (r08 review: the old inner join deleted them
+    silently — a corpus growing a new lang after the dict was written
+    vanished from the mix with no error): "drop" (default — the original
+    behavior, now stated), "keep" (rate = buckets, pass through), or
+    "error" (fail the job on the first unmapped stratum).
 
     This is the 100 TB mixture-weighting path: the rates table is a tiny
     broadcast dim (one row per language/source), the decision is a
@@ -111,11 +119,47 @@ def stratified_rate_sample(
     # must not terminate the literal
     s = salt.replace("'", "''") if salt else salt
     h = spark_hash32(f"concat('{s}', {key})" if salt else key, mode=hash_mode)
+    joined = _join_stratum_dim(
+        docs, rates_df, stratum_col, "_rate", on_missing,
+        default=F.lit(buckets),
+    )
     return (
-        docs.join(rates_df, stratum_col)
+        joined
         .filter(F.expr(f"{h} % {buckets}") < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def _join_stratum_dim(
+    docs: DataFrame, dim: DataFrame, stratum_col: str, val_col: str,
+    on_missing: str, default,
+) -> DataFrame:
+    """Broadcast stratum-dim join with an explicit unmapped-stratum
+    policy: "drop" (inner join — the historical behavior), "keep" (left
+    join, ``default`` for unmapped), "error" (left join, job fails on
+    the first unmapped value)."""
+    if on_missing == "drop":
+        return docs.join(dim, stratum_col)
+    if on_missing not in ("keep", "error"):
+        raise ValueError(
+            f"on_missing must be drop|keep|error, got {on_missing!r}"
+        )
+    out = docs.join(dim, stratum_col, "left")
+    if on_missing == "error":
+        return out.withColumn(
+            val_col,
+            F.when(
+                F.col(val_col).isNull(),
+                F.assert_true(
+                    F.col(val_col).isNotNull(),
+                    F.concat(
+                        F.lit(f"stratum value unmapped in {val_col} dim: "),
+                        F.col(stratum_col),
+                    ),
+                ).cast(dim.schema[val_col].dataType),
+            ).otherwise(F.col(val_col)),
+        )
+    return out.withColumn(val_col, F.coalesce(F.col(val_col), default))
 
 
 def stratified_topn_sample(
@@ -227,11 +271,16 @@ def upsample_by_rate(
     copies: dict[str, int],
     stratum_col: str = "lang",
     key_col: str = "doc_id",
+    on_missing: str = "drop",
 ) -> DataFrame:
     """Epoch-style deterministic upsampling: repeat each document
     copies[stratum] times, tagging each repeat with an epoch index
     (0-based). The mixture-weighting step that REPEATS rare data (vs
     stratified_rate_sample, which THINS common data).
+
+    ``on_missing``: policy for documents whose stratum is absent from
+    ``copies`` — "drop" (default, historical), "keep" (1 copy), or
+    "error" (see stratified_rate_sample; r08 review).
 
     Broadcast the copies dim, explode a sequence — output grows by the
     repeat factor but the input is read once and never shuffles; epoch
@@ -253,7 +302,9 @@ def upsample_by_rate(
         "ELSE CAST(array() AS ARRAY<INT>) END"
     )
     return (
-        docs.join(copies_df, stratum_col)
+        _join_stratum_dim(
+            docs, copies_df, stratum_col, "_n", on_missing, default=F.lit(1)
+        )
         .withColumn("epoch", F.explode(epochs))
         .withColumn("epoch", F.col("epoch").cast("long"))
         .drop("_n")

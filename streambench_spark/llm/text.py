@@ -194,15 +194,18 @@ def tfidf_top_terms(
     low, i.e. TF-IDF ordering made integer-exact (no float idf, so the
     ranking is bit-identical across engines; ties broken totally).
 
-    Scale shape: ONE shuffle to build (doc_id, term, tf); df is derived
-    from that table by a vocabulary-sized aggregate and joined back on
-    `term`. The vocabulary of a 100 TB web corpus is 10^8-10^9 distinct
-    tokens (URLs, typos, code) — NOT broadcastable, so no broadcast hint:
-    AQE picks broadcast when the measured aggregate is small and a sorted
-    /shuffled hash join on `term` (both sides already partitioned by term
-    from their shuffles) when it isn't. The final top-k is a window over
-    doc_id where WindowGroupLimit pushes a partial limit below the
-    exchange."""
+    Scale shape: the corpus is scanned and tokenized ONCE into
+    (doc_id, term, tf); df comes from a count window over `term` on
+    that same table — NOT a self-join back onto a re-derived tf (the
+    r08 review found the join form re-ran the whole scan+explode+agg
+    pipeline twice: the two references to the lazy `tf` compile to
+    different exchange children, so Catalyst's ReusedExchange never
+    fires). The window costs one exchange of the aggregated tf table
+    by `term` — strictly smaller than a second corpus pass, and the
+    same exchange the non-broadcast join needed anyway; a 10^8-10^9
+    token web vocabulary is not broadcastable, so that was the 100 TB
+    join plan regardless. The final top-k is a window over doc_id
+    where WindowGroupLimit pushes a partial limit below the exchange."""
     from pyspark.sql.window import Window
 
     tk = TOKENS_EXPR.format(col=text_col)
@@ -211,12 +214,12 @@ def tfidf_top_terms(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w_term = Window.partitionBy("term")
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
     )
     return (
-        tf.join(df_counts, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= k)
         .select("doc_id", "term", "tf", "df", "rn")
@@ -290,6 +293,12 @@ def chunk_docs_udtf(
     @udtf(returnType="chunk_idx bigint, chunk_text string, n_tokens bigint")
     class _Chunker:
         def eval(self, text: str):
+            if text is None:
+                # match chunk_docs: a NULL text produces no chunks (its
+                # split/sequence goes NULL and explode drops the row) —
+                # previously this raised AttributeError and failed the
+                # whole job (r08 review)
+                return
             # re.ASCII: Java's \s (the chunk_docs twin) is ASCII-only;
             # Python's default \s also splits on U+00A0 etc., which
             # would diverge on non-ASCII whitespace
@@ -307,10 +316,17 @@ def chunk_docs_udtf(
     view = f"sb_chunk_in_{tag}"
     spark.udtf.register(name, _Chunker)
     docs.select(key_col, text_col).createOrReplaceTempView(view)
-    return spark.sql(
+    out = spark.sql(
         f"SELECT i.{key_col}, c.chunk_idx, c.chunk_text, c.n_tokens "
         f"FROM {view} i, LATERAL {name}(i.{text_col}) c"
     )
+    # analysis is eager (the UDTF object and the view's plan are bound
+    # into `out` above) — drop the uuid-named catalog entries so
+    # repeated calls in a long-lived session don't accumulate one dead
+    # function + one plan-pinning temp view per call (r08 review)
+    spark.catalog.dropTempView(view)
+    spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+    return out
 
 
 # PII scrubbing ------------------------------------------------------------
@@ -511,13 +527,21 @@ def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     drift with partitioning.
 
     Scale shape: bigram extraction is the cheap-index explode (no
-    expensive computed array below the generator); the model is a
-    bigram-keyed aggregate JOINED BY SHUFFLE on (w1, w2) — deliberately
-    not broadcast, a web-scale bigram vocabulary is corpus-sized (the
-    tfidf_top_terms lesson); the prefix-count join rides the same w1
-    key; the scalar V is a 1-row cross join. Per-doc state in the fold
-    is the doc's own bigram list — bounded by document length.
+    expensive computed array below the generator), and the corpus is
+    tokenized into the bigram stream ONCE: c12 and c1 are COUNT WINDOWS
+    over (w1, w2) and (w1) on that stream — not bigram-keyed aggregates
+    joined back onto a re-derived stream (the r08 review found the join
+    form re-ran the scan→split→explode pipeline three times plus once
+    for V: four corpus passes; the two windows cost two exchanges of
+    the bigram stream, which the non-broadcast joins paid anyway — a
+    web-scale bigram vocabulary is corpus-sized, the tfidf_top_terms
+    lesson). V keeps its own unigram scan: it counts tokens of
+    single-token documents too, which never enter the bigram stream.
+    The scalar V is a 1-row cross join. Per-doc state in the fold is
+    the doc's own bigram list — bounded by document length.
     """
+    from pyspark.sql.window import Window
+
     tk = TOKENS_EXPR.format(col=text_col)
     bi = (
         docs.select("doc_id", F.expr(tk).alias("tk"))
@@ -531,15 +555,15 @@ def bigram_logprob_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.expr("tk[pos]").alias("w1"), F.expr("tk[pos + 1]").alias("w2"),
         )
     )
-    c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     v = (
         docs.select(F.explode(F.expr(tk)).alias("w"))
         .agg(F.count_distinct("w").alias("v"))
     )
     terms = (
-        bi.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        bi.withColumn(
+            "c12", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2"))
+        )
+        .withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id", "pos",

@@ -1569,10 +1569,11 @@ FROM terms GROUP BY doc_id
 @register("bigram_lm_score", _BIGRAM_LM_ORACLE, tags=["llm", "text"])
 def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM-based quality scoring: per-doc average log-likelihood under an
-    add-one bigram model trained on the corpus itself. The model is a
-    shuffle-joined bigram aggregate (NOT broadcast — web-scale bigram
-    vocabularies are corpus-sized); the per-doc sum is a position-sorted
-    left fold so the float total is engine-exact."""
+    add-one bigram model trained on the corpus itself. The model counts
+    are count WINDOWS over the single bigram stream (NOT broadcast
+    joins — web-scale bigram vocabularies are corpus-sized, and the r08
+    rewrite cut the corpus passes from four to two); the per-doc sum is
+    a position-sorted left fold so the float total is engine-exact."""
     return text.bigram_logprob_scores(_docs(spark, sf_dir))
 
 

@@ -671,3 +671,59 @@ def test_keep_best_fuzzy_group_ranks_by_length(spark):
     }
     # siteA keeps the LONGER copy (doc 2, 8 tokens), not min id
     assert out == {"siteA": (2, 2, 8), "siteB": (1, 3, 2)}
+
+
+def test_stratum_on_missing_policies(spark):
+    """r08 review: the stratum-dim join silently DELETED documents whose
+    stratum was absent from the dict. "drop" stays the documented
+    default; "keep" passes them through (rate=buckets / 1 copy);
+    "error" fails the job on the first unmapped value."""
+    from pyspark.sql.utils import PythonException
+
+    from streambench_spark.llm.sampling import (
+        stratified_rate_sample,
+        upsample_by_rate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "zh"), (3, "pt")], "doc_id long, lang string"
+    )
+    rates = {"en": 100, "zh": 100}  # 'pt' unmapped
+    assert sorted(
+        r["doc_id"] for r in stratified_rate_sample(docs, rates).collect()
+    ) == [1, 2]
+    assert sorted(
+        r["doc_id"]
+        for r in stratified_rate_sample(docs, rates, on_missing="keep").collect()
+    ) == [1, 2, 3]
+    with pytest.raises(Exception, match="unmapped"):
+        stratified_rate_sample(docs, rates, on_missing="error").collect()
+    copies = {"en": 2, "zh": 1}
+    assert sorted(
+        (r["doc_id"], r["epoch"])
+        for r in upsample_by_rate(docs, copies, on_missing="keep").collect()
+    ) == [(1, 0), (1, 1), (2, 0), (3, 0)]
+    with pytest.raises(ValueError, match="drop|keep|error"):
+        stratified_rate_sample(docs, rates, on_missing="bogus")
+
+
+def test_minhash_lsh_rejects_nondivisible_bands(spark):
+    """r08 review: trailing num_hashes % bands signature slots were
+    computed but never banded — silently lower recall than configured."""
+    docs = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=20, bands=8)
+    with pytest.raises(ValueError, match="divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=24)
+
+
+def test_chunk_docs_udtf_null_text_matches_builtin(spark):
+    """r08 review: NULL text crashed the UDTF twin with AttributeError
+    while the builtin twin dropped the row. Both now drop it."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None)], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, text.chunk_docs(docs, chunk_tokens=2).collect()))
+    b = sorted(map(tuple, text.chunk_docs_udtf(docs, chunk_tokens=2).collect()))
+    assert a == b
+    assert {t[0] for t in a} == {1}
