@@ -407,3 +407,26 @@ def test_abc_prefix_sum_is_distributed_not_single_task(spark):
     # the running sum must NOT be a window over the data columns
     assert "windowspecdefinition(cents" not in plan
     assert "windowspecdefinition(l_partkey" not in plan
+
+
+def test_tfidf_single_corpus_scan(spark):
+    """tfidf_top_terms' r08 re-plan, pinned: document frequency comes
+    from a count window over the ONE (doc_id, term, tf) table — the old
+    self-join onto a re-derived tf compiled to TWO full scan→explode→agg
+    pipelines (different exchange children defeat ReusedExchange)."""
+    plan = _plan(spark, "tfidf_top_terms")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_bigram_lm_two_corpus_scans(spark):
+    """bigram_lm_score's r08 re-plan, pinned: the c12/c1 model counts
+    are windows over the single bigram stream (one corpus scan) plus
+    the separate unigram scan for V (kept deliberately: V counts tokens
+    of single-token docs, which never enter a bigram) — down from four
+    corpus passes in the join form. The only join left is the 1-row
+    broadcast of V."""
+    plan = _plan(spark, "bigram_lm_score")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+    joins = re.findall(r"\(\d+\) (\w*BroadcastNestedLoopJoin|\w*Join\w*)", plan)
+    assert all("BroadcastNestedLoop" in j for j in joins), joins
