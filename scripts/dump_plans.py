@@ -110,10 +110,12 @@ FLAGSHIPS = {
         "TakeOrderedAndProject."
     ),
     "tfidf_top_terms": (
-        "No broadcast hint on the vocabulary aggregate (unbounded at "
-        "corpus scale): AQE picks the term-join strategy; tf and df "
-        "share hash-on-term partitioning; WindowGroupLimit pushes the "
-        "per-doc top-k below the final Exchange."
+        "ONE corpus scan (r08 re-plan, pinned by "
+        "test_tfidf_single_corpus_scan): df is a count window over the "
+        "single (doc_id, term, tf) table — no join, no second "
+        "scan+explode+agg pipeline; one Exchange on term for the df "
+        "window, one on doc_id for the ranking; WindowGroupLimit pushes "
+        "the per-doc top-k below the final Exchange."
     ),
     "skew_salted_enrichment": (
         "Fact side carries the deterministic xxhash64 salt as a narrow "
@@ -184,12 +186,14 @@ FLAGSHIPS = {
         "day- or k-cardinality."
     ),
     "bigram_lm_score": (
+        "TWO corpus scans (r08 re-plan, pinned by "
+        "test_bigram_lm_two_corpus_scans): the c12/c1 model counts are "
+        "count windows over the single bigram stream (two Exchanges of "
+        "that stream — the price the non-broadcast joins paid anyway) "
+        "plus the separate unigram scan for V (single-token docs never "
+        "enter a bigram); the ONLY join is the 1-row broadcast of V. "
         "Bigram extraction: Generate over the cheap index sequence (no "
-        "recomputed-array trap). Model joins carry NO FORCED broadcast "
-        "hint — Catalyst/AQE picks broadcast at bench SF (model fits) "
-        "and falls back to a shuffled join when the vocabulary outgrows "
-        "the threshold at scale (the tfidf_top_terms lesson); only the "
-        "1-row V aggregate is explicitly broadcast. Per-doc fold is one "
+        "recomputed-array trap). Per-doc fold is one "
         "ObjectHashAggregate on doc_id."
     ),
 }
