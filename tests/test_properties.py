@@ -508,3 +508,61 @@ def test_global_prefix_sum_matches_window(spark, values):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3),      # group
+                  st.integers(min_value=-1000, max_value=1000)),  # value
+        min_size=1, max_size=120,
+    ),
+    st.integers(min_value=2, max_value=8),  # k
+)
+@settings(max_examples=8, deadline=None)
+def test_kmv_matches_python_model(spark, rows, k):
+    """kmv_retained == the k smallest distinct md5-portable hashes per
+    group computed by a pure-Python model — validates the whole chain
+    (CAST-to-string, md5 slice, % P, distinct, per-group top-k) end to
+    end, and the map-side-partial twin against the same model (r08)."""
+    from streambench_spark.llm.hashing import MERSENNE_P
+    from streambench_spark.operators.aggregates import (
+        kmv_retained,
+        kmv_retained_partial,
+    )
+
+    df = spark.createDataFrame(rows, "g long, v long").repartition(4)
+    want = {}
+    for g, v in rows:
+        want.setdefault(g, set()).add(_h32(str(v)) % MERSENNE_P)
+    model = sorted(
+        (g, h)
+        for g, hs in want.items()
+        for h in sorted(hs)[:k]
+    )
+    got = sorted(map(tuple, kmv_retained(df, ["g"], "v", k).collect()))
+    assert got == model
+    got_p = sorted(map(tuple, kmv_retained_partial(df, ["g"], "v", k).collect()))
+    assert got_p == model
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+             max_size=100, unique=True),
+)
+@settings(max_examples=8, deadline=None)
+def test_with_split_matches_python_model(spark, ids):
+    """The split assignment == the pure-Python md5 model bucket-for-
+    bucket — the property that lets an external system (or a future
+    engine migration) reproduce the exact same train/val/test
+    membership from the key alone."""
+    from streambench_spark.llm.sampling import with_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in with_split(df).collect()
+    }
+    for i in ids:
+        b = _h32(str(i)) % 100
+        split = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert got[i] == (b, split)
