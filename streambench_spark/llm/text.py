@@ -333,10 +333,13 @@ def chunk_docs_udtf(
 
 # Pattern set kept to the Java-regex ∩ RE2 common subset so the DuckDB
 # oracle evaluates the identical automaton: no backrefs, no lookaround.
+# (?i) is in that subset (both engines fold ASCII a-z identically and the
+# classes contain only ASCII letters); without it `Alice@Example.COM` and
+# `HTTPS://` were neither counted nor redacted (r08 verdict order).
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
-    ("url", r"https?://[a-z0-9./_-]+", "<URL>"),
-    ("phone", r"[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("email", r"(?i)[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
+    ("url", r"(?i)https?://[a-z0-9./_-]+", "<URL>"),
+    ("phone", r"(?i)[0-9]{3}-[0-9]{4}", "<PHONE>"),
 )
 
 

@@ -503,10 +503,10 @@ def _pii_oracle() -> str:
         SELECT doc_id,
                text
                || CASE WHEN doc_id % 5 = 0
-                       THEN ' mail u' || CAST(doc_id AS VARCHAR)
-                            || '@example.com now' ELSE '' END
+                       THEN ' mail U' || CAST(doc_id AS VARCHAR)
+                            || '@Example.COM now' ELSE '' END
                || CASE WHEN doc_id % 7 = 0
-                       THEN ' see https://docs.example.org/p/'
+                       THEN ' see HTTPS://Docs.Example.org/p/'
                             || CAST(doc_id AS VARCHAR) || ' ok' ELSE '' END
                || CASE WHEN doc_id % 11 = 0
                        THEN ' call 555-'
@@ -533,20 +533,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The synthetic corpus carries no PII, so a deterministic doc_id-keyed
     injection runs first — same expression in the oracle — proving the
-    redaction automata on text that actually matches. One codegen stage
-    over the scan; no shuffle, no Python."""
+    redaction automata on text that actually matches. The injected email
+    and URL are deliberately mixed-case (`@Example.COM`, `HTTPS://`) so
+    the `(?i)` automata are exercised cross-engine, not just in pytest.
+    One codegen stage over the scan; no shuffle, no Python."""
     docs = _docs(spark, sf_dir)
     did = F.col("doc_id")
     injected = F.concat(
         F.col("text"),
         F.when(
             did % 5 == 0,
-            F.concat(F.lit(" mail u"), did.cast("string"), F.lit("@example.com now")),
+            F.concat(F.lit(" mail U"), did.cast("string"), F.lit("@Example.COM now")),
         ).otherwise(""),
         F.when(
             did % 7 == 0,
             F.concat(
-                F.lit(" see https://docs.example.org/p/"), did.cast("string"), F.lit(" ok")
+                F.lit(" see HTTPS://Docs.Example.org/p/"), did.cast("string"), F.lit(" ok")
             ),
         ).otherwise(""),
         F.when(

@@ -234,6 +234,43 @@ def test_doc_stats_values(spark):
     assert abs(r["avg_token_len"] - 17 / 6) < 1e-6
 
 
+def test_scrub_pii_mixed_case(spark):
+    """r08 verdict order: the PII automata must be case-insensitive.
+    `Alice@Example.COM` and `HTTPS://...` were previously neither counted
+    nor redacted; the fixture pins the fix and cross-checks the identical
+    (?i) patterns under DuckDB/RE2 so the frozen oracle can't drift."""
+    import hashlib
+
+    import duckdb
+
+    fixtures = [
+        (1, "mail Alice@Example.COM now", "mail <EMAIL> now"),
+        (2, "see HTTPS://Docs.Example.org/P/1 ok", "see <URL> ok"),
+        (3, "call 555-0199 or visit http://x.io/a", "call <PHONE> or visit <URL>"),
+        (4, "plain text, no pii at all", "plain text, no pii at all"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t, _ in fixtures], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in text.scrub_pii(docs).collect()}
+    assert (rows[1]["n_email"], rows[1]["n_url"], rows[1]["n_phone"]) == (1, 0, 0)
+    assert (rows[2]["n_email"], rows[2]["n_url"], rows[2]["n_phone"]) == (0, 1, 0)
+    assert (rows[3]["n_email"], rows[3]["n_url"], rows[3]["n_phone"]) == (0, 1, 1)
+    assert (rows[4]["n_email"], rows[4]["n_url"], rows[4]["n_phone"]) == (0, 0, 0)
+    for i, _, scrubbed in fixtures:
+        assert rows[i]["scrubbed_md5"] == hashlib.md5(scrubbed.encode()).hexdigest()
+
+    # RE2 evaluates the same automata: per-pattern counts must agree on
+    # the mixed-case fixture (the registry gate only sees corpus text)
+    con = duckdb.connect()
+    for i, raw, _ in fixtures:
+        for kind, pat, _repl in text.PII_PATTERNS:
+            (n,) = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [raw, pat]
+            ).fetchone()
+            assert n == rows[i][f"n_{kind}"], (i, kind)
+
+
 def test_lang_id_deterministic_argmax(spark):
     docs = spark.createDataFrame(
         [(1, "der hund und die katze"), (2, "the quick fox and the dog")],
