@@ -1034,16 +1034,14 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 #
 # The verify driver checks the FIRST 50 entries of queries() against their
 # oracles. The rotation CLOSED in r06: all 219 registry names hold a driver
-# CORRECTNESS row. Round 8 invokes the r05/r06 pre-committed DRIVER-SIDE
-# EXCLUSION for events_partitioned_source (see _DRIVER_EXCLUDED below): the
-# slot is no longer re-spent, so every one of the 50 slots is a
-# re-verification of the OLDEST surviving green proofs. Proof ages computed
-# from the recorded CORRECTNESS_r*.json files (latest green round per
-# name): 21 names bottom out at r02 (never re-windowed since — the r06
-# refresh covered the other r02-era names), ysb_trigger_early_fire at r03
-# (T4's driver proof, the r07 deferral, VERDICT r07 item 2), and the
-# remaining 28 slots take the alphabetically-first of the 49 r04-era
-# proofs. The 21 r04 leftovers lead the r09 window.
+# CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
+# green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
+# latest green round per name — scripts/rotation_plan.py derives the window
+# mechanically). Round 9 (VERDICT r08 items 1-2): one slot goes to
+# pii_scrub, whose r07 proof is stale by definition after the ordered (?i)
+# oracle fix landed (llm/text.py PII_PATTERNS); the other 49 are the 21
+# r04-era leftovers plus the 28 alphabetically-first of the 29 r05-era
+# proofs (null_semantics_audit, last alphabetically, rolls to r10).
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1064,59 +1062,60 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # 21 r02-era proofs (stalest in the ledger)
-    "analytic_rank_functions",
-    "asof_join_attribution",
-    "cohort_retention",
-    "cube_order_priority_status",
-    "funnel_conversion",
-    "grep_docs",
-    "interval_join_left_outer_streaming",
-    "interval_join_streaming",
-    "kmv_distinct_users",
-    "lag_event_deltas",
-    "moving_avg_value",
-    "pivot_user_event_matrix",
-    "rank_top_orders_per_customer",
-    "rollup_revenue",
-    "setops_viewers_and_buyers",
-    "setops_viewers_not_buyers",
-    "skew_salted_enrichment",
-    "top_k_users",
-    "user_state_history",
-    "value_histogram",
-    "wordcount_top20",
-    # the single r03 leftover (T4 trigger/early-fire semantics)
-    "ysb_trigger_early_fire",
-    # 28 of the 49 r04-era proofs (alphabetical; rest lead r09)
-    "asof_join_cogrouped_attribution",
-    "audio_segment_plan",
-    "binary_features",
-    "bloom_decontaminate",
-    "bloom_join_prune",
-    "bpe_pair_counts",
-    "canonical_per_source",
-    "chunk_docs_overlap",
-    "cms_heavy_hitters",
-    "cms_streaming_merge",
-    "compacted_events_source",
-    "contamination_scores",
-    "copurchase_triangles",
-    "corpus_stats",
-    "doc_fingerprint",
-    "edit_distance_neighbors",
-    "embedding_ivf_topk",
-    "embedding_quantize_int8",
-    "embedding_topk_cosine",
-    "events_csv_source",
-    "events_json_source",
-    "events_orc_source",
-    "events_schema_evolution_source",
-    "frame_sampling_plan",
-    "gopher_quality_rules",
-    "image_resize",
-    "interval_join_full_outer_streaming",
-    "kafka_wire_roundtrip",
+    # ordered re-proof: the (?i) PII fix changed this frozen oracle, so its
+    # r07 row no longer proves the current automata (VERDICT r08 item 1)
+    "pii_scrub",
+    # the 21 r04-era leftovers (stalest surviving proofs in the ledger)
+    "kmeans_iterations",
+    "kmv_daily_rollup",
+    "neardup_clusters",
+    "neardup_containment",
+    "neardup_embedding_cosine",
+    "neardup_lsh_recall_report",
+    "neardup_ngram_jaccard",
+    "pca_top_component",
+    "repetition_stats",
+    "sequence_packing",
+    "session_windows_dynamic_gap",
+    "session_windows_dynamic_gap_streaming",
+    "session_windows_edges",
+    "simhash_fingerprint",
+    "stratified_sample",
+    "streaming_minhash_dedup",
+    "tpch_q12_shipping_modes",
+    "training_mix_pipeline",
+    "upsample_epochs",
+    "ysb_sql",
+    "zorder_layout_keys",
+    # 28 of the 29 r05-era proofs (alphabetical; null_semantics_audit → r10)
+    "abc_classification",
+    "activity_gini",
+    "benford_digit_test",
+    "bigram_lm_score",
+    "cdc_latest_state",
+    "cdc_with_deletes",
+    "clamped_running_balance",
+    "cms_join_size_estimate",
+    "collated_event_types",
+    "conversion_rate_ci",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "embedding_covariance",
+    "embedding_norm_stats",
+    "equidepth_histogram",
+    "ewma_hourly_value",
+    "frequent_itempairs",
+    "funnel_time_to_convert",
+    "grouping_sets_revenue",
+    "histogram_sketch_quantiles",
+    "hourly_anomalies",
+    "interarrival_histogram",
+    "kmeans_assign_step",
+    "ks_value_drift",
+    "lateral_top_orders",
+    "mad_by_type",
+    "mannwhitney_value_drift",
+    "modal_value_by_type",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;
