@@ -628,6 +628,26 @@ def test_bigram_lm_scores_frequent_transitions_higher(spark):
     assert got[1]["n_bigrams"] == 59
 
 
+def test_skew_safe_twins_bit_identical(spark):
+    """The skew_safe=True persist+join plans (the 100 TB path for Zipfian
+    hot keys, r08 advice) must reproduce the default count-window plans
+    bit-for-bit, including the float fold in the bigram scores, and must
+    contain no hot-key-partitioned window (the hazard they exist to
+    avoid)."""
+    from streambench_spark.llm.text import bigram_logprob_scores, tfidf_top_terms
+
+    corpus = load_table(spark, SF_DIR, "documents").limit(200)
+    for fn in (tfidf_top_terms, bigram_logprob_scores):
+        base = sorted(map(tuple, fn(corpus).collect()))
+        safe_df = fn(corpus, skew_safe=True)
+        assert sorted(map(tuple, safe_df.collect())) == base
+        plan = spark._sc._jvm.PythonSQLUtils.explainString(
+            safe_df._jdf.queryExecution(), "formatted"
+        )
+        for key in ("term", "w1"):
+            assert f"windowspecdefinition({key}" not in plan, fn.__name__
+
+
 def test_rate_sample_salt_decorrelates_from_split(spark):
     """Composing an UNSALTED rate sample after the train-split filter
     reuses the same H(key) mod 100 draw: the intersection collapses to
