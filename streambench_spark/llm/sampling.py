@@ -146,12 +146,16 @@ def _join_stratum_dim(
         )
     out = docs.join(dim, stratum_col, "left")
     if on_missing == "error":
+        # raise_error directly in the lazily-evaluated when() branch — the
+        # old assert_true(col IS NOT NULL) inside the col-IS-NULL branch
+        # was correct but relied on the optimizer never folding a
+        # trivially-false assertion condition through the branch (r08
+        # advice); the dedicated error expression has no condition to fold
         return out.withColumn(
             val_col,
             F.when(
                 F.col(val_col).isNull(),
-                F.assert_true(
-                    F.col(val_col).isNotNull(),
+                F.raise_error(
                     F.concat(
                         F.lit(f"stratum value unmapped in {val_col} dim: "),
                         F.col(stratum_col),

@@ -214,7 +214,20 @@ class PeriodicStatsReporter:
             # is lost or double-counted
             factory, self.query = self.query, None
             self._streams().addListener(self._listener)
-            self.query = factory()
+            try:
+                self.query = factory()
+            except BaseException:
+                # query never started: with query=None the listener would
+                # buffer every progress event from every query on the
+                # session indefinitely (r08 advice) — unhook it and drop
+                # the buffer before propagating
+                try:
+                    self._streams().removeListener(self._listener)
+                except Exception:
+                    pass
+                with self._lock:
+                    self._pending.clear()
+                raise
             with self._lock:
                 pending, self._pending = self._pending, []
             for p in pending:

@@ -526,6 +526,41 @@ def test_periodic_stats_reporter(spark):
     assert lines and "KRec/s" in lines[-1]
 
 
+def test_periodic_stats_reporter_unhooks_on_factory_failure(spark):
+    """If the query factory raises, start() must unregister the listener
+    and drop the pending buffer — otherwise a listener with query=None
+    stays on the session bus buffering every other query's progress
+    events forever (r08 advice)."""
+    import pytest
+
+    from streambench_spark.streaming.listeners import PeriodicStatsReporter
+
+    class _Bus:
+        def __init__(self):
+            self.added = []
+            self.removed = []
+
+        def addListener(self, listener):
+            self.added.append(listener)
+
+        def removeListener(self, listener):
+            self.removed.append(listener)
+
+    bus = _Bus()
+
+    def boom():
+        raise RuntimeError("query failed to start")
+
+    rep = PeriodicStatsReporter(boom, interval_s=0.5)
+    rep._streams = lambda: bus
+    rep._pending.append(object())  # an event racing in before the failure
+    with pytest.raises(RuntimeError, match="query failed to start"):
+        rep.start()
+    assert bus.removed == bus.added == [rep._listener]
+    assert rep._pending == []
+    assert not rep._thread.is_alive()
+
+
 def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
     """T6: a replayed batch_id (at-least-once foreachBatch after restart)
     must not duplicate rows in the committed output."""
