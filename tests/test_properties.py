@@ -566,3 +566,32 @@ def test_with_split_matches_python_model(spark, ids):
         b = _h32(str(i)) % 100
         split = "train" if b < 90 else ("val" if b < 95 else "test")
         assert got[i] == (b, split)
+
+
+_SKEW_TEXTS = st.lists(
+    st.sampled_from(
+        # hot token everywhere + rare tokens + whitespace/empty edges
+        ["the the the", "the cat sat", "zz yy xx the", "the", "  ",
+         "one", "the the", "a b c d the"]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(_SKEW_TEXTS)
+@settings(max_examples=10, deadline=None)
+def test_skew_safe_twins_match_on_random_corpora(spark, texts):
+    """skew_safe=True (persist + partial-agg + join) must equal the
+    default count-window plan on ADVERSARIAL corpora the real-corpus
+    equality test never sees: every doc sharing one hot token, single-
+    token docs, whitespace-only docs (empty-string tokens), duplicate
+    texts — including the bigram float fold, which is the part a plan
+    change could most plausibly disturb."""
+    from streambench_spark.llm.text import bigram_logprob_scores, tfidf_top_terms
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    for fn in (tfidf_top_terms, bigram_logprob_scores):
+        base = sorted(map(tuple, fn(docs).collect()))
+        safe = sorted(map(tuple, fn(docs, skew_safe=True).collect()))
+        assert safe == base, (fn.__name__, texts)
