@@ -353,9 +353,12 @@ def chunk_docs_udtf(
 
 # Pattern set kept to the Java-regex ∩ RE2 common subset so the DuckDB
 # oracle evaluates the identical automaton: no backrefs, no lookaround.
-# (?i) is in that subset (both engines fold ASCII a-z identically and the
-# classes contain only ASCII letters); without it `Alice@Example.COM` and
-# `HTTPS://` were neither counted nor redacted (r08 verdict order).
+# (?i) is in that subset (both engines fold ASCII a-z identically); without
+# it `Alice@Example.COM` and `HTTPS://` were neither counted nor redacted
+# (r08 verdict order). Case-folding only matters where a class contains
+# letters (email, url); on the digits-and-hyphen phone pattern (?i) is a
+# semantic no-op kept purely for pattern-set uniformity (ADVICE r09) — the
+# oracle is generated from these tuples, so the strings stay frozen.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"(?i)[a-z0-9._]+@[a-z0-9.]+[a-z]", "<EMAIL>"),
     ("url", r"(?i)https?://[a-z0-9./_-]+", "<URL>"),

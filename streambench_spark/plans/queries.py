@@ -1037,11 +1037,12 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 9 (VERDICT r08 items 1-2): one slot goes to
-# pii_scrub, whose r07 proof is stale by definition after the ordered (?i)
-# oracle fix landed (llm/text.py PII_PATTERNS); the other 49 are the 21
-# r04-era leftovers plus the 28 alphabetically-first of the 29 r05-era
-# proofs (null_semantics_audit, last alphabetically, rolls to r10).
+# mechanically). Round 10 (VERDICT r09 item 2, cohort sizes corrected per
+# ADVICE r09 item 1): the stalest surviving proofs are the 21 r05-era names
+# (null_semantics_audit alphabetically first) plus the 29 alphabetically-
+# first of the 49 r06-era names (the remaining 20 r06-era proofs roll to
+# r11) — derived by scripts/rotation_plan.py from the CORRECTNESS ledger,
+# not from any verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1062,60 +1063,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # ordered re-proof: the (?i) PII fix changed this frozen oracle, so its
-    # r07 row no longer proves the current automata (VERDICT r08 item 1)
-    "pii_scrub",
-    # the 21 r04-era leftovers (stalest surviving proofs in the ledger)
-    "kmeans_iterations",
-    "kmv_daily_rollup",
-    "neardup_clusters",
-    "neardup_containment",
-    "neardup_embedding_cosine",
-    "neardup_lsh_recall_report",
-    "neardup_ngram_jaccard",
-    "pca_top_component",
-    "repetition_stats",
-    "sequence_packing",
-    "session_windows_dynamic_gap",
-    "session_windows_dynamic_gap_streaming",
-    "session_windows_edges",
-    "simhash_fingerprint",
-    "stratified_sample",
-    "streaming_minhash_dedup",
-    "tpch_q12_shipping_modes",
-    "training_mix_pipeline",
-    "upsample_epochs",
-    "ysb_sql",
-    "zorder_layout_keys",
-    # 28 of the 29 r05-era proofs (alphabetical; null_semantics_audit → r10)
-    "abc_classification",
-    "activity_gini",
-    "benford_digit_test",
-    "bigram_lm_score",
-    "cdc_latest_state",
-    "cdc_with_deletes",
-    "clamped_running_balance",
-    "cms_join_size_estimate",
-    "collated_event_types",
-    "conversion_rate_ci",
-    "dedup_keep_best",
-    "embedding_centroids",
-    "embedding_covariance",
-    "embedding_norm_stats",
-    "equidepth_histogram",
-    "ewma_hourly_value",
-    "frequent_itempairs",
-    "funnel_time_to_convert",
-    "grouping_sets_revenue",
-    "histogram_sketch_quantiles",
-    "hourly_anomalies",
-    "interarrival_histogram",
-    "kmeans_assign_step",
-    "ks_value_drift",
-    "lateral_top_orders",
-    "mad_by_type",
-    "mannwhitney_value_drift",
-    "modal_value_by_type",
+    # the 21 r05-era leftovers (stalest surviving proofs in the ledger)
+    "null_semantics_audit",
+    "observed_metrics",
+    "pca_variance_explained",
+    "profile_columns",
+    "psi_value_drift",
+    "range_frame_analytics",
+    "recursive_date_spine",
+    "relational_division",
+    "revenue_pareto",
+    "revenue_share_by_type",
+    "rfm_segments",
+    "segment_linear_trend",
+    "snapshot_diff",
+    "table_checksums",
+    "top_event_paths",
+    "twap_value_per_user",
+    "user_activity_map",
+    "validate_events",
+    "value_autocorr",
+    "variant_json_extract",
+    "weighted_sample",
+    # 29 of the 49 r06-era proofs (alphabetical; the other 20 roll to r11)
+    "copurchase_degree_distribution",
+    "cross_join_metrics",
+    "cumulative_unique_users",
+    "daily_value_bands",
+    "dau_mau_stickiness",
+    "filter_project",
+    "generator_events",
+    "generator_events_flink",
+    "global_percentiles",
+    "grouped_max",
+    "grouped_percentiles",
+    "hapax_ratio_by_source",
+    "hourly_ccf_purchase_error",
+    "hypertable_rollup",
+    "hypertable_rollup_streaming",
+    "incremental_mv",
+    "interval_self_join",
+    "interval_self_join_banded",
+    "ip_pack_pairs",
+    "json_roundtrip",
+    "kmv_set_operations",
+    "longest_active_streak",
+    "moments_by_type",
+    "new_vs_returning_daily",
+    "session_bounce_rate",
+    "session_conversion_rate",
+    "session_type_affinity",
+    "session_windows",
+    "session_windows_streaming",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;

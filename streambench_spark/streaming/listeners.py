@@ -227,6 +227,10 @@ class PeriodicStatsReporter:
                     pass
                 with self._lock:
                     self._pending.clear()
+                # restore the factory so a retried start() re-enters this
+                # branch instead of registering with query permanently None
+                # (ADVICE r09)
+                self.query = factory
                 raise
             with self._lock:
                 pending, self._pending = self._pending, []

@@ -559,6 +559,14 @@ def test_periodic_stats_reporter_unhooks_on_factory_failure(spark):
     assert bus.removed == bus.added == [rep._listener]
     assert rep._pending == []
     assert not rep._thread.is_alive()
+    # the factory must be restored so a retried start() re-enters the
+    # factory branch instead of registering with query permanently None
+    # (ADVICE r09) — the retry fails identically, not silently
+    assert rep.query is boom
+    with pytest.raises(RuntimeError, match="query failed to start"):
+        rep.start()
+    assert rep.query is boom
+    assert len(bus.added) == len(bus.removed) == 2
 
 
 def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
