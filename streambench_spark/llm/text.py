@@ -215,8 +215,13 @@ def tfidf_top_terms(
     self-reference would re-scan the corpus; the ContextCleaner drops
     the cache when the plan is GC'd), partially-aggregate df per term
     (map-side combine makes the hot key one row per map partition, so
-    the df shuffle is skew-free), and join it back — a shuffle join AQE
-    CAN skew-split. Same output bit-for-bit (tested); measured at
+    the df shuffle is skew-free), lazily localCheckpoint the tiny df
+    table, and join it back — a shuffle join AQE genuinely skew-splits
+    (plan-proven: `skew=true` on the executed join; the checkpoint is
+    required — r10 measured that OptimizeSkewedJoin's Sort-over-stage
+    pattern never matches when the counts side still carries its final
+    HashAggregate, leaving the hot term one unsplittable task).
+    Same output bit-for-bit (tested); measured at
     sf0.1/local[32] the window form is ~1.2x faster (0.65 s vs 0.78 s,
     median-of-3 — no hot key at that scale), which is why it stays the
     default and the benched plan."""
@@ -233,7 +238,20 @@ def tfidf_top_terms(
     )
     if skew_safe:
         tf = tf.persist()
-        dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # the lazy localCheckpoint is LOAD-BEARING for the skew escape:
+        # AQE's OptimizeSkewedJoin pattern-matches a join whose children
+        # are Sort directly over a shuffle stage, and the counts side
+        # would otherwise carry its FINAL HashAggregate between the two
+        # — the rule never matches and the hot term's join partition
+        # stays one unsplittable task (measured r10: plain sides split
+        # with skew=true, aggregate sides never do). Truncating the
+        # tiny per-term counts to a checkpointed scan restores the
+        # pattern; eager=False keeps the return fully lazy.
+        dfc = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .localCheckpoint(eager=False)
+        )
         with_df = tf.join(dfc, "term")
     else:
         with_df = tf.withColumn(
@@ -576,7 +594,9 @@ def bigram_logprob_scores(
     the 100 TB plan: persist the bigram stream once (single scan), fold
     c12/c1 into tiny per-key count tables via map-side partial
     aggregation (the hot key collapses to one row per map partition),
-    and attach them with shuffle joins AQE can skew-split. Output is
+    lazily localCheckpoint them, and attach them with shuffle joins AQE
+    genuinely skew-splits (plan-proven `skew=true`; the checkpoints are
+    required — see tfidf_top_terms and SCALE.md r10). Output is
     bit-identical (tested): lp depends only on (w1, w2) counts and the
     per-doc left-fold order never changes. Measured at sf0.1/local[32]
     the window form is ~2.5x faster (0.34 s vs 0.84 s, median-of-3 —
@@ -604,8 +624,21 @@ def bigram_logprob_scores(
     )
     if skew_safe:
         bi = bi.persist()
-        c12 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-        c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+        # lazy localCheckpoints are LOAD-BEARING (see tfidf_top_terms):
+        # without them the count tables' final HashAggregates defeat
+        # OptimizeSkewedJoin's Sort-over-stage pattern match and the hot
+        # w1's join partition stays one unsplittable task — exactly the
+        # straggler this knob exists to avoid (measured r10)
+        c12 = (
+            bi.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c12"))
+            .localCheckpoint(eager=False)
+        )
+        c1 = (
+            bi.groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("c1"))
+            .localCheckpoint(eager=False)
+        )
         counted = bi.join(c12, ["w1", "w2"]).join(c1, ["w1"])
     else:
         counted = bi.withColumn(

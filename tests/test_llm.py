@@ -648,6 +648,65 @@ def test_skew_safe_twins_bit_identical(spark):
             assert f"windowspecdefinition({key}" not in plan, fn.__name__
 
 
+def test_skew_safe_twin_joins_actually_aqe_skew_split(spark):
+    """The knob's whole value proposition, plan-proven: on a hot-key
+    corpus with skew thresholds scaled to test size, the EXECUTED
+    skew_safe join plans carry `skew=true` — i.e. AQE really splits the
+    hot partition. The r10 probe found the original twins could never
+    split: OptimizeSkewedJoin pattern-matches Sort-directly-over-stage
+    children, and the counts side's final HashAggregate defeated the
+    match, silently leaving the hot term/w1 one unsplittable task. The
+    lazy localCheckpoint of the count tables is what restores the
+    pattern; this test fails if anyone removes it."""
+    import pyspark.sql.functions as F
+
+    from streambench_spark.llm.text import (
+        bigram_logprob_scores,
+        tfidf_top_terms,
+    )
+
+    docs = spark.range(120_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', 'the', concat('t', pmod(hash(id*3), 30000)), "
+            "concat('t', pmod(hash(id*3+1), 30000)))"
+        ).alias("text"),
+    )
+    confs = {
+        # scale skew detection down to the fixture's hot-partition size;
+        # production uses the defaults (256 MB) — the mechanism is the
+        # same, only the trip point moves
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for fn in (tfidf_top_terms, bigram_logprob_scores):
+            df = fn(docs, skew_safe=True)
+            df.write.format("noop").mode("overwrite").save()
+            # the write plans its own execution; re-execute the frame's
+            # OWN queryExecution so the adaptive plan finalizes on it
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "skew=true" in plan, (
+                f"{fn.__name__}: no skew-split in the executed join — "
+                "the hot key is one unsplittable task again"
+            )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.catalog.clearCache()
+
+
 def test_rate_sample_salt_decorrelates_from_split(spark):
     """Composing an UNSALTED rate sample after the train-split filter
     reuses the same H(key) mod 100 draw: the intersection collapses to
