@@ -913,9 +913,14 @@ def q_skew_salted_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     salt+replicate rewrite is row-for-row identical. At 100 TB this is
     the shape for a non-broadcastable dim with hot keys (a power user
     with 1e8 events spreads over `buckets` reducers instead of one);
-    AQE's skew-join split handles sort-merge skew, but salting also
-    covers the shuffled-hash and aggregate-after-join paths AQE can't
-    re-balance."""
+    AQE's skew-join split handles sort-merge skew between plain scans,
+    but salting also covers the shuffled-hash and aggregate-fed join
+    paths AQE can't re-balance — and this query IS one: the dim is an
+    aggregate of events, and OptimizeSkewedJoin never matches a join
+    whose child carries a final HashAggregate between the sort and the
+    shuffle stage (measured r10, SCALE.md — the finding behind the
+    skew_safe twins' localCheckpoint fix), so the salt is the only
+    mechanism that actually spreads a hot user here."""
     from streambench_spark.operators.relational import salted_join
 
     ev = load_table(spark, sf_dir, "events")
