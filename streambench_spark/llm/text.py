@@ -222,9 +222,11 @@ def tfidf_top_terms(
     pattern never matches when the counts side still carries its final
     HashAggregate, leaving the hot term one unsplittable task).
     Same output bit-for-bit (tested); measured at
-    sf0.1/local[32] the window form is ~1.2x faster (0.65 s vs 0.78 s,
-    median-of-3 — no hot key at that scale), which is why it stays the
-    default and the benched plan."""
+    sf0.1/local[32] post-fix the two are at parity (0.83 s window vs
+    0.78 s twin, median-of-3 — no hot key at that scale), and on a
+    hot-key corpus the twin is 2.4x faster at 2M docs with 0.70x the
+    exchange volume (SCALE.md r10). The window stays the default and
+    benched plan: it needs no cache/checkpoint state."""
     from pyspark.sql.window import Window
 
     tk = TOKENS_EXPR.format(col=text_col)
@@ -599,9 +601,11 @@ def bigram_logprob_scores(
     required — see tfidf_top_terms and SCALE.md r10). Output is
     bit-identical (tested): lp depends only on (w1, w2) counts and the
     per-doc left-fold order never changes. Measured at sf0.1/local[32]
-    the window form is ~2.5x faster (0.34 s vs 0.84 s, median-of-3 —
-    the cache write dominates when no key is hot), so it stays the
-    default and the benched plan.
+    post-fix the window form is ~1.2x faster (0.98 s vs 1.19 s,
+    median-of-3 — the cache/checkpoint writes dominate when no key is
+    hot), while on a hot-key corpus the twin is 2.3x faster at 2M docs
+    (SCALE.md r10), so the window stays the default and benched plan
+    for organic corpora.
     """
     from pyspark.sql.window import Window
 
