@@ -644,6 +644,14 @@ def test_skew_safe_twins_bit_identical(spark):
         plan = spark._sc._jvm.PythonSQLUtils.explainString(
             safe_df._jdf.queryExecution(), "formatted"
         )
+        # SCOPE NOTE (r10): since the count tables are localCheckpointed,
+        # their computation is lineage-truncated — this assertion covers
+        # the stream/join side of the plan, not the inside of the
+        # checkpoint. The checkpoint's presence is itself asserted (the
+        # ExistingRDD scan), because it is what makes the join
+        # AQE-skew-splittable (test_skew_safe_twin_joins_actually_
+        # aqe_skew_split pins the engagement)
+        assert "ExistingRDD" in plan, fn.__name__
         for key in ("term", "w1"):
             assert f"windowspecdefinition({key}" not in plan, fn.__name__
 
