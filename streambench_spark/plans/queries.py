@@ -1037,12 +1037,12 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 10 (VERDICT r09 item 2, cohort sizes corrected per
-# ADVICE r09 item 1): the stalest surviving proofs are the 21 r05-era names
-# (null_semantics_audit alphabetically first) plus the 29 alphabetically-
-# first of the 49 r06-era names (the remaining 20 r06-era proofs roll to
-# r11) — derived by scripts/rotation_plan.py from the CORRECTNESS ledger,
-# not from any verdict's cohort naming.
+# mechanically). Round 11 (VERDICT r10 item 1): the stalest surviving
+# proofs are the 20 remaining r06-era names (sliding_window_counts
+# alphabetically first) plus the 30 alphabetically-first of the 48 r07-era
+# names (ending at tpch_q16_supplier_part_counts) — derived by
+# scripts/rotation_plan.py from the CORRECTNESS ledger, not from any
+# verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1063,58 +1063,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 21 r05-era leftovers (stalest surviving proofs in the ledger)
-    "null_semantics_audit",
-    "observed_metrics",
-    "pca_variance_explained",
-    "profile_columns",
-    "psi_value_drift",
-    "range_frame_analytics",
-    "recursive_date_spine",
-    "relational_division",
-    "revenue_pareto",
-    "revenue_share_by_type",
-    "rfm_segments",
-    "segment_linear_trend",
-    "snapshot_diff",
-    "table_checksums",
-    "top_event_paths",
-    "twap_value_per_user",
-    "user_activity_map",
-    "validate_events",
-    "value_autocorr",
-    "variant_json_extract",
-    "weighted_sample",
-    # 29 of the 49 r06-era proofs (alphabetical; the other 20 roll to r11)
-    "copurchase_degree_distribution",
-    "cross_join_metrics",
-    "cumulative_unique_users",
-    "daily_value_bands",
-    "dau_mau_stickiness",
-    "filter_project",
-    "generator_events",
-    "generator_events_flink",
-    "global_percentiles",
-    "grouped_max",
-    "grouped_percentiles",
-    "hapax_ratio_by_source",
-    "hourly_ccf_purchase_error",
-    "hypertable_rollup",
-    "hypertable_rollup_streaming",
-    "incremental_mv",
-    "interval_self_join",
-    "interval_self_join_banded",
-    "ip_pack_pairs",
-    "json_roundtrip",
-    "kmv_set_operations",
-    "longest_active_streak",
-    "moments_by_type",
-    "new_vs_returning_daily",
-    "session_bounce_rate",
-    "session_conversion_rate",
-    "session_type_affinity",
-    "session_windows",
-    "session_windows_streaming",
+    # the 20 remaining r06-era proofs (stalest surviving in the ledger)
+    "sliding_window_counts",
+    "sliding_window_streaming",
+    "source_vocab_overlap",
+    "split_ngram_coverage",
+    "stateful_running_counts",
+    "stateful_value_stats",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "token_dispersion",
+    "user_behavior_entropy",
+    "weekday_seasonality",
+    "weekly_revenue_growth",
+    "windowed_collect",
+    "windowed_distinct_users",
+    "windowed_global_sum",
+    "ysb",
+    "ysb_10s",
+    "ysb_streaming",
+    "ysb_streaming_append",
+    "zipf_slope",
+    # 30 of the 48 r07-era proofs (alphabetical; the other 18 roll to r12)
+    "chi2_independence",
+    "chunk_docs",
+    "copurchase_pagerank",
+    "corpus_clean_pipeline",
+    "dataset_shuffle",
+    "dataset_split",
+    "decontaminate",
+    "doc_stats",
+    "embedding_lsh_multiprobe_topk",
+    "embedding_lsh_topk",
+    "event_transition_matrix",
+    "exact_dedup",
+    "full_outer_activity",
+    "lang_id",
+    "minhash_lsh_neardup",
+    "mixture_rate_sample",
+    "neardup_embedding_lsh",
+    "neardup_ngram_jaccard_capped",
+    "ohlc_hourly_bars",
+    "quality_filter",
+    "span_dedup",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "token_counts",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;
