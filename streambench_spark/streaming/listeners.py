@@ -213,8 +213,11 @@ class PeriodicStatsReporter:
             # delivered exactly once (buffered XOR direct), so nothing
             # is lost or double-counted
             factory, self.query = self.query, None
-            self._streams().addListener(self._listener)
             try:
+                # addListener (and _streams(), which raises when no session
+                # is active) sit INSIDE the try: a failure anywhere before
+                # the query starts must restore the factory (ADVICE r10)
+                self._streams().addListener(self._listener)
                 self.query = factory()
             except BaseException:
                 # query never started: with query=None the listener would

@@ -569,6 +569,61 @@ def test_periodic_stats_reporter_unhooks_on_factory_failure(spark):
     assert len(bus.added) == len(bus.removed) == 2
 
 
+def test_periodic_stats_reporter_survives_listener_bus_failure(spark):
+    """If addListener itself fails (e.g. _streams() raises because no
+    session is active yet), start() must restore the factory too — the
+    swap happens BEFORE the bus call, so a failure there would otherwise
+    leave query=None and a retry would silently register a listener that
+    buffers every query's progress events forever (ADVICE r10)."""
+    import pytest
+
+    from streambench_spark.streaming.listeners import PeriodicStatsReporter
+
+    class _Bus:
+        def __init__(self):
+            self.added = []
+            self.removed = []
+
+        def addListener(self, listener):
+            self.added.append(listener)
+
+        def removeListener(self, listener):
+            self.removed.append(listener)
+
+    class _FakeQuery:
+        id = "00000000-0000-0000-0000-000000000000"
+
+    fake = _FakeQuery()
+    started = []
+
+    def factory():
+        started.append(True)
+        return fake
+
+    rep = PeriodicStatsReporter(factory, interval_s=0.5)
+
+    def no_session():
+        raise AttributeError("'NoneType' object has no attribute 'streams'")
+
+    rep._streams = no_session
+    with pytest.raises(AttributeError, match="streams"):
+        rep.start()
+    # the factory never ran, was restored, and no thread is live
+    assert started == []
+    assert rep.query is factory
+    assert not rep._thread.is_alive()
+
+    # a session appears: the retry re-enters the factory branch and works
+    bus = _Bus()
+    rep._streams = lambda: bus
+    assert rep.start() is rep
+    assert started == [True]
+    assert rep.query is fake
+    assert bus.added == [rep._listener]
+    rep.stop()
+    assert bus.removed == [rep._listener]
+
+
 def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
     """T6: a replayed batch_id (at-least-once foreachBatch after restart)
     must not duplicate rows in the committed output."""
