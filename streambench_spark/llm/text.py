@@ -221,6 +221,15 @@ def tfidf_top_terms(
     required — r10 measured that OptimizeSkewedJoin's Sort-over-stage
     pattern never matches when the counts side still carries its final
     HashAggregate, leaving the hot term one unsplittable task).
+    OPERATIONAL CAVEAT (ADVICE r10): localCheckpoint truncates lineage
+    into EXECUTOR-LOCAL storage — the checkpointed df partitions do not
+    survive executor loss, so on a real cluster any lost executor
+    (routine at 1000 nodes; guaranteed under dynamic-allocation
+    decommission) fails the job loudly. With skew_safe=True either
+    disable dynamic allocation or enable
+    spark.shuffle.service / decommission block migration so executors
+    are not reclaimed mid-job; reliable `checkpoint()` to HDFS is the
+    alternative when executor churn is expected.
     Same output bit-for-bit (tested); measured at
     sf0.1/local[32] post-fix the two are at parity (0.83 s window vs
     0.78 s twin, median-of-3 — no hot key at that scale), and on a
@@ -598,7 +607,11 @@ def bigram_logprob_scores(
     aggregation (the hot key collapses to one row per map partition),
     lazily localCheckpoint them, and attach them with shuffle joins AQE
     genuinely skew-splits (plan-proven `skew=true`; the checkpoints are
-    required — see tfidf_top_terms and SCALE.md r10). Output is
+    required — see tfidf_top_terms and SCALE.md r10; the same
+    executor-loss caveat applies: localCheckpoint data is executor-local
+    and does not survive executor loss — disable dynamic allocation or
+    use reliable checkpointing when running skew_safe on a churning
+    cluster, per ADVICE r10). Output is
     bit-identical (tested): lp depends only on (w1, w2) counts and the
     per-doc left-fold order never changes. Measured at sf0.1/local[32]
     post-fix the window form is ~1.2x faster (0.98 s vs 1.19 s,
