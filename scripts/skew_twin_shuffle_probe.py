@@ -28,6 +28,7 @@ Prints one JSON object; SCALE.md cites the recorded numbers.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -91,16 +92,29 @@ def main() -> None:
                 ("window", {}),
                 ("skew_safe", {"skew_safe": True}),
             ):
+                # clearCache() drops the persisted tf/bigram caches but
+                # NOT materialized lazy-localCheckpoint RDDs — those are
+                # reclaimed by the ContextCleaner only after the frame's
+                # py4j reference is finalized. Each trial therefore
+                # builds its frame as a dead temporary and hints
+                # gc.collect() after clearing, so every construction
+                # starts from equivalent storage state instead of
+                # accumulating checkpoint RDDs across the 16 trials
+                # (ADVICE r10).
+                def _cleanup() -> None:
+                    spark.catalog.clearCache()
+                    gc.collect()
+
                 # warm the EXACT measured plan once (micro-bench
                 # discipline: cold-start bias burned r07/r08 readings)
                 fn(docs, **kwargs).write.format("noop").mode(
                     "overwrite"
                 ).save()
-                spark.catalog.clearCache()
+                _cleanup()
                 t = _noop_time(fn(docs, **kwargs), reps=2)
-                spark.catalog.clearCache()
+                _cleanup()
                 b = _run_with_shuffle_bytes(fn(docs, **kwargs))
-                spark.catalog.clearCache()
+                _cleanup()
                 out["trials"][f"{cname}.{fn.__name__}.{label}"] = {
                     "best_s": t,
                     "shuffle_write_bytes": b,
