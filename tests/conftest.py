@@ -42,7 +42,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return round(v, 6)
+        # 9dp matches the driver gate's rounding exactly (VERDICT r10
+        # item 4 — 6dp was an acceptable-but-weaker second gate)
+        return round(v, 9)
     return v
 
 
