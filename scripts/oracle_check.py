@@ -25,7 +25,10 @@ from streambench_spark.schemas import TESTDATA_TABLES  # noqa: E402
 
 def _norm_val(v):
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else round(v, 6)
+        # 9dp matches the driver gate's rounding exactly (VERDICT r10
+        # item 4 tightened tests/conftest.py the same way; this script
+        # claims to SIMULATE the driver, so it must not be weaker)
+        return "NaN" if math.isnan(v) else round(v, 9)
     if isinstance(v, bool):
         return int(v)
     if isinstance(v, (list, tuple)):
