@@ -1,0 +1,149 @@
+"""Partition-invariance audit: every registry query, same data, two
+physical layouts — are the RESULTS bit-identical under the driver's
+9dp hash gate?
+
+    python scripts/invariance_probe.py [sf_dir] [query ...]   # default sf0.01
+
+Why this matters at 100 TB: on a real cluster the physical partitioning
+of every stage is NOT a constant — AQE re-plans post-shuffle partition
+counts at runtime, input splits follow file layout, and executor counts
+drift under dynamic allocation. Any query whose OUTPUT depends on the
+partitioning (float sums accumulated in a partition-dependent order
+drifting past the 9dp gate, top-k selections breaking ties by arrival
+order, window functions over under-specified orderings) is a latent
+flake: green today, red after an innocuous re-plan. The engine's stated
+posture (integer-cents / decimal ledgers for money, hash-derived draws
+for sampling, total orderings under every row_number) claims this class
+is designed out — this probe MEASURES the claim across the whole
+registry instead of trusting it.
+
+Method: one bare-shaped session (local[8], UI off — the oracle_check
+shape); each query is collected twice:
+
+  pass A: session defaults (AQE on, 200 shuffle partitions, 128m splits)
+  pass B: spark.sql.shuffle.partitions=7, files.maxPartitionBytes=1m,
+          adaptive.enabled=false — fewer reducers, MANY more scan
+          splits, no runtime coalescing: maximally different partition
+          boundaries and therefore maximally different floating-point
+          accumulation orders and tie-arrival orders.
+
+Both results are normalized exactly like the driver gate (columns
+sorted by name, rows sorted, floats rounded to 9dp) and hashed; any
+A/B hash mismatch is a partition-dependent result — a real defect
+under this repo's determinism contract, reported with the first
+differing normalized row for diagnosis.
+
+Prints one JSON object; exit 1 iff any query mismatches (or errors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from scripts.oracle_check import normalize  # noqa: E402  (driver-identical)
+
+_VARIANT_B = {
+    "spark.sql.shuffle.partitions": "7",
+    "spark.sql.files.maxPartitionBytes": "1m",
+    "spark.sql.adaptive.enabled": "false",
+}
+
+
+class _conf:
+    """Scoped conf set/restore — pass B must not leak into pass A of the
+    next query (same discipline as plan_sensitivity_probe)."""
+
+    def __init__(self, spark, kv):
+        self.spark = spark
+        self.kv = kv
+        self.prev: dict[str, str | None] = {}
+
+    def __enter__(self):
+        for k, v in self.kv.items():
+            try:
+                self.prev[k] = self.spark.conf.get(k)
+            except Exception:
+                self.prev[k] = None
+            self.spark.conf.set(k, v)
+        return self
+
+    def __exit__(self, *exc):
+        for k, prev in self.prev.items():
+            if prev is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, prev)
+
+
+def _collect_normalized(fn, spark, sf_dir):
+    df = fn(spark, sf_dir)
+    return normalize([tuple(r) for r in df.collect()], df.columns)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("invariance-probe")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+    out = {"sf_dir": sf_dir, "variant_b": _VARIANT_B, "mismatch": [], "error": []}
+    n_ok = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            rows_a = _collect_normalized(fn, spark, sf_dir)
+            with _conf(spark, _VARIANT_B):
+                rows_b = _collect_normalized(fn, spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 — audit must keep going
+            out["error"].append({"query": name, "err": repr(exc)[:300]})
+            print(f"  {name}: ERROR {exc!r}", flush=True)
+            continue
+        ha = hashlib.sha256(repr(rows_a).encode()).hexdigest()[:16]
+        hb = hashlib.sha256(repr(rows_b).encode()).hexdigest()[:16]
+        if ha == hb:
+            n_ok += 1
+            print(f"  {name}: INVARIANT ({len(rows_a)} rows)", flush=True)
+        else:
+            first_diff = next(
+                (
+                    {"a": repr(a)[:200], "b": repr(b)[:200]}
+                    for a, b in zip(rows_a, rows_b)
+                    if a != b
+                ),
+                {"a": f"{len(rows_a)} rows", "b": f"{len(rows_b)} rows"},
+            )
+            out["mismatch"].append({"query": name, "first_diff": first_diff})
+            print(f"  {name}: MISMATCH {first_diff}", flush=True)
+    out["n_invariant"] = n_ok
+    print(json.dumps(out))
+    sys.exit(1 if (out["mismatch"] or out["error"]) else 0)
+
+
+if __name__ == "__main__":
+    main()
