@@ -1301,7 +1301,17 @@ def _copurchase_edges(li: DataFrame, basket_local: bool = False) -> DataFrame:
     ObjectHashAggregate materializing every basket array adds heap/GC
     pressure across the consumers' many downstream stages that the
     saved exchange does not buy back). So the flag defaults to the
-    self-join and only the measured winner opts in."""
+    self-join and only the measured winner opts in.
+
+    Above the shipped SF (scripts/basket_pair_scale_probe.py, 8x
+    replicated baskets = 4.8M rows, 5-rep interleaved medians): the
+    itempairs pair-count core keeps winning basket-local (1.94→1.68 s,
+    and −23% shuffle-write bytes, 197→152 MB — the cluster-network
+    number); the degree core CROSSES (2.08 self-join vs 2.30 basket,
+    +6% bytes from array-serialization overhead once partial
+    collect_sets stop deduplicating much across scattered basket
+    rows). The flag keeps that choice explicit per consumer instead of
+    baking one answer in."""
     if not basket_local:
         return (
             li.alias("a")
@@ -4702,7 +4712,10 @@ def q_copurchase_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFr
     orientation and salted joins necessary). Bucket boundaries are
     exact powers of two; one edge build + one node aggregate. Single
     pass over the edge frame → the basket-local edge build wins here
-    (r11 A/B: 2.11→1.45 s at sf0.1; see _copurchase_edges)."""
+    at the benched SF (r11 A/B: 2.11→1.45 s at sf0.1, consistent over
+    5 interleaved reps; at 8x volume the two converge with a slight
+    self-join edge — see _copurchase_edges and
+    scripts/basket_pair_scale_probe.py for the full picture)."""
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li, basket_local=True)
     deg = (
