@@ -173,9 +173,11 @@ FLAGSHIPS = {
         "1-row infinity-norm broadcast-joins back."
     ),
     "frequent_itempairs": (
-        "Pair counts ride the bounded-basket self-join on l_orderkey "
-        "(order line counts are small — no hot key); min-support prunes "
-        "AT the aggregate; item counts and the 1-row basket total join "
+        "Pair expansion is BASKET-LOCAL (r11): ONE corpus exchange into "
+        "groupBy(l_orderkey).collect_set, ordered pairs explode "
+        "row-locally from the sorted basket arrays (bounded basket "
+        "width — no hot key, no self-join); min-support prunes AT the "
+        "pair aggregate; item counts and the 1-row basket total join "
         "back per pair (total broadcast, item counts key-joined)."
     ),
     "kmv_daily_rollup": (
