@@ -18,19 +18,28 @@ is designed out — this probe MEASURES the claim across the whole
 registry instead of trusting it.
 
 Method: one bare-shaped session (local[8], UI off — the oracle_check
-shape); each query is collected twice:
+shape); each query is collected once per layout:
 
   pass A: session defaults (AQE on, 200 shuffle partitions, 128m splits)
-  pass B: spark.sql.shuffle.partitions=7, files.maxPartitionBytes=1m,
-          adaptive.enabled=false — fewer reducers, MANY more scan
-          splits, no runtime coalescing: maximally different partition
-          boundaries and therefore maximally different floating-point
-          accumulation orders and tie-arrival orders.
+  variant "partition": spark.sql.shuffle.partitions=7,
+          files.maxPartitionBytes=1m, adaptive.enabled=false — fewer
+          reducers, MANY more scan splits, no runtime coalescing:
+          maximally different partition boundaries and therefore
+          maximally different floating-point accumulation orders and
+          tie-arrival orders.
+  variant "arrow": spark.sql.execution.arrow.maxRecordsPerBatch=100
+          (default 10000) — every mapInPandas/applyInPandas/pandas_udf
+          receives 100× more, 100× smaller Arrow batches. An output
+          that shifts is Python-side logic accidentally computed per
+          BATCH instead of per group/partition contract — invisible to
+          the oracle gate at one batch size, wrong at any other (and
+          batch sizing is exactly what changes on a differently-tuned
+          cluster).
 
-Both results are normalized exactly like the driver gate (columns
+All results are normalized exactly like the driver gate (columns
 sorted by name, rows sorted, floats rounded to 9dp) and hashed; any
-A/B hash mismatch is a partition-dependent result — a real defect
-under this repo's determinism contract, reported with the first
+variant-vs-A hash mismatch is a layout-dependent result — a real
+defect under this repo's determinism contract, reported with the first
 differing normalized row for diagnosis.
 
 Prints one JSON object; exit 1 iff any query mismatches (or errors).
@@ -38,7 +47,6 @@ Prints one JSON object; exit 1 iff any query mismatches (or errors).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -49,10 +57,15 @@ if REPO not in sys.path:
 
 from scripts.oracle_check import normalize  # noqa: E402  (driver-identical)
 
-_VARIANT_B = {
-    "spark.sql.shuffle.partitions": "7",
-    "spark.sql.files.maxPartitionBytes": "1m",
-    "spark.sql.adaptive.enabled": "false",
+_VARIANTS = {
+    "partition": {
+        "spark.sql.shuffle.partitions": "7",
+        "spark.sql.files.maxPartitionBytes": "1m",
+        "spark.sql.adaptive.enabled": "false",
+    },
+    "arrow": {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "100",
+    },
 }
 
 
@@ -111,35 +124,40 @@ def main() -> None:
         .getOrCreate()
     )
 
-    out = {"sf_dir": sf_dir, "variant_b": _VARIANT_B, "mismatch": [], "error": []}
+    out = {"sf_dir": sf_dir, "variants": _VARIANTS, "mismatch": [], "error": []}
     n_ok = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
             rows_a = _collect_normalized(fn, spark, sf_dir)
-            with _conf(spark, _VARIANT_B):
-                rows_b = _collect_normalized(fn, spark, sf_dir)
+            rows_v = {}
+            for vname, confs in _VARIANTS.items():
+                with _conf(spark, confs):
+                    rows_v[vname] = _collect_normalized(fn, spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 — audit must keep going
             out["error"].append({"query": name, "err": repr(exc)[:300]})
             print(f"  {name}: ERROR {exc!r}", flush=True)
             continue
-        ha = hashlib.sha256(repr(rows_a).encode()).hexdigest()[:16]
-        hb = hashlib.sha256(repr(rows_b).encode()).hexdigest()[:16]
-        if ha == hb:
+        bad = []
+        for vname, rows_b in rows_v.items():
+            if rows_a != rows_b:
+                first_diff = next(
+                    (
+                        {"a": repr(a)[:200], "b": repr(b)[:200]}
+                        for a, b in zip(rows_a, rows_b)
+                        if a != b
+                    ),
+                    {"a": f"{len(rows_a)} rows", "b": f"{len(rows_b)} rows"},
+                )
+                bad.append({"query": name, "variant": vname, "first_diff": first_diff})
+        if not bad:
             n_ok += 1
             print(f"  {name}: INVARIANT ({len(rows_a)} rows)", flush=True)
         else:
-            first_diff = next(
-                (
-                    {"a": repr(a)[:200], "b": repr(b)[:200]}
-                    for a, b in zip(rows_a, rows_b)
-                    if a != b
-                ),
-                {"a": f"{len(rows_a)} rows", "b": f"{len(rows_b)} rows"},
-            )
-            out["mismatch"].append({"query": name, "first_diff": first_diff})
-            print(f"  {name}: MISMATCH {first_diff}", flush=True)
+            out["mismatch"].extend(bad)
+            for b in bad:
+                print(f"  {name}: MISMATCH [{b['variant']}] {b['first_diff']}", flush=True)
     out["n_invariant"] = n_ok
     print(json.dumps(out))
     sys.exit(1 if (out["mismatch"] or out["error"]) else 0)
