@@ -421,6 +421,31 @@ def _cpu_gauge() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+def _mem_gauge_gbps() -> float | None:
+    """Memory-BANDWIDTH gauge (GB/s): five copies of a 256 MB numpy
+    array (far past any LLC — this is DRAM traffic). The r11 close
+    found the failure mode the LCG gauge is blind to: a co-tenant
+    eating memory bandwidth makes every shuffle/scan/codegen-heavy
+    query ~1.1-1.2× slower (registry 206→235 s, throughput plateau
+    20.5→16.8M rows/s, recursive_date_spine 4.7→7.4 s ON THE r10 CODE)
+    while the register-bound LCG loop reads FASTER (0.53→0.49 s) and
+    steal sits at 0.2% — without a bandwidth number in the artifact,
+    that pattern is indistinguishable from a code regression. Recorded
+    at bench start and end beside cpu_gauge_s."""
+    try:
+        import numpy as np
+    except Exception:
+        return None
+    a = np.zeros(32_000_000)  # 256 MB of float64
+    a[::4096] = 1.0  # fault the pages in before timing
+    t0 = time.perf_counter()
+    for _ in range(5):
+        a.copy()
+    dt = time.perf_counter() - t0
+    # 5 copies × (read 256 MB + write 256 MB)
+    return round(5 * 2 * a.nbytes / dt / 1e9, 2)
+
+
 def _proc_stat() -> dict | None:
     """Aggregate CPU jiffies from /proc/stat — the contention a
     single-threaded gauge can't see: hypervisor STEAL hits all 32
@@ -478,6 +503,7 @@ def main() -> None:
     # heating the JVM or disk in between.
     registry_only = os.environ.get("SPARK_GRAFT_BENCH_REGISTRY_ONLY") == "1"
     gauge_start = _cpu_gauge()
+    mem_gauge_start = _mem_gauge_gbps()
     stat_start = _proc_stat()
 
     from streambench_spark.session import get_spark
@@ -580,6 +606,7 @@ def main() -> None:
         stderr_bytes = 0
 
     gauge_end = _cpu_gauge()
+    mem_gauge_end = _mem_gauge_gbps()
     host_cpu = _host_cpu_pct(stat_start, _proc_stat())
 
     # Full record → file (the driver tail would truncate it inline).
@@ -597,6 +624,7 @@ def main() -> None:
                 "trial_errors": trial_errors,
                 "stderr_bytes": stderr_bytes,
                 "cpu_gauge_s": {"start": gauge_start, "end": gauge_end},
+                "mem_gauge_gbps": {"start": mem_gauge_start, "end": mem_gauge_end},
                 "host_cpu_pct": host_cpu,
                 "registry_only": registry_only,
             },
@@ -633,6 +661,7 @@ def main() -> None:
         "trial_errors": [e[:120] for e in trial_errors[:2]],
         "stderr_bytes": stderr_bytes,
         "cpu_gauge_s": [gauge_start, gauge_end],
+        "mem_gauge_gbps": [mem_gauge_start, mem_gauge_end],
         "steal_pct": host_cpu.get("steal_pct"),
         "queries": compact_queries,
         "streaming_ysb": line_streaming,
