@@ -430,3 +430,34 @@ def test_bigram_lm_two_corpus_scans(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
     joins = re.findall(r"\(\d+\) (\w*BroadcastNestedLoopJoin|\w*Join\w*)", plan)
     assert all("BroadcastNestedLoop" in j for j in joins), joins
+
+
+def test_itempairs_basket_local_single_corpus_exchange(spark):
+    """frequent_itempairs' r11 re-plan, pinned: pair expansion is
+    basket-local — the corpus enters ONE exchange (the l_orderkey
+    collect_set aggregate) and ordered pairs come from Generate nodes
+    over the basket arrays, with NO self-join anywhere (the old shape
+    shuffled the distinct'd baskets into both sides of a join). The
+    only joins left attach item counts and the 1-row basket total."""
+    plan = _plan(spark, "frequent_itempairs")
+    assert "ObjectHashAggregate" in plan          # collect_set partials
+    assert "Generate" in plan                     # row-local pair explode
+    assert "SortMergeJoin" not in plan            # the self-join is gone
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    # item-count + basket-total attachments only — all broadcast-side
+    assert all("Broadcast" in j for j in joins), joins
+
+
+def test_copurchase_edges_split_by_consumer(spark):
+    """The r11 basket-local flag, pinned per consumer: the single-pass
+    degree_distribution opts IN (no join in its edge build), while the
+    iterative graph consumers measured faster on the self-join and must
+    keep it (triangles' edge build joins lineitem to lineitem)."""
+    deg = _plan(spark, "copurchase_degree_distribution")
+    assert "ObjectHashAggregate" in deg           # collect_set edge build
+    assert not re.findall(r"\(\d+\) SortMergeJoin", deg)
+    tri = _plan(spark, "copurchase_triangles")
+    # the lineitem self-join survives among the node-keyed SMJs
+    # (triangles also uses collect_list adjacency, so ObjectHashAggregate
+    # presence can't discriminate — join count does)
+    assert re.findall(r"\(\d+\) SortMergeJoin", tri)
