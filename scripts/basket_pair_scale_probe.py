@@ -38,16 +38,37 @@ import urllib.request
 _UI = "http://localhost:4050/api/v1"
 
 
-def _shuffle_write_bytes() -> int | None:
+def _completed_stages() -> list | None:
     try:
         with urllib.request.urlopen(f"{_UI}/applications", timeout=5) as r:
             app_id = json.load(r)[0]["id"]
         with urllib.request.urlopen(
             f"{_UI}/applications/{app_id}/stages?status=complete", timeout=5
         ) as r:
-            return sum(s.get("shuffleWriteBytes", 0) for s in json.load(r))
+            return json.load(r)
     except Exception:
         return None
+
+
+def _shuffle_write_bytes() -> int | None:
+    """Sum shuffleWriteBytes over completed stages, polling until the
+    completed-stage COUNT stabilizes first. stages?status=complete
+    silently excludes stages still finalizing when sampled, which
+    undercounts the post-run delta on a loaded host (ADVICE r11) — two
+    consecutive identical counts 0.3 s apart means finalization drained."""
+    prev = -1
+    for _ in range(20):  # <= 6 s worst case
+        stages = _completed_stages()
+        if stages is None:
+            return None
+        if len(stages) == prev:
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        prev = len(stages)
+        time.sleep(0.3)
+    stages = _completed_stages()
+    return None if stages is None else sum(
+        s.get("shuffleWriteBytes", 0) for s in stages
+    )
 
 
 def main() -> None:
@@ -88,7 +109,20 @@ def main() -> None:
     # the scan-twice cost AND compared different semantics — lineitem
     # repeats a part within an order, so the join side needs the dedup
     # the basket side gets from collect_set.)
+    # try/finally + rmtree: repeated probe runs were accumulating
+    # hundreds of MB of replicated lineitem in /tmp (ADVICE r11)
+    import shutil
+
     src = tempfile.mkdtemp(prefix="sb_bpair_")
+    try:
+        _run_probe(spark, rep, src, copies)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def _run_probe(spark, rep, src: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
     rep.repartition(32).write.mode("overwrite").parquet(src)
 
     def li():

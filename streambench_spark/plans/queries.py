@@ -1037,12 +1037,11 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 11 (VERDICT r10 item 1): the stalest surviving
-# proofs are the 20 remaining r06-era names (sliding_window_counts
-# alphabetically first) plus the 30 alphabetically-first of the 48 r07-era
-# names (ending at tpch_q16_supplier_part_counts) — derived by
-# scripts/rotation_plan.py from the CORRECTNESS ledger, not from any
-# verdict's cohort naming.
+# mechanically). Round 12 (VERDICT r11 item 2): the stalest surviving
+# proofs are the 18 remaining r07-era names (tpch_q17 leading
+# alphabetically) plus the 32 alphabetically-first of the 50 r08-era
+# names (ending at image_resize) — derived by scripts/rotation_plan.py
+# from the CORRECTNESS ledger, not from any verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1063,58 +1062,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 20 remaining r06-era proofs (stalest surviving in the ledger)
-    "sliding_window_counts",
-    "sliding_window_streaming",
-    "source_vocab_overlap",
-    "split_ngram_coverage",
-    "stateful_running_counts",
-    "stateful_value_stats",
-    "streaming_dedup",
-    "streaming_dedup_within_watermark",
-    "token_dispersion",
-    "user_behavior_entropy",
-    "weekday_seasonality",
-    "weekly_revenue_growth",
-    "windowed_collect",
-    "windowed_distinct_users",
-    "windowed_global_sum",
-    "ysb",
-    "ysb_10s",
-    "ysb_streaming",
-    "ysb_streaming_append",
-    "zipf_slope",
-    # 30 of the 48 r07-era proofs (alphabetical; the other 18 roll to r12)
-    "chi2_independence",
-    "chunk_docs",
-    "copurchase_pagerank",
-    "corpus_clean_pipeline",
-    "dataset_shuffle",
-    "dataset_split",
-    "decontaminate",
-    "doc_stats",
-    "embedding_lsh_multiprobe_topk",
-    "embedding_lsh_topk",
-    "event_transition_matrix",
-    "exact_dedup",
-    "full_outer_activity",
-    "lang_id",
-    "minhash_lsh_neardup",
-    "mixture_rate_sample",
-    "neardup_embedding_lsh",
-    "neardup_ngram_jaccard_capped",
-    "ohlc_hourly_bars",
-    "quality_filter",
-    "span_dedup",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "token_counts",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
+    # the 18 remaining r07-era proofs (stalest surviving in the ledger)
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary",
+    "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_type_profit",
+    "unpivot_activity_matrix",
+    "value_correlation",
+    "ysb_paced_files_drain",
+    # 32 of the 50 r08-era proofs (alphabetical; the other 18 roll to r13)
+    "analytic_rank_functions",
+    "asof_join_attribution",
+    "asof_join_cogrouped_attribution",
+    "audio_segment_plan",
+    "binary_features",
+    "bloom_decontaminate",
+    "bloom_join_prune",
+    "bpe_pair_counts",
+    "canonical_per_source",
+    "chunk_docs_overlap",
+    "cms_heavy_hitters",
+    "cms_streaming_merge",
+    "cohort_retention",
+    "compacted_events_source",
+    "contamination_scores",
+    "copurchase_triangles",
+    "corpus_stats",
+    "cube_order_priority_status",
+    "doc_fingerprint",
+    "edit_distance_neighbors",
+    "embedding_ivf_topk",
+    "embedding_quantize_int8",
+    "embedding_topk_cosine",
+    "events_csv_source",
+    "events_json_source",
+    "events_orc_source",
+    "events_schema_evolution_source",
+    "frame_sampling_plan",
+    "funnel_conversion",
+    "gopher_quality_rules",
+    "grep_docs",
+    "image_resize",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;

@@ -307,3 +307,25 @@ def test_merge_scaled_history_same_key_latest_wins(tmp_path):
     merged = bench._merge_scaled_history(str(full), dict(fresh))
     assert len(merged["history"]) == 1
     assert merged["history"][0]["batch_median_ratio_per_copy"] == 0.124
+
+
+def test_degraded_environment_threshold():
+    """The degraded_environment stamp (VERDICT r11 item 5): a start-of-run
+    mem gauge below MEM_GAUGE_DEGRADED_GBPS marks the whole artifact as
+    produced under bandwidth starvation, so a starved record self-declares
+    instead of relying on the reader to interpret the raw GB/s number."""
+    import bench
+
+    assert bench.MEM_GAUGE_DEGRADED_GBPS == 5.0
+    # healthy both ends
+    assert bench._degraded_environment(15.0, 12.0) is False
+    # the r11 starved window: 1.41-1.43 at both ends
+    assert bench._degraded_environment(1.41, 1.43) is True
+    # a co-tenant arriving mid-run starves the tail -> either end counts
+    assert bench._degraded_environment(15.0, 1.4) is True
+    assert bench._degraded_environment(1.4, 15.0) is True
+    # no numpy -> no gauge -> no evidence of starvation
+    assert bench._degraded_environment(None, None) is False
+    assert bench._degraded_environment(None, 15.0) is False
+    # boundary: exactly at the threshold is healthy (strict <)
+    assert bench._degraded_environment(5.0, 5.0) is False
