@@ -66,6 +66,18 @@ _VARIANTS = {
     "arrow": {
         "spark.sql.execution.arrow.maxRecordsPerBatch": "100",
     },
+    # r12 axis: interpreted expression path. A real cluster hits this
+    # WITHOUT any conf change — whole-stage codegen silently falls back
+    # to interpreted evaluation when a generated method exceeds the JVM
+    # 64KB/8KB-JIT limits (common on wide aggregates), so any query
+    # whose result differs between the generated-Java and interpreted
+    # evaluators is a latent flake that appears only on wide plans.
+    # NO_CODEGEN additionally forces the expression-factory interpreted
+    # mode so both tiers of codegen are exercised off.
+    "codegen": {
+        "spark.sql.codegen.wholeStage": "false",
+        "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
 }
 
 

@@ -329,3 +329,28 @@ def test_degraded_environment_threshold():
     assert bench._degraded_environment(None, 15.0) is False
     # boundary: exactly at the threshold is healthy (strict <)
     assert bench._degraded_environment(5.0, 5.0) is False
+
+
+def test_committed_bench_full_declares_environment_health():
+    """Every published BENCH_FULL.json must carry the degraded_environment
+    stamp beside mem_gauge_gbps (r12): the r11 close spent a round of
+    forensics attributing a uniform 1.15x inflation to a
+    bandwidth-starved host because the artifact did not self-declare.
+    The key must EXIST (a dropped stamp silently reverts to
+    reader-interprets-the-gauge) and must agree with the recorded gauge
+    numbers under the committed threshold."""
+    import json
+    import os
+
+    import bench
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_FULL.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        full = json.load(fh)
+    assert "degraded_environment" in full
+    gauge = full.get("mem_gauge_gbps") or {}
+    expected = bench._degraded_environment(gauge.get("start"), gauge.get("end"))
+    assert full["degraded_environment"] == expected
