@@ -595,3 +595,158 @@ def test_skew_safe_twins_match_on_random_corpora(spark, texts):
         base = sorted(map(tuple, fn(docs).collect()))
         safe = sorted(map(tuple, fn(docs, skew_safe=True).collect()))
         assert safe == base, (fn.__name__, texts)
+
+
+# ---------------------------------------------------------------------------
+# r12 additions: graph CC twins, sliding windows, MinHash-LSH guarantees
+# ---------------------------------------------------------------------------
+
+_NODES = st.integers(min_value=0, max_value=7)
+
+
+@given(st.lists(st.tuples(_NODES, _NODES), min_size=1, max_size=14))
+@settings(max_examples=10, deadline=None)
+def test_connected_components_twins_match_union_find(spark, edge_list):
+    """Both CC variants (min-label loop and large-star/small-star
+    alternation) must equal a pure-Python union-find on random small
+    graphs — self-loops, duplicate edges, and both orientations
+    included, the cases the example-based chain/island test can't
+    sweep. The star variant's hook steps are the intricate part
+    (Kiveris et al. SOCC'14); a wrong hook preserves SOME components
+    while merging or splitting others, which union-find catches."""
+    from streambench_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        parent[find(a)] = find(b)
+    comp_min: dict[int, int] = {}
+    for node in parent:
+        r = find(node)
+        comp_min[r] = min(comp_min.get(r, node), node)
+    want = {(node, comp_min[find(node)]) for node in parent}
+
+    got_minlabel = {
+        (r["node"], r["comp"]) for r in connected_components(edges).collect()
+    }
+    got_star = {
+        (r["node"], r["comp"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert got_minlabel == want
+    assert got_star == want
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=20),
+    st.integers(min_value=0, max_value=8),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None)
+def test_sliding_window_matches_python_model(spark, ts_secs, extra, slide):
+    # Spark requires slide <= duration (an AnalysisException otherwise),
+    # so the strategy draws the EXCESS over the slide
+    duration = slide + extra
+    """W3 semantics vs the definitional model: an event at second t lands
+    in every epoch-aligned window [s, s+duration) with s a multiple of
+    slide and s <= t < s+duration — including non-divisible
+    duration/slide combinations and windows that start before epoch.
+    Counts per window-start must match exactly."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from streambench_spark.operators.windows import sliding_window
+
+    df = spark.createDataFrame([(t,) for t in ts_secs], "t long").select(
+        F.col("t").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["ws"], r["cnt"])
+        for r in df.groupBy(
+            sliding_window("ts", f"{duration} seconds", f"{slide} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window.start").cast("long").alias("ws"), "cnt")
+        .collect()
+    }
+    model: Counter = Counter()
+    for t in ts_secs:
+        m = -(duration // slide) - 1
+        while m * slide <= t:
+            s = m * slide
+            if s <= t < s + duration:
+                model[s] += 1
+            m += 1
+    assert got == {(s, c) for s, c in model.items()}
+
+
+@st.composite
+def _dup_corpus(draw):
+    """Texts of 3-6 words over a tiny vocabulary (so word-3-gram shingle
+    sets overlap organically), with some documents duplicated verbatim."""
+    vocab = ["red", "blue", "fox", "jumps", "over", "dog"]
+    base = draw(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=3, max_size=6),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    dup_of = draw(st.lists(st.integers(0, len(base) - 1), max_size=3))
+    texts = [" ".join(ws) for ws in base] + [" ".join(base[i]) for i in dup_of]
+    return texts
+
+
+@given(_dup_corpus())
+@settings(max_examples=8, deadline=None)
+def test_minhash_lsh_soundness_and_exact_dup_completeness(spark, texts):
+    """The two deterministic guarantees of MinHash-LSH + exact verify:
+    (a) SOUNDNESS — every reported pair's true shingle-set Jaccard is
+    >= threshold (the exact verify step removes ALL false positives,
+    so this holds regardless of banding luck); (b) COMPLETENESS for
+    identical sets — docs with equal shingle sets have equal signatures,
+    hence equal band keys, hence are ALWAYS candidates and always pass
+    verify at any threshold. Recall between threshold and J=1 is
+    probabilistic and deliberately NOT asserted."""
+    from streambench_spark.llm.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    threshold = 0.7
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, threshold=threshold).collect()
+    }
+
+    def shingles(text: str) -> frozenset:
+        tk = text.lower().split()
+        return frozenset(
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        )
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    for a, b in got:
+        assert a < b
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert union > 0 and inter / union >= threshold, (a, b, texts)
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[a] == sets[b]:
+                assert (a, b) in got, (a, b, texts)
