@@ -750,3 +750,104 @@ def test_minhash_lsh_soundness_and_exact_dup_completeness(spark, texts):
         for b in sets:
             if a < b and sets[a] and sets[a] == sets[b]:
                 assert (a, b) in got, (a, b, texts)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_simhash_matches_python_model(spark, docs_words):
+    """The SimHash fold (per-bit ±1 vote over token OCCURRENCES, bit set
+    iff the sum is strictly positive) vs a direct Python model using the
+    same portable md5-based 32-bit token hash. Catches off-by-ones in
+    the nested aggregate/transform expression (>= vs >, distinct vs
+    occurrence counting, bit-order mistakes) that identical-input
+    smoke tests can't see."""
+    import hashlib
+
+    from streambench_spark.llm.dedup import simhash_fingerprints
+
+    texts = [" ".join(ws) for ws in docs_words]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_fingerprints(docs).select("doc_id", "simhash").collect()
+    }
+
+    def h32(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+
+    for i, t in enumerate(texts):
+        hvs = [h32(tok) for tok in t.lower().split()]
+        fp = 0
+        for bit in range(32):
+            vote = sum(1 if (hv >> bit) & 1 else -1 for hv in hvs)
+            if vote > 0:
+                fp |= 1 << bit
+        assert got[i] == fp, (i, t, got[i], fp)
+
+
+@st.composite
+def _vec_corpus(draw):
+    """3-d integer-valued vectors (exact in float64, so cosine rounding
+    is deterministic), with occasional zero vectors and duplicates."""
+    vecs = draw(
+        st.lists(
+            st.lists(st.integers(min_value=-3, max_value=3), min_size=3, max_size=3),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    if draw(st.booleans()):
+        vecs.append(vecs[0])  # exact duplicate: a sim=1.0 tie
+    return vecs
+
+
+@given(_vec_corpus())
+@settings(max_examples=8, deadline=None)
+def test_brute_force_top1_matches_python_model(spark, vecs):
+    """Exact NN contract vs numpy-free Python: cosine rounded
+    half-away-from-zero at 6dp, self excluded, ties to the smaller
+    neighbor id, and zero-norm vectors on BOTH sides — a zero-norm
+    query emits no row, a zero-norm candidate (NaN cosine → -inf)
+    is never anyone's neighbor."""
+    import math
+
+    from streambench_spark.llm.similarity import brute_force_top1
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["neighbor_id"], r["sim"])
+        for r in brute_force_top1(emb).collect()
+    }
+
+    def round6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    want = {}
+    for i, a in enumerate(vecs):
+        na = math.sqrt(sum(x * x for x in a))
+        if na == 0:
+            continue
+        best_sim, best_j = -math.inf, None
+        for j, b in enumerate(vecs):
+            if j == i:
+                continue
+            nb = math.sqrt(sum(x * x for x in b))
+            if nb == 0:
+                continue  # NaN cosine -> -inf, never a neighbor
+            s = round6(sum(x * y for x, y in zip(a, b)) / (na * nb))
+            if s > best_sim or (s == best_sim and j < best_j):
+                best_sim, best_j = s, j
+        if best_j is not None:
+            want[i] = (best_j, best_sim)
+    assert got == want, (vecs, got, want)
