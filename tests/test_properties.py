@@ -851,3 +851,55 @@ def test_brute_force_top1_matches_python_model(spark, vecs):
         if best_j is not None:
             want[i] = (best_j, best_sim)
     assert got == want, (vecs, got, want)
+
+
+@given(
+    _vec_corpus(),
+    st.lists(st.integers(min_value=0, max_value=2), min_size=12, max_size=12),
+)
+@settings(max_examples=8, deadline=None)
+def test_ivf_top1_matches_per_cell_model(spark, vecs, labels):
+    """The bucketed-ANN engine (one BLAS matmul per cell inside
+    applyInPandas) vs the same exact-NN Python model restricted to each
+    cell: identical rounding/tie-break contract as brute force, cells
+    with <2 rows emit nothing, and when every vector lands in ONE cell
+    the result must equal brute_force_top1 by construction. Random cell
+    labels sweep the degenerate cells (empty, singleton, all-zero-norm)
+    the oracle corpus never produces."""
+    import math
+
+    from streambench_spark.llm.similarity import ivf_top1
+
+    rows = [
+        (i, labels[i % len(labels)], [float(x) for x in v])
+        for i, v in enumerate(vecs)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (r["neighbor_id"], r["sim"])
+        for r in ivf_top1(emb).collect()
+    }
+
+    def round6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    want = {}
+    for i, lab, a in rows:
+        na = math.sqrt(sum(x * x for x in a))
+        if na == 0:
+            continue
+        best_sim, best_j = -math.inf, None
+        for j, lab_j, b in rows:
+            if j == i or lab_j != lab:
+                continue
+            nb = math.sqrt(sum(x * x for x in b))
+            if nb == 0:
+                continue
+            s = round6(sum(x * y for x, y in zip(a, b)) / (na * nb))
+            if s > best_sim or (s == best_sim and j < best_j):
+                best_sim, best_j = s, j
+        if best_j is not None:
+            want[i] = (best_j, best_sim)
+    assert got == want, (rows, got, want)
