@@ -193,35 +193,48 @@ def _replicated_trial(spark, sf_dir: str, copies: int,
         .withColumn("event_id", F.col("event_id") + F.lit(10_000_000_000) * F.col("_k"))
         .drop("_k")
     )
+    import shutil
+
+    # try/finally + rmtree: every prior bench run leaked its replicated
+    # dir (r12 found 8 of them, 2.3 GB, in /tmp — the 1000x one alone is
+    # 2 GB). Same leak class ADVICE r11 flagged in the basket probe.
     tmp = tempfile.mkdtemp(prefix="sb_benchrep_")
-    path = os.path.join(tmp, "events.parquet")
-    copies_df.repartition(32).write.mode("overwrite").parquet(path)
-    for name in os.listdir(sf_dir):
-        if name != "events.parquet":
-            os.symlink(os.path.join(sf_dir, name), os.path.join(tmp, name))
-    out = ysb_streaming(
-        stream_table(spark, tmp, "events"),
-        load_table(spark, sf_dir, "customer"),
-        window="1 hour",
-        watermark=None,
-    )
-    res = run_throughput_trial(spark, BenchParams(duration_s=120), source=out)
-    batch: dict[str, dict] = {}
-    for name in SCALED_BATCH:
-        t0 = time.perf_counter()
-        try:
-            REGISTRY[name].fn(spark, tmp).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception as exc:
-            print(f"bench error in scaled {name}: {exc!r}", file=sys.stderr)
-            continue
-        t = round(time.perf_counter() - t0, 3)
-        base = base_timings.get(name)
-        entry = {"scaled_s": t, "base_s": base}
-        if base and base > 0:
-            entry["ratio_per_copy"] = round(t / (copies * base), 3)
-        batch[name] = entry
+    try:
+        path = os.path.join(tmp, "events.parquet")
+        copies_df.repartition(32).write.mode("overwrite").parquet(path)
+        for name in os.listdir(sf_dir):
+            if name != "events.parquet":
+                os.symlink(os.path.join(sf_dir, name), os.path.join(tmp, name))
+        out = ysb_streaming(
+            stream_table(spark, tmp, "events"),
+            load_table(spark, sf_dir, "customer"),
+            window="1 hour",
+            watermark=None,
+        )
+        res = run_throughput_trial(spark, BenchParams(duration_s=120), source=out)
+        batch: dict[str, dict] = {}
+        for name in SCALED_BATCH:
+            t0 = time.perf_counter()
+            try:
+                REGISTRY[name].fn(spark, tmp).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as exc:
+                # record the failure IN the artifact — the r12 1000x run
+                # silently dropped 4 queries whose errors lived only in a
+                # discarded stderr stream (the r05 trial_errors lesson,
+                # re-learned one level down)
+                print(f"bench error in scaled {name}: {exc!r}", file=sys.stderr)
+                batch[name] = {"error": repr(exc)[:200]}
+                continue
+            t = round(time.perf_counter() - t0, 3)
+            base = base_timings.get(name)
+            entry = {"scaled_s": t, "base_s": base}
+            if base and base > 0:
+                entry["ratio_per_copy"] = round(t / (copies * base), 3)
+            batch[name] = entry
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     ratios = sorted(
         v["ratio_per_copy"] for v in batch.values() if "ratio_per_copy" in v
     )
