@@ -212,6 +212,16 @@ def _replicated_trial(spark, sf_dir: str, copies: int,
             watermark=None,
         )
         res = run_throughput_trial(spark, BenchParams(duration_s=120), source=out)
+        # Release the drain's state/cache and nudge a full GC before the
+        # batch queries — at 1000x the post-drain heap is fragmented
+        # enough that 4 of the 10 queries died on GCLocker retries while
+        # passing standalone against the same table (r12; same hygiene
+        # the skew-twin probe applies between trials).
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         batch: dict[str, dict] = {}
         for name in SCALED_BATCH:
             t0 = time.perf_counter()
