@@ -354,3 +354,24 @@ def test_committed_bench_full_declares_environment_health():
     gauge = full.get("mem_gauge_gbps") or {}
     expected = bench._degraded_environment(gauge.get("start"), gauge.get("end"))
     assert full["degraded_environment"] == expected
+
+
+def test_replicated_trial_records_errors_and_cleans_tmpdir(spark, monkeypatch):
+    """A scaled query that throws must land in the batch block as an
+    `error` entry (the r12 1000x run silently dropped 4 queries whose
+    errors lived only in a discarded stderr stream), and the replicated
+    tempdir must be removed even then (every pre-r12 bench run leaked
+    one — 8 dirs / 2.3 GB found in /tmp)."""
+    import glob
+
+    import bench
+
+    monkeypatch.setattr(bench, "SCALED_BATCH", ["ysb", "no_such_query"])
+    before = set(glob.glob("/tmp/sb_benchrep_*"))
+    out = bench._replicated_trial(spark, SF_DIR, 2, {"ysb": 0.5})
+    after = set(glob.glob("/tmp/sb_benchrep_*"))
+    assert after == before, "replicated trial leaked its tempdir"
+    assert out["batch"]["ysb"]["ratio_per_copy"] is not None
+    assert "error" in out["batch"]["no_such_query"]
+    # the failed entry must not poison the median over the good ones
+    assert out["batch_median_ratio_per_copy"] is not None
