@@ -501,6 +501,25 @@ def _degraded_environment(
     )
 
 
+# A run-long hypervisor steal above this is the r12 noise class: the
+# r12 close carried 2.91% steal (every healthy recorded run reads
+# <=0.4%) and it — not code — produced that round's only >=1.5x
+# single-shot deltas (ysb_10s, events_orc/csv_source, all x1.08-1.12 in
+# the same-round healthy artifact). Kept as a SEPARATE flag from the
+# bandwidth-keyed degraded_environment so the two classes stay
+# forensically distinct (VERDICT r12 item 3).
+STEAL_NOISY_PCT = 1.5
+
+
+def _noisy_cpu(
+    steal_pct: float | None, threshold: float = STEAL_NOISY_PCT,
+) -> bool:
+    """True when hypervisor steal over the whole run exceeds the noisy
+    threshold. A None (no /proc/stat) is treated as healthy — absence
+    of evidence, and the artifact shows the null beside the flag."""
+    return steal_pct is not None and steal_pct > threshold
+
+
 def _proc_stat() -> dict | None:
     """Aggregate CPU jiffies from /proc/stat — the contention a
     single-threaded gauge can't see: hypervisor STEAL hits all 32
@@ -683,6 +702,7 @@ def main() -> None:
                 "degraded_environment": _degraded_environment(
                     mem_gauge_start, mem_gauge_end
                 ),
+                "noisy_cpu": _noisy_cpu(host_cpu.get("steal_pct")),
                 "host_cpu_pct": host_cpu,
                 "registry_only": registry_only,
             },
@@ -723,6 +743,7 @@ def main() -> None:
         "degraded_environment": _degraded_environment(
             mem_gauge_start, mem_gauge_end
         ),
+        "noisy_cpu": _noisy_cpu(host_cpu.get("steal_pct")),
         "steal_pct": host_cpu.get("steal_pct"),
         "queries": compact_queries,
         "streaming_ysb": line_streaming,

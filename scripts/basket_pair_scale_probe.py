@@ -65,10 +65,11 @@ def _shuffle_write_bytes() -> int | None:
             return sum(s.get("shuffleWriteBytes", 0) for s in stages)
         prev = len(stages)
         time.sleep(0.3)
-    stages = _completed_stages()
-    return None if stages is None else sum(
-        s.get("shuffleWriteBytes", 0) for s in stages
-    )
+    # Never stabilized: an unsettled sum would undercount exactly the way
+    # the loop exists to prevent (ADVICE r12) — report "unknown" instead.
+    print("warning: completed-stage count never stabilized; "
+          "shuffle-write bytes not sampled", file=sys.stderr)
+    return None
 
 
 def main() -> None:

@@ -1037,11 +1037,11 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 12 (VERDICT r11 item 2): the stalest surviving
-# proofs are the 18 remaining r07-era names (tpch_q17 leading
-# alphabetically) plus the 32 alphabetically-first of the 50 r08-era
-# names (ending at image_resize) — derived by scripts/rotation_plan.py
-# from the CORRECTNESS ledger, not from any verdict's cohort naming.
+# mechanically). Round 13 (VERDICT r12 item 1): the stalest surviving
+# proofs are the 18 remaining r08-era names (interval_join_* leading)
+# plus the 32 alphabetically-first of the 50 r09-era names (ending at
+# neardup_containment) — derived by scripts/rotation_plan.py from the
+# CORRECTNESS ledger, not from any verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1062,58 +1062,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 18 remaining r07-era proofs (stalest surviving in the ledger)
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q1_pricing_summary",
-    "tpch_q20_potential_promotion",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_type_profit",
-    "unpivot_activity_matrix",
-    "value_correlation",
-    "ysb_paced_files_drain",
-    # 32 of the 50 r08-era proofs (alphabetical; the other 18 roll to r13)
-    "analytic_rank_functions",
-    "asof_join_attribution",
-    "asof_join_cogrouped_attribution",
-    "audio_segment_plan",
-    "binary_features",
-    "bloom_decontaminate",
-    "bloom_join_prune",
-    "bpe_pair_counts",
-    "canonical_per_source",
-    "chunk_docs_overlap",
-    "cms_heavy_hitters",
-    "cms_streaming_merge",
-    "cohort_retention",
-    "compacted_events_source",
-    "contamination_scores",
-    "copurchase_triangles",
-    "corpus_stats",
-    "cube_order_priority_status",
-    "doc_fingerprint",
-    "edit_distance_neighbors",
-    "embedding_ivf_topk",
-    "embedding_quantize_int8",
-    "embedding_topk_cosine",
-    "events_csv_source",
-    "events_json_source",
-    "events_orc_source",
-    "events_schema_evolution_source",
-    "frame_sampling_plan",
-    "funnel_conversion",
-    "gopher_quality_rules",
-    "grep_docs",
-    "image_resize",
+    # the 18 remaining r08-era proofs (stalest surviving in the ledger)
+    "interval_join_full_outer_streaming",
+    "interval_join_left_outer_streaming",
+    "interval_join_streaming",
+    "kafka_wire_roundtrip",
+    "kmv_distinct_users",
+    "lag_event_deltas",
+    "moving_avg_value",
+    "pivot_user_event_matrix",
+    "rank_top_orders_per_customer",
+    "rollup_revenue",
+    "setops_viewers_and_buyers",
+    "setops_viewers_not_buyers",
+    "skew_salted_enrichment",
+    "top_k_users",
+    "user_state_history",
+    "value_histogram",
+    "wordcount_top20",
+    "ysb_trigger_early_fire",
+    # 32 of the 50 r09-era proofs (alphabetical; the other 18 roll to r14)
+    "abc_classification",
+    "activity_gini",
+    "benford_digit_test",
+    "bigram_lm_score",
+    "cdc_latest_state",
+    "cdc_with_deletes",
+    "clamped_running_balance",
+    "cms_join_size_estimate",
+    "collated_event_types",
+    "conversion_rate_ci",
+    "dedup_keep_best",
+    "embedding_centroids",
+    "embedding_covariance",
+    "embedding_norm_stats",
+    "equidepth_histogram",
+    "ewma_hourly_value",
+    "frequent_itempairs",
+    "funnel_time_to_convert",
+    "grouping_sets_revenue",
+    "histogram_sketch_quantiles",
+    "hourly_anomalies",
+    "interarrival_histogram",
+    "kmeans_assign_step",
+    "kmeans_iterations",
+    "kmv_daily_rollup",
+    "ks_value_drift",
+    "lateral_top_orders",
+    "mad_by_type",
+    "mannwhitney_value_drift",
+    "modal_value_by_type",
+    "neardup_clusters",
+    "neardup_containment",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;

@@ -658,14 +658,14 @@ def test_connected_components_twins_match_union_find(spark, edge_list):
 )
 @settings(max_examples=10, deadline=None)
 def test_sliding_window_matches_python_model(spark, ts_secs, extra, slide):
-    # Spark requires slide <= duration (an AnalysisException otherwise),
-    # so the strategy draws the EXCESS over the slide
-    duration = slide + extra
     """W3 semantics vs the definitional model: an event at second t lands
     in every epoch-aligned window [s, s+duration) with s a multiple of
     slide and s <= t < s+duration — including non-divisible
     duration/slide combinations and windows that start before epoch.
     Counts per window-start must match exactly."""
+    # Spark requires slide <= duration (an AnalysisException otherwise),
+    # so the strategy draws the EXCESS over the slide
+    duration = slide + extra
     from collections import Counter
 
     from pyspark.sql import functions as F
