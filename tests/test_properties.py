@@ -903,3 +903,258 @@ def test_ivf_top1_matches_per_cell_model(spark, vecs, labels):
         if best_j is not None:
             want[i] = (best_j, best_sim)
     assert got == want, (rows, got, want)
+
+
+@st.composite
+def interval_case(draw):
+    left = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=1, max_size=10, unique=True)
+    )
+    right = draw(
+        st.lists(st.tuples(KEYS, TS), min_size=1, max_size=10, unique=True)
+    )
+    lower = draw(st.integers(min_value=-4, max_value=4))
+    width = draw(st.integers(min_value=1, max_value=15))
+    return left, right, lower, lower + width
+
+
+@given(interval_case())
+@settings(max_examples=10, deadline=None)
+def test_interval_join_matches_python_model(spark, case):
+    """J3 vs the definitional nested loop: a (lk, lt) row pairs with
+    every (rk, rt) row where rk == lk and lt+lower <= rt <= lt+upper —
+    negative lower bounds included. The banded twin (lower == 0 path)
+    must produce the identical pair set through its bucketed plan, and
+    left_outer must emit exactly the unmatched left rows with NULLs.
+    The existing invariance test pins twin-on-twin equality on one
+    skewed frame; this pins both against the model itself."""
+    from pyspark.sql import functions as F
+
+    from streambench_spark.operators.relational import (
+        interval_join,
+        interval_join_banded,
+    )
+
+    left_rows, right_rows, lower, upper = case
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)],
+        "lid long, k long, lts_s long",
+    ).withColumn("lts", F.timestamp_seconds("lts_s"))
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(right_rows)],
+        "rid long, k long, rts_s long",
+    ).withColumn("rts", F.timestamp_seconds("rts_s"))
+
+    want_pairs = {
+        (li, ri)
+        for li, (lk, lt) in enumerate(left_rows)
+        for ri, (rk, rt) in enumerate(right_rows)
+        if rk == lk and lt + lower <= rt <= lt + upper
+    }
+
+    got_inner = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            lower=f"{lower} seconds", upper=f"{upper} seconds",
+        ).select("l.lid", "r.rid").collect()
+    }
+    assert got_inner == want_pairs
+
+    got_outer = {
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            lower=f"{lower} seconds", upper=f"{upper} seconds",
+            how="left_outer",
+        ).select("l.lid", "r.rid").collect()
+    }
+    matched_left = {li for li, _ in want_pairs}
+    want_outer = want_pairs | {
+        (li, None) for li in range(len(left_rows)) if li not in matched_left
+    }
+    assert got_outer == want_outer
+
+    if upper > 0:
+        want_banded = {
+            (li, ri)
+            for li, (lk, lt) in enumerate(left_rows)
+            for ri, (rk, rt) in enumerate(right_rows)
+            if rk == lk and lt <= rt <= lt + upper
+        }
+        got_banded = {
+            (r["lid"], r["rid"])
+            for r in interval_join_banded(
+                left, right, key="k", left_ts="lts", right_ts="rts",
+                upper=f"{upper} seconds",
+            ).select("l.lid", "r.rid").collect()
+        }
+        assert got_banded == want_banded
+
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=8),
+        st.integers(min_value=0, max_value=8),
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(EDGES)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_python_model(spark, edge_list):
+    """The scaled-integer PageRank vs a pure-Python replay of the same
+    integer recurrence (symmetrize+distinct, c = pr // deg, pr' =
+    0.15*scale + 85*sum(c) // 100). The claim under test is that the
+    DISTRIBUTED plan (edge join + aggregate per round, lineage
+    truncation between rounds) computes exactly the sequential
+    fixed-point arithmetic — self-loops, duplicate edges, and both
+    orientations included. Any drift (a float sneaking in, a lost
+    contribution on a checkpoint boundary) breaks bit-equality."""
+    from streambench_spark.operators.graph import pagerank_exact
+
+    scale, iterations = 1_000_000, 3
+    sym = {(a, b) for a, b in edge_list} | {(b, a) for a, b in edge_list}
+    deg: dict[int, int] = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    pr = {n: scale for n in deg}
+    base = (15 * scale) // 100
+    for _ in range(iterations):
+        s: dict[int, int] = {n: 0 for n in deg}
+        for a, b in sym:
+            s[b] += pr[a] // deg[a]
+        pr = {n: base + (85 * s[n]) // 100 for n in deg}
+
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank_exact(edges, iterations=iterations).collect()
+    }
+    assert got == pr
+
+
+@given(EDGES)
+@settings(max_examples=10, deadline=None)
+def test_triangle_counts_matches_bruteforce(spark, edge_list):
+    """The degree-oriented adjacency-intersection enumeration vs the
+    brute-force triple scan on random small graphs. The orientation
+    tie-break ((deg, id) lexicographic) is the intricate part: a wrong
+    tie-break double-counts or drops triangles inside equal-degree
+    cliques, which the two example-based fixtures (path + star) never
+    exercise. Nodes with zero triangles are absent from the output by
+    contract."""
+    from itertools import combinations
+
+    from streambench_spark.operators.graph import triangle_counts
+
+    from hypothesis import assume
+
+    undirected = {
+        (min(a, b), max(a, b)) for a, b in edge_list if a != b
+    }
+    assume(undirected)
+    nodes = {n for e in undirected for n in e}
+    adj = {n: set() for n in nodes}
+    for a, b in undirected:
+        adj[a].add(b)
+        adj[b].add(a)
+    want: dict[int, int] = {}
+    for u, v, w in combinations(sorted(nodes), 3):
+        if v in adj[u] and w in adj[u] and w in adj[v]:
+            for n in (u, v, w):
+                want[n] = want.get(n, 0) + 1
+
+    edges = spark.createDataFrame(
+        sorted(undirected), "src long, dst long"
+    )
+    got = {
+        r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()
+    }
+    assert got == want
+
+
+@st.composite
+def salted_case(draw):
+    # one hot key (0) plus a uniform tail, the skew shape the salt exists for
+    fact_keys = draw(
+        st.lists(
+            st.one_of(st.just(0), st.integers(min_value=0, max_value=5)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    dim_keys = draw(
+        st.lists(
+            st.integers(min_value=0, max_value=7), min_size=1, max_size=8,
+            unique=True,
+        )
+    )
+    buckets = draw(st.integers(min_value=1, max_value=5))
+    return fact_keys, dim_keys, buckets
+
+
+@given(salted_case())
+@settings(max_examples=10, deadline=None)
+def test_salted_join_matches_plain_join(spark, case):
+    """The skew-salted fact-dim join must equal the plain equi join as a
+    MULTISET (duplicate fact rows per key preserved exactly once each,
+    facts with no dim row dropped) for any bucket count — including
+    buckets=1 (degenerate) and keys present on only one side. A salt
+    that is not a function of the fact row, or a dim replication that
+    misses a bucket, breaks multiset equality."""
+    from collections import Counter
+
+    from streambench_spark.operators.relational import salted_join
+
+    fact_keys, dim_keys, buckets = case
+    fact = spark.createDataFrame(
+        [(i, k, k * 10 + i) for i, k in enumerate(fact_keys)],
+        "fid long, k long, fv long",
+    )
+    dim = spark.createDataFrame(
+        [(k, k * 100) for k in dim_keys], "k long, dv long"
+    )
+    plain = Counter(
+        (r["fid"], r["dv"])
+        for r in fact.join(dim, "k").select("fid", "dv").collect()
+    )
+    salted = Counter(
+        (r["fid"], r["dv"])
+        for r in salted_join(fact, dim, key="k", salt_on="fid", buckets=buckets)
+        .select("fid", "dv")
+        .collect()
+    )
+    assert salted == plain
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_global_row_number_matches_sorted_enumeration(spark, values):
+    """global_row_number (range-repartition + per-partition Arrow
+    enumerate + broadcast offsets) must reproduce the sequential
+    1-based enumeration of the total order (v, id) — duplicates
+    resolved by the unique tiebreaker — and total_col must carry the
+    exact row count on every row. The offset stitching across range
+    partitions is the part a single-partition window can't get wrong
+    and this plan can."""
+    from streambench_spark.operators.relational import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "id long, v long"
+    )
+    got = {
+        r["id"]: (r["rn"], r["n_total"])
+        for r in global_row_number(
+            df, order=["v", "id"], rank_col="rn", total_col="n_total"
+        ).collect()
+    }
+    order = sorted(range(len(values)), key=lambda i: (values[i], i))
+    want = {i: (pos + 1, len(values)) for pos, i in enumerate(order)}
+    assert got == want
