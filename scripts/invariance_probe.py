@@ -1,6 +1,8 @@
 """Partition-invariance audit: every registry query, same data, two
 physical layouts — are the RESULTS bit-identical under the driver's
-9dp hash gate?
+9dp hash gate? Five variant axes as of r13: partition layout, Arrow
+batch size, codegen off, auto-broadcast off (join-strategy), and
+vectorized readers off (scan-path).
 
     python scripts/invariance_probe.py [sf_dir] [query ...]   # default sf0.01
 
@@ -77,6 +79,29 @@ _VARIANTS = {
     "codegen": {
         "spark.sql.codegen.wholeStage": "false",
         "spark.sql.codegen.factoryMode": "NO_CODEGEN",
+    },
+    # r13 axis: join-strategy invariance. At 100 TB the planner's
+    # broadcast decisions flip with dim size, AQE runtime stats, and
+    # executor memory — the SAME query runs as broadcast-hash on one
+    # day and sort-merge the next. Disabling auto-broadcast forces the
+    # sort-merge/shuffled-hash path everywhere the engine did not pin
+    # an explicit broadcast() hint (hints override the threshold, so
+    # the hinted dims are exercised as written); any result drift is a
+    # join-order/tie dependency the strategy switch would surface in
+    # production re-plans.
+    "joins": {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    },
+    # r13 axis: scan-path invariance. The vectorized columnar readers
+    # silently fall back to the row-based path on schema corners
+    # (nested types, some decimals, schema evolution) — per FILE, so a
+    # mixed dataset reads through BOTH decoders in one query. Forcing
+    # the row path end-to-end pins that results don't depend on which
+    # decoder produced the rows.
+    "scan": {
+        "spark.sql.parquet.enableVectorizedReader": "false",
+        "spark.sql.orc.enableVectorizedReader": "false",
     },
 }
 

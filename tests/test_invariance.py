@@ -372,3 +372,23 @@ def test_text_roundtrip_refuses_ntz(spark):
     # orders.o_orderdate is stored as timestamp_ntz in the testdata
     with pytest.raises(ValueError, match="timestamp_ntz"):
         roundtrip_table(spark, SF_DIR, "orders", "csv")
+
+
+def test_invariance_probe_covers_all_five_axes():
+    """The registry-wide audit (scripts/invariance_probe.py) must keep
+    all five variant axes: partition layout, Arrow batch size, codegen
+    off (r12), auto-broadcast off, and vectorized readers off (r13).
+    Each axis models a fallback a real cluster hits WITHOUT a conf
+    change; silently dropping one would shrink the recorded
+    '219/219 bit-identical' claim without any signal."""
+    import importlib
+
+    probe = importlib.import_module("scripts.invariance_probe")
+    assert set(probe._VARIANTS) == {
+        "partition", "arrow", "codegen", "joins", "scan",
+    }
+    assert probe._VARIANTS["joins"]["spark.sql.autoBroadcastJoinThreshold"] == "-1"
+    assert (
+        probe._VARIANTS["scan"]["spark.sql.parquet.enableVectorizedReader"]
+        == "false"
+    )
