@@ -1121,7 +1121,15 @@ def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sy = F.col("n").cast("double"), F.col("sx").cast("double"), F.col("sy").cast("double")
     sxx, syy, sxy = F.col("sxx").cast("double"), F.col("syy").cast("double"), F.col("sxy").cast("double")
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # A zero-variance group (single row, or a constant column) must yield
+    # NULL like the oracle's 0/0, not an ANSI DIVIDE_BY_ZERO crash — at
+    # corpus scale ONE degenerate event_type would kill the whole query
+    # (found by the r13 fixture-fuzz suite; organic sf data never trips
+    # it, so recorded hashes are unchanged). Cauchy-Schwarz makes the
+    # numerator exactly 0 whenever either variance is 0, so NULL is the
+    # only case the guard introduces.
+    var2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    corr = F.when(var2 > 0, (n * sxy - sx * sy) / F.sqrt(var2))
     return sums.select("event_type", F.round(corr, 6).alias("corr_xy"))
 
 

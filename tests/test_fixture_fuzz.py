@@ -1,0 +1,123 @@
+"""Fixture-dir oracle fuzzing: run REGISTERED queries and their DuckDB
+oracles side-by-side on hypothesis-generated miniature events tables —
+adversarial shapes the organic sf data never produces (zero-variance
+groups, a single row, one event type, every timestamp tied, all values
+zero). The per-round oracle gate proves Spark == DuckDB on ORGANIC
+data; this suite proves the agreement is a property of the semantics,
+not of the data the driver happened to generate.
+
+Found on first run (r13): value_correlation crashed with an ANSI
+DIVIDE_BY_ZERO on any zero-variance group — one degenerate event_type
+at corpus scale would have killed the whole query — while the oracle
+returned NULL. The guard now matches the oracle's NULL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+from hypothesis import given, settings, strategies as st
+
+from scripts.oracle_check import normalize
+
+import __spark_entry__ as _entry
+
+# Events-only batch queries (the fixture writes only events.parquet).
+# Every name must stay registered with an oracle; the test fails fast
+# on a missing one rather than silently shrinking coverage.
+FUZZED_QUERIES = [
+    "top_k_users", "value_histogram", "activity_gini", "mad_by_type",
+    "modal_value_by_type", "benford_digit_test", "ewma_hourly_value",
+    "collated_event_types", "equidepth_histogram", "interarrival_histogram",
+    "grouped_max", "global_percentiles", "grouped_percentiles",
+    "hourly_anomalies", "dau_mau_stickiness", "funnel_conversion",
+    "value_correlation", "lag_event_deltas", "moving_avg_value",
+    "cumulative_unique_users", "daily_value_bands",
+]
+
+_BASE_TS = 1_700_000_000  # epoch seconds; fixture spans <= 3 days
+
+
+@st.composite
+def _events_fixture(draw):
+    """Rows for a miniature events table, biased toward degenerate
+    shapes: the shape picks the nasty axis, the row draws fill it in."""
+    shape = draw(st.sampled_from([
+        "organic", "constant_value", "one_type", "one_hour",
+        "one_row", "zero_values", "one_user_ties",
+    ]))
+    n = 1 if shape == "one_row" else draw(st.integers(min_value=1, max_value=40))
+    n_users = 1 if shape == "one_user_ties" else draw(
+        st.integers(min_value=1, max_value=4)
+    )
+    types = ["view"] if shape == "one_type" else [
+        "view", "click", "cart", "purchase",
+    ]
+    rows = []
+    for i in range(n):
+        if shape == "one_hour":
+            ts = _BASE_TS + draw(st.integers(min_value=0, max_value=3599))
+        elif shape == "one_user_ties":
+            ts = _BASE_TS
+        else:
+            ts = _BASE_TS + draw(st.integers(min_value=0, max_value=3 * 86400))
+        if shape == "constant_value":
+            v = 123.45
+        elif shape == "zero_values":
+            v = 0.0
+        else:
+            # 2dp cents like the organic generator — the engines' shared
+            # round(value*100) convention is proven on this domain
+            v = draw(st.integers(min_value=0, max_value=56000)) / 100.0
+        user = draw(st.integers(min_value=0, max_value=n_users - 1))
+        etype = draw(st.sampled_from(types))
+        rows.append((i, ts, user, etype, v, "{}"))
+    return shape, rows
+
+
+def _write_events(tmp: str, rows) -> None:
+    # timestamp("us") with no tz -> parquet isAdjustedToUTC=false, the
+    # organic testdata's MICROS flavor (catalog normalizes either way)
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
+
+
+@given(_events_fixture())
+@settings(max_examples=6, deadline=None)
+def test_registered_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, rows = case
+    qs = _entry.queries()
+    oracles = _entry.oracle_sql()
+    missing = [n for n in FUZZED_QUERIES if n not in qs or n not in oracles]
+    assert not missing, f"fuzzed names fell out of the registry: {missing}"
+
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_")
+    try:
+        _write_events(tmp, rows)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'"
+        )
+        for name in FUZZED_QUERIES:
+            df = qs[name](spark, tmp)
+            got = normalize([tuple(r) for r in df.collect()], df.columns)
+            rel = con.sql(oracles[name])
+            want = normalize(
+                [tuple(r) for r in rel.fetchall()], list(rel.columns)
+            )
+            assert got == want, (name, shape, got[:3], want[:3])
+        con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
