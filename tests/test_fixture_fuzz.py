@@ -94,23 +94,17 @@ def _write_events(tmp: str, rows) -> None:
     pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
 
 
-@given(_events_fixture())
-@settings(max_examples=6, deadline=None)
-def test_registered_queries_match_oracles_on_adversarial_fixtures(spark, case):
-    shape, rows = case
+def _run_fuzz(spark, tmp: str, table: str, names, shape) -> None:
     qs = _entry.queries()
     oracles = _entry.oracle_sql()
-    missing = [n for n in FUZZED_QUERIES if n not in qs or n not in oracles]
+    missing = [n for n in names if n not in qs or n not in oracles]
     assert not missing, f"fuzzed names fell out of the registry: {missing}"
-
-    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_")
+    con = duckdb.connect()
     try:
-        _write_events(tmp, rows)
-        con = duckdb.connect()
         con.execute(
-            f"CREATE VIEW events AS SELECT * FROM '{tmp}/events.parquet'"
+            f"CREATE VIEW {table} AS SELECT * FROM '{tmp}/{table}.parquet'"
         )
-        for name in FUZZED_QUERIES:
+        for name in names:
             df = qs[name](spark, tmp)
             got = normalize([tuple(r) for r in df.collect()], df.columns)
             rel = con.sql(oracles[name])
@@ -118,6 +112,91 @@ def test_registered_queries_match_oracles_on_adversarial_fixtures(spark, case):
                 [tuple(r) for r in rel.fetchall()], list(rel.columns)
             )
             assert got == want, (name, shape, got[:3], want[:3])
+    finally:
         con.close()
+
+
+@given(_events_fixture())
+@settings(max_examples=6, deadline=None)
+def test_registered_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, rows = case
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_")
+    try:
+        _write_events(tmp, rows)
+        _run_fuzz(spark, tmp, "events", FUZZED_QUERIES, shape)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Documents-only queries — the LLM text/dedup surface, where the nasty
+# axes are textual: duplicate corpora, single-token docs, punctuation-
+# only docs, non-ASCII (accents + CJK).
+FUZZED_DOC_QUERIES = [
+    "corpus_stats", "doc_fingerprint", "gopher_quality_rules", "grep_docs",
+    "wordcount_top20", "bigram_lm_score", "chunk_docs", "chunk_docs_overlap",
+    "doc_stats", "exact_dedup", "dedup_keep_best", "lang_id",
+    "token_counts", "tfidf_top_terms", "pii_scrub", "neardup_containment",
+    "neardup_clusters", "minhash_lsh_neardup", "simhash_fingerprint",
+    "span_dedup", "contamination_scores", "source_vocab_overlap",
+]
+
+_DOC_VOCAB = [
+    "the", "of", "and", "data", "spark", "x", "email", "a@b.co",
+    "####", "...", "zebra", "qq",
+]
+
+
+@st.composite
+def _documents_fixture(draw):
+    shape = draw(st.sampled_from([
+        "organic", "one_doc", "dup_docs", "empty_ish", "one_word", "unicode",
+    ]))
+    n = 1 if shape == "one_doc" else draw(st.integers(min_value=1, max_value=10))
+    docs = []
+    for i in range(n):
+        if shape == "dup_docs":
+            words = ["the", "data", "spark"] * 4
+        elif shape == "one_word":
+            words = ["x"]
+        elif shape == "empty_ish":
+            words = [draw(st.sampled_from([".", "-", "x"]))]
+        elif shape == "unicode":
+            words = draw(st.lists(
+                st.sampled_from(["café", "naïve", "東京", "mañana", "the"]),
+                min_size=1, max_size=15,
+            ))
+        else:
+            words = draw(st.lists(
+                st.sampled_from(_DOC_VOCAB), min_size=1, max_size=40,
+            ))
+        text = " ".join(words)
+        docs.append((
+            i, text,
+            draw(st.sampled_from(["en", "fr", "xx"])),
+            draw(st.sampled_from(["web", "book"])),
+            len(text),
+        ))
+    return shape, docs
+
+
+def _write_documents(tmp: str, docs) -> None:
+    tbl = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+        "source": pa.array([d[3] for d in docs], pa.string()),
+        "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(tmp, "documents.parquet"))
+
+
+@given(_documents_fixture())
+@settings(max_examples=5, deadline=None)
+def test_document_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, docs = case
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_docs_")
+    try:
+        _write_documents(tmp, docs)
+        _run_fuzz(spark, tmp, "documents", FUZZED_DOC_QUERIES, shape)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
