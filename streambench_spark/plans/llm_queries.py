@@ -1925,7 +1925,17 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
             w.crossJoin(F.broadcast(m))
-            .select("i", F.round(F.col("w") / F.col("m"), 9).alias("val"))
+            # m == 0 (all-zero covariance: identical or single vectors)
+            # must yield NULL like the oracle's 0/0, not an ANSI
+            # DIVIDE_BY_ZERO crash; the NULL then propagates through the
+            # remaining iterations and outputs identically in both
+            # engines (r13 fixture-fuzz find).
+            .select(
+                "i",
+                F.when(
+                    F.col("m") != 0, F.round(F.col("w") / F.col("m"), 9)
+                ).alias("val"),
+            )
             .localCheckpoint(eager=True)
         )
         m_final = m
@@ -1993,7 +2003,17 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
         v = (
             w.crossJoin(F.broadcast(m))
-            .select("i", F.round(F.col("w") / F.col("m"), 9).alias("val"))
+            # m == 0 (all-zero covariance: identical or single vectors)
+            # must yield NULL like the oracle's 0/0, not an ANSI
+            # DIVIDE_BY_ZERO crash; the NULL then propagates through the
+            # remaining iterations and outputs identically in both
+            # engines (r13 fixture-fuzz find).
+            .select(
+                "i",
+                F.when(
+                    F.col("m") != 0, F.round(F.col("w") / F.col("m"), 9)
+                ).alias("val"),
+            )
             .localCheckpoint(eager=True)
         )
     vav = (

@@ -9,7 +9,10 @@ not of the data the driver happened to generate.
 Found on first run (r13): value_correlation crashed with an ANSI
 DIVIDE_BY_ZERO on any zero-variance group — one degenerate event_type
 at corpus scale would have killed the whole query — while the oracle
-returned NULL. The guard now matches the oracle's NULL.
+returned NULL. Same class in both PCA queries: an all-zero covariance
+matrix (identical or single vectors) made the power-iteration
+normalization divide by max(|w|) == 0. All three now yield the
+oracle's NULLs; organic-data results are bit-unchanged.
 """
 
 from __future__ import annotations
@@ -198,5 +201,69 @@ def test_document_queries_match_oracles_on_adversarial_fixtures(spark, case):
     try:
         _write_documents(tmp, docs)
         _run_fuzz(spark, tmp, "documents", FUZZED_DOC_QUERIES, shape)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Embeddings-only queries — the similarity/linear-algebra surface, where
+# the nasty axes are geometric: zero-norm vectors, fully identical
+# corpora (zero covariance), a single vector, one label, axis-aligned
+# one-hot vectors (maximal ties).
+FUZZED_EMB_QUERIES = [
+    "embedding_centroids", "embedding_covariance", "embedding_ivf_topk",
+    "embedding_lsh_multiprobe_topk", "embedding_lsh_topk",
+    "embedding_norm_stats", "embedding_quantize_int8",
+    "embedding_topk_cosine", "kmeans_assign_step", "kmeans_iterations",
+    "neardup_embedding_cosine", "neardup_embedding_lsh",
+    "pca_top_component", "pca_variance_explained",
+]
+
+_EMB_DIM = 64
+
+
+@st.composite
+def _embeddings_fixture(draw):
+    shape = draw(st.sampled_from([
+        "organic", "one_vec", "zero_vecs", "identical", "one_label",
+        "axis_aligned",
+    ]))
+    n = 1 if shape == "one_vec" else draw(st.integers(min_value=1, max_value=20))
+    coord = st.integers(min_value=-1000, max_value=1000)
+    proto = [draw(coord) / 1000.0 for _ in range(_EMB_DIM)]
+    vecs, labels = [], []
+    for i in range(n):
+        if shape == "zero_vecs":
+            v = [0.0] * _EMB_DIM
+        elif shape == "identical":
+            v = list(proto)
+        elif shape == "axis_aligned":
+            v = [0.0] * _EMB_DIM
+            v[i % _EMB_DIM] = 1.0
+        else:
+            v = [draw(coord) / 1000.0 for _ in range(_EMB_DIM)]
+        vecs.append(v)
+        labels.append(0 if shape == "one_label" else draw(
+            st.integers(min_value=0, max_value=3)
+        ))
+    return shape, vecs, labels
+
+
+def _write_embeddings(tmp: str, vecs, labels) -> None:
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(tmp, "embeddings.parquet"))
+
+
+@given(_embeddings_fixture())
+@settings(max_examples=5, deadline=None)
+def test_embedding_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, vecs, labels = case
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_emb_")
+    try:
+        _write_embeddings(tmp, vecs, labels)
+        _run_fuzz(spark, tmp, "embeddings", FUZZED_EMB_QUERIES, shape)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
