@@ -267,3 +267,102 @@ def test_embedding_queries_match_oracles_on_adversarial_fixtures(spark, case):
         _run_fuzz(spark, tmp, "embeddings", FUZZED_EMB_QUERIES, shape)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# Events + customer join queries — the dim-join surface, where the
+# nasty axes are relational: broken foreign keys (events whose user has
+# no customer row), a hot user owning ~90% of events, a single-row dim,
+# an empty filtered segment (bloom built over zero members), and every
+# timestamp tied on one window boundary.
+FUZZED_JOIN_QUERIES = [
+    "ysb", "ysb_10s", "bloom_join_prune", "validate_events",
+    "conversion_rate_ci", "skew_salted_enrichment",
+]
+
+_SEGMENTS = ["BUILDING", "AUTOMOBILE", "MACHINERY"]
+
+
+@st.composite
+def _join_fixture(draw):
+    shape = draw(st.sampled_from([
+        "organic", "no_fk_match", "hot_user", "one_customer",
+        "no_building_segment", "ts_ties",
+    ]))
+    n = draw(st.integers(min_value=1, max_value=40))
+    n_cust = 1 if shape == "one_customer" else draw(
+        st.integers(min_value=1, max_value=8)
+    )
+    segs = [
+        s for s in _SEGMENTS
+        if not (shape == "no_building_segment" and s == "BUILDING")
+    ]
+    cust = [
+        (
+            k, f"Customer#{k}",
+            draw(st.integers(min_value=0, max_value=24)),
+            draw(st.integers(min_value=-99900, max_value=999900)) / 100.0,
+            draw(st.sampled_from(segs)),
+        )
+        for k in range(n_cust)
+    ]
+    rows = []
+    for i in range(n):
+        if shape == "no_fk_match":
+            uid = n_cust + draw(st.integers(min_value=0, max_value=5))
+        elif shape == "hot_user":
+            uid = draw(st.sampled_from([0] * 9 + [n_cust - 1]))
+        else:
+            # n_cust+1 upper bound: some FK breaks in organic draws too
+            uid = draw(st.integers(min_value=0, max_value=n_cust + 1))
+        ts = _BASE_TS if shape == "ts_ties" else _BASE_TS + draw(
+            st.integers(min_value=0, max_value=2 * 86400)
+        )
+        v = draw(st.integers(min_value=0, max_value=56000)) / 100.0
+        etype = draw(st.sampled_from(["view", "click", "cart", "purchase"]))
+        rows.append((i, ts, uid, etype, v, "{}"))
+    return shape, rows, cust
+
+
+def _write_customer(tmp: str, cust) -> None:
+    tbl = pa.table({
+        "c_custkey": pa.array([c[0] for c in cust], pa.int64()),
+        "c_name": pa.array([c[1] for c in cust], pa.string()),
+        "c_nationkey": pa.array([c[2] for c in cust], pa.int32()),
+        "c_acctbal": pa.array([c[3] for c in cust], pa.float64()),
+        "c_mktsegment": pa.array([c[4] for c in cust], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(tmp, "customer.parquet"))
+
+
+@given(_join_fixture())
+@settings(max_examples=5, deadline=None)
+def test_join_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, rows, cust = case
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_join_")
+    try:
+        _write_events(tmp, rows)
+        _write_customer(tmp, cust)
+        qs = _entry.queries()
+        oracles = _entry.oracle_sql()
+        missing = [
+            n for n in FUZZED_JOIN_QUERIES if n not in qs or n not in oracles
+        ]
+        assert not missing, f"fuzzed names fell out of the registry: {missing}"
+        con = duckdb.connect()
+        try:
+            for t in ("events", "customer"):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'"
+                )
+            for name in FUZZED_JOIN_QUERIES:
+                df = qs[name](spark, tmp)
+                got = normalize([tuple(r) for r in df.collect()], df.columns)
+                rel = con.sql(oracles[name])
+                want = normalize(
+                    [tuple(r) for r in rel.fetchall()], list(rel.columns)
+                )
+                assert got == want, (name, shape, got[:3], want[:3])
+        finally:
+            con.close()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
