@@ -1556,11 +1556,19 @@ def q_segment_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
     sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
     den = n * sxx - sx * sx
+    # A group whose every event shares one timestamp (or a single-row
+    # group) has zero x-variance; both numerators are exactly 0 then, so
+    # the guard only introduces the oracle's 0/0 NULL instead of an ANSI
+    # crash (r13 fixture-fuzz find).
     return sums.select(
         "event_type",
         F.col("n").cast("long").alias("n"),
-        F.round((n * sxy - sx * sy) / den, 6).alias("slope_cents_per_s"),
-        F.round((sy * sxx - sx * sxy) / den, 6).alias("intercept_cents"),
+        F.when(den != 0, F.round((n * sxy - sx * sy) / den, 6)).alias(
+            "slope_cents_per_s"
+        ),
+        F.when(den != 0, F.round((sy * sxx - sx * sxy) / den, 6)).alias(
+            "intercept_cents"
+        ),
     )
 
 
@@ -1865,15 +1873,24 @@ def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    # Constant hourly counts (or a single lag pair) zero the variance
+    # product; the numerator is then exactly 0 too (Cauchy-Schwarz), so
+    # NULL — the oracle's 0/0 — is the only value the guard introduces.
+    # Unguarded, ANSI mode crashes the whole query on one flat segment
+    # (r13 fixture-fuzz find).
+    _ac_var2 = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
     return sums.select(
         "event_type", F.col("n").alias("n_pairs"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        F.when(
+            _ac_var2 > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+                / F.sqrt(_ac_var2),
+                6,
             ),
-            6,
         ).alias("autocorr_lag1"),
     )
 
@@ -2568,12 +2585,15 @@ def q_revenue_share_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.groupBy("event_type").agg(
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
     )
+    # An all-zero-revenue corpus zeroes the grand total; every numerator
+    # is 0 then too, so the guard only introduces the oracle's 0/0 NULL
+    # instead of an ANSI crash (r13 fixture-fuzz find).
+    _total = F.sum("cents").over(Window.partitionBy())
     return t.select(
         "event_type", "cents",
-        F.round(
-            F.col("cents").cast("double")
-            / F.sum("cents").over(Window.partitionBy()),
-            6,
+        F.when(
+            _total != 0,
+            F.round(F.col("cents").cast("double") / _total, 6),
         ).alias("share"),
     )
 
@@ -3135,11 +3155,16 @@ def q_twap_value_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead(F.unix_millis("ts")).over(w).alias("next_ms"),
     ).filter(F.col("next_ms").isNotNull())
     dt = F.col("next_ms") - F.col("ts_ms")
+    # Every interval zero-width (all of a user's events on one
+    # timestamp) zeroes the weight sum; the weighted numerator is 0
+    # then too, so the guard only introduces the oracle's 0/0 NULL
+    # instead of an ANSI crash (r13 fixture-fuzz find).
     return seq.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(dt).alias("total_ms"),
-        F.round(
-            F.sum(F.col("cents") * dt).cast("double") / F.sum(dt), 6
+        F.when(
+            F.sum(dt) != 0,
+            F.round(F.sum(F.col("cents") * dt).cast("double") / F.sum(dt), 6),
         ).alias("twap_cents"),
     )
 
@@ -3315,22 +3340,38 @@ def q_moments_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("s3").cast("double") / n
     m4 = F.col("s4") / n
     var_pop = m2 - m1 * m1
+    # Degenerate groups — a single row (n-1 == 0) or a constant column
+    # (var_pop == 0) — must yield the oracle's x/0 NULLs, not an ANSI
+    # crash (r13 fixture-fuzz find). `!= 0` (not `> 0`) so a float-
+    # rounded tiny-negative variance still flows into pow() and lands
+    # on the same NaN in both engines.
     return s.select(
         "event_type", "n",
         F.round(m1, 4).alias("mean_cents"),
-        F.round(
-            (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / n)
-            / (n - 1),
-            4,
+        F.when(
+            n > 1,
+            F.round(
+                (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / n)
+                / (n - 1),
+                4,
+            ),
         ).alias("var_cents"),
-        (F.round(
-            (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(var_pop, 1.5), 6
+        (F.when(
+            var_pop != 0,
+            F.round(
+                (m3 - 3.0 * m1 * m2 + 2.0 * F.pow(m1, 3)) / F.pow(var_pop, 1.5),
+                6,
+            ),
         ) + F.lit(0.0)).alias("skewness"),
-        (F.round(
-            (m4 - 4.0 * m1 * m3 + 6.0 * F.pow(m1, 2) * m2 - 3.0 * F.pow(m1, 4))
-            / F.pow(var_pop, 2)
-            - 3.0,
-            6,
+        (F.when(
+            var_pop != 0,
+            F.round(
+                (m4 - 4.0 * m1 * m3 + 6.0 * F.pow(m1, 2) * m2
+                 - 3.0 * F.pow(m1, 4))
+                / F.pow(var_pop, 2)
+                - 3.0,
+                6,
+            ),
         ) + F.lit(0.0)).alias("excess_kurtosis"),
         F.round(F.exp(F.col("sln") / n), 4).alias("geo_mean_cents"),
         F.round(n / F.col("sinv"), 4).alias("harm_mean_cents"),
@@ -3730,8 +3771,12 @@ def q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum("cents").alias("cents"),
-            F.round(
-                F.sum("cents").cast("double") / F.any_value("tot"), 6
+            # no purchase revenue at all -> grand total 0 and every
+            # bucket sum 0: the oracle's 0/0 NULL, not an ANSI crash
+            # (r13 fixture-fuzz find)
+            F.when(
+                F.any_value("tot") != 0,
+                F.round(F.sum("cents").cast("double") / F.any_value("tot"), 6),
             ).alias("revenue_share"),
         )
     )
@@ -4115,22 +4160,28 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n1, n2 = F.col("n1"), F.col("n2")
     u1x2 = F.col("r1x2") - n1 * (n1 + 1)
-    var = (
-        n1.cast("double") * n2 / 12.0
-        * (
-            (n1 + n2 + 1)
-            - F.col("tie3").cast("double") / ((n1 + n2) * (n1 + n2 - 1))
-        )
+    # Two ANSI-crash edges the oracle answers with NULL (r13 fixture-
+    # fuzz find): one observation total zeroes the tie-correction
+    # denominator (N(N-1)), and a fully-tied sample zeroes the variance
+    # itself (the z numerator is exactly 0 then). Guard both; the NULLs
+    # propagate like DuckDB's x/0.
+    ntot = n1 + n2
+    tie_term = F.when(
+        ntot > 1, F.col("tie3").cast("double") / (ntot * (ntot - 1))
     )
+    var = n1.cast("double") * n2 / 12.0 * ((ntot + 1) - tie_term)
     return agg.select(
         n1.cast("long").alias("n_ref"),
         n2.cast("long").alias("n_cur"),
         u1x2.cast("long").alias("u1_x2"),
         (
-            F.round(
-                (u1x2.cast("double") / 2 - n1.cast("double") * n2 / 2)
-                / F.sqrt(var),
-                4,
+            F.when(
+                var > 0,
+                F.round(
+                    (u1x2.cast("double") / 2 - n1.cast("double") * n2 / 2)
+                    / F.sqrt(var),
+                    4,
+                ),
             )
             + F.lit(0.0)
         ).alias("z"),
@@ -4570,19 +4621,25 @@ def q_session_conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("event_type") == "view").cast("int")).alias("has_view"),
         F.max((F.col("event_type") == "purchase").cast("int")).alias("has_buy"),
     )
+    # A corpus with no view sessions zeroes the denominator and the
+    # numerator together; NULL is the oracle's 0/0, an ANSI crash is
+    # not (r13 fixture-fuzz find).
     return flags.agg(
         F.sum("has_view").cast("long").alias("view_sessions"),
         F.sum(
             ((F.col("has_view") == 1) & (F.col("has_buy") == 1)).cast("long")
         ).alias("converting_sessions"),
-        F.round(
-            F.sum(
-                ((F.col("has_view") == 1) & (F.col("has_buy") == 1)).cast(
-                    "long"
-                )
-            ).cast("double")
-            / F.sum("has_view"),
-            6,
+        F.when(
+            F.sum("has_view") != 0,
+            F.round(
+                F.sum(
+                    ((F.col("has_view") == 1) & (F.col("has_buy") == 1)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.sum("has_view"),
+                6,
+            ),
         ).alias("session_conversion"),
     )
 
@@ -4672,22 +4729,26 @@ def q_hourly_ccf_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
     )
+    # A lag with constant per-hour counts (or one overlapping pair)
+    # zeroes the variance product — numerator exactly 0 then, so the
+    # guard only introduces the oracle's 0/0 NULL instead of an ANSI
+    # crash (r13 fixture-fuzz find).
+    _ccf_var2 = (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
     return s.select(
         F.col("lag").cast("long").alias("lag"), "n",
         (
-            F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-                    "double"
-                )
-                / F.sqrt(
+            F.when(
+                _ccf_var2 > 0,
+                F.round(
                     (
-                        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
                     ).cast("double")
-                    * (
-                        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
-                    ).cast("double")
+                    / F.sqrt(_ccf_var2),
+                    6,
                 ),
-                6,
             )
             + F.lit(0.0)
         ).alias("ccf"),

@@ -41,6 +41,11 @@ FUZZED_QUERIES = [
     "hourly_anomalies", "dau_mau_stickiness", "funnel_conversion",
     "value_correlation", "lag_event_deltas", "moving_avg_value",
     "cumulative_unique_users", "daily_value_bands",
+    # the nine ANSI-divide-by-zero fixes of r13, pinned here so the
+    # degenerate shapes that crashed them stay covered
+    "value_autocorr", "hourly_ccf_purchase_error", "mannwhitney_value_drift",
+    "moments_by_type", "revenue_pareto", "revenue_share_by_type",
+    "segment_linear_trend", "session_conversion_rate", "twap_value_per_user",
 ]
 
 _BASE_TS = 1_700_000_000  # epoch seconds; fixture spans <= 3 days
