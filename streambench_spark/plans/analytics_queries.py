@@ -1128,6 +1128,22 @@ def q_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it, so recorded hashes are unchanged). Cauchy-Schwarz makes the
     # numerator exactly 0 whenever either variance is 0, so NULL is the
     # only case the guard introduces.
+    #
+    # Why `> 0` (not `!= 0`) cannot diverge from the oracle on a
+    # float-rounded tiny-NEGATIVE var2 (ADVICE r13): a negative would
+    # need n·sxx - sx² < 0 in doubles while the exact value is 0. While
+    # every accumulated sum is below 2^53 (cents ≤ 1e5 by the events
+    # value contract, so sxx ≤ n·1e10 — exact up to ~9e5 rows per
+    # group), the decimal→double conversions are exact, and then both
+    # products round the SAME real number (n·sxx = sx² when variance is
+    # 0) to the SAME double — the difference is exactly 0.0, never -ε.
+    # Beyond 2^53 per-group sums, both engines compute the identical
+    # IEEE expression, so a -ε appears on BOTH sides: Spark yields NULL
+    # while the oracle's sqrt(-ε) raises — a crash-vs-NULL gap of the
+    # HARNESS (DuckDB has no NULL-on-negative sqrt), in a region no
+    # gate reaches; NULL is deliberately the production-safe side. The
+    # autocorr/CCF twins subtract in exact long arithmetic BEFORE the
+    # double cast, so their factors can never round negative at all.
     var2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
     corr = F.when(var2 > 0, (n * sxy - sx * sy) / F.sqrt(var2))
     return sums.select("event_type", F.round(corr, 6).alias("corr_xy"))
@@ -1877,7 +1893,9 @@ def q_value_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # product; the numerator is then exactly 0 too (Cauchy-Schwarz), so
     # NULL — the oracle's 0/0 — is the only value the guard introduces.
     # Unguarded, ANSI mode crashes the whole query on one flat segment
-    # (r13 fixture-fuzz find).
+    # (r13 fixture-fuzz find). The factors subtract in exact long
+    # arithmetic before the double cast, so `> 0` cannot see a rounded
+    # tiny-negative (see q_value_correlation for the family-wide note).
     _ac_var2 = (
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
@@ -4164,7 +4182,11 @@ def q_mannwhitney_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fuzz find): one observation total zeroes the tie-correction
     # denominator (N(N-1)), and a fully-tied sample zeroes the variance
     # itself (the z numerator is exactly 0 then). Guard both; the NULLs
-    # propagate like DuckDB's x/0.
+    # propagate like DuckDB's x/0. The `var > 0` comparison sees exact
+    # doubles while tie3 = Σ(t³-t) stays below 2^53 (N ≤ ~2e5 distinct-
+    # value multiplicity); past that, both engines round the identical
+    # IEEE expression the same way (family-wide note at
+    # q_value_correlation).
     ntot = n1 + n2
     tie_term = F.when(
         ntot > 1, F.col("tie3").cast("double") / (ntot * (ntot - 1))
@@ -4732,7 +4754,9 @@ def q_hourly_ccf_purchase_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A lag with constant per-hour counts (or one overlapping pair)
     # zeroes the variance product — numerator exactly 0 then, so the
     # guard only introduces the oracle's 0/0 NULL instead of an ANSI
-    # crash (r13 fixture-fuzz find).
+    # crash (r13 fixture-fuzz find). Factors subtract in exact long
+    # arithmetic before the double cast — no rounded tiny-negative is
+    # possible (see q_value_correlation for the family-wide note).
     _ccf_var2 = (
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")

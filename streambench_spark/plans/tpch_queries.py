@@ -336,11 +336,19 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.sum(
         F.when(F.col("p_type").startswith("PROMO"), F.col("cents")).otherwise(0)
     )
+    total = F.sum("cents")
+    # An all-zero-revenue month (every cents row 0: zero prices or 100%
+    # discounts) zeroes the denominator; cents >= 0 on the supported
+    # domain (price >= 0, discount <= 1), so the promo numerator is
+    # provably 0 there too and the guard only swaps an ANSI
+    # DIVIDE_BY_ZERO crash for the oracle's 0/0 NULL (the r13
+    # fixture-fuzz class, swept through the TPC-H family in r14).
     return j.agg(
         promo.alias("promo_cents"),
-        F.sum("cents").alias("total_cents"),
-        F.round(
-            100.0 * promo.cast("double") / F.sum("cents").cast("double"), 6
+        total.alias("total_cents"),
+        F.when(
+            total != 0,
+            F.round(100.0 * promo.cast("double") / total.cast("double"), 6),
         ).alias("promo_pct"),
     )
 
@@ -665,11 +673,17 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_sum = F.sum(
         F.when(F.col("supp_nation") == "NATION_5", F.col("cents")).otherwise(0)
     )
+    total = F.sum("cents")
+    # A zero-revenue year group (all cents 0) zeroes the denominator;
+    # cents >= 0 on the supported domain, so the nation numerator is
+    # provably 0 there and the guard reproduces the oracle's 0/0 NULL
+    # instead of the ANSI DIVIDE_BY_ZERO crash (r13 fixture-fuzz class).
     return vol.groupBy("o_year").agg(
         nation_sum.alias("nation_cents"),
-        F.sum("cents").alias("total_cents"),
-        F.round(
-            nation_sum.cast("double") / F.sum("cents").cast("double"), 6
+        total.alias("total_cents"),
+        F.when(
+            total != 0,
+            F.round(nation_sum.cast("double") / total.cast("double"), 6),
         ).alias("mkt_share"),
     )
 
@@ -979,10 +993,17 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("p_partkey").alias("ps_partkey"),
-            (
+            # s == 0 (empty supplier table) must yield a NULL suppkey —
+            # DuckDB's `DIV 0`/`% 0` return NULL, while unguarded Spark
+            # ANSI raises DIVIDE_BY_ZERO. AQE's empty-relation
+            # propagation usually skips this stage when the downstream
+            # supplier join is empty, but that is a plan accident, not a
+            # guarantee (it vanishes when AQE is off — invariance axis).
+            F.when(
+                F.col("s") != 0,
                 (F.col("p_partkey")
                  + F.col("i") * (F.expr("s DIV 4") + F.expr("p_partkey DIV s")))
-                % F.col("s")
+                % F.col("s"),
             ).alias("ps_suppkey"),
         )
         .distinct()

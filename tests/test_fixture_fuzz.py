@@ -17,6 +17,7 @@ oracle's NULLs; organic-data results are bit-unchanged.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -29,6 +30,12 @@ from hypothesis import given, settings, strategies as st
 from scripts.oracle_check import normalize
 
 import __spark_entry__ as _entry
+
+# Default pytest runs keep the heavy sweeps short (ADVICE r13: the
+# embeddings sweep alone cost ~6.6 min at 5 examples in every default
+# invocation); the round-close gate exports STREAMBENCH_FUZZ_FULL=1 to
+# run the full example counts.
+_FULL = os.environ.get("STREAMBENCH_FUZZ_FULL", "") == "1"
 
 # Events-only batch queries (the fixture writes only events.parquet).
 # Every name must stay registered with an oracle; the test fails fast
@@ -102,16 +109,17 @@ def _write_events(tmp: str, rows) -> None:
     pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
 
 
-def _run_fuzz(spark, tmp: str, table: str, names, shape) -> None:
+def _run_fuzz(spark, tmp: str, table, names, shape) -> None:
     qs = _entry.queries()
     oracles = _entry.oracle_sql()
     missing = [n for n in names if n not in qs or n not in oracles]
     assert not missing, f"fuzzed names fell out of the registry: {missing}"
     con = duckdb.connect()
     try:
-        con.execute(
-            f"CREATE VIEW {table} AS SELECT * FROM '{tmp}/{table}.parquet'"
-        )
+        for t in [table] if isinstance(table, str) else table:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{tmp}/{t}.parquet'"
+            )
         for name in names:
             df = qs[name](spark, tmp)
             got = normalize([tuple(r) for r in df.collect()], df.columns)
@@ -263,7 +271,7 @@ def _write_embeddings(tmp: str, vecs, labels) -> None:
 
 
 @given(_embeddings_fixture())
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=5 if _FULL else 2, deadline=None)
 def test_embedding_queries_match_oracles_on_adversarial_fixtures(spark, case):
     shape, vecs, labels = case
     tmp = tempfile.mkdtemp(prefix="fixture_fuzz_emb_")
@@ -337,6 +345,273 @@ def _write_customer(tmp: str, cust) -> None:
         "c_mktsegment": pa.array([c[4] for c in cust], pa.string()),
     })
     pq.write_table(tbl, os.path.join(tmp, "customer.parquet"))
+
+
+# TPC-H star-schema queries — the never-fuzzed family VERDICT r13 named
+# as the round's one real defect: tpch_q14/tpch_q8 carried the exact
+# unguarded `/ sum(cents)` ANSI DIVIDE_BY_ZERO class the r13 round fixed
+# in 12 events-family queries, and the derived-partsupp bridge divides
+# by the supplier COUNT (empty supplier table => DIV/% by zero, reached
+# whenever AQE's empty-relation propagation doesn't happen to skip the
+# stage). Nasty axes here are relational + arithmetic: all-zero revenue
+# (zero prices / 100% discounts => zero denominators), an empty dim
+# table, broken foreign keys, one row, every date tied on a query
+# window boundary.
+FUZZED_TPCH_QUERIES = [
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_shipping_modes",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+]
+
+_TPCH_TABLES = [
+    "lineitem", "orders", "customer", "supplier", "part", "nation", "region",
+]
+
+# AMERICA nations (n_regionkey == 1) — q8's customer-region filter; the
+# zero_price shape pins customers here so the q8 join chain produces
+# rows whose year-group revenue sum is exactly 0 (the crash trigger).
+_AMERICA_NATIONS = [1, 6, 11, 16, 21]
+
+_D0 = datetime.datetime(1995, 1, 1)
+
+
+def _day(offset: int) -> datetime.datetime:
+    return _D0 + datetime.timedelta(days=offset)
+
+
+@st.composite
+def _tpch_fixture(draw):
+    shape = draw(st.sampled_from([
+        "organic", "zero_price", "discount_one", "one_row",
+        "date_ties", "empty_supplier", "broken_fk",
+    ]))
+    n_li = 1 if shape == "one_row" else draw(
+        st.integers(min_value=1, max_value=30)
+    )
+    n_ord = draw(st.integers(min_value=1, max_value=10))
+    n_cust = draw(st.integers(min_value=1, max_value=6))
+    n_supp = 0 if shape == "empty_supplier" else draw(
+        st.integers(min_value=1, max_value=5)
+    )
+    n_part = draw(st.integers(min_value=1, max_value=8))
+
+    price2 = st.integers(min_value=0, max_value=9_999_999)  # cents, 2dp
+    disc2 = st.integers(min_value=0, max_value=10)  # hundredths
+
+    def fk(n: int) -> int:
+        # broken_fk points some keys past the dim (organic draws may
+        # break too, like the events join fixture); others stay valid
+        if shape == "broken_fk" and draw(st.booleans()):
+            return n + draw(st.integers(min_value=0, max_value=3))
+        return draw(st.integers(min_value=0, max_value=max(n - 1, 0)))
+
+    customer = [
+        (
+            k, f"Customer#{k}",
+            draw(st.sampled_from(_AMERICA_NATIONS)) if shape == "zero_price"
+            else draw(st.integers(min_value=0, max_value=24)),
+            draw(st.integers(min_value=-99900, max_value=999900)) / 100.0,
+            draw(st.sampled_from([
+                "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE",
+            ])),
+        )
+        for k in range(n_cust)
+    ]
+    supplier = [
+        (
+            k, f"Supplier#{k}",
+            draw(st.integers(min_value=0, max_value=24)),
+            draw(st.integers(min_value=-99900, max_value=999900)) / 100.0,
+        )
+        for k in range(n_supp)
+    ]
+    part = [
+        (
+            k,
+            draw(st.sampled_from([
+                "small bolt", "small widget", "large bolt",
+                "cold widget", "blue rod",
+            ])),
+            draw(st.sampled_from([
+                "Brand#12", "Brand#13", "Brand#14", "Brand#45", "Brand#1",
+            ])),
+            draw(st.sampled_from(["ECONOMY", "PROMO"]))
+            if shape == "zero_price"
+            else draw(st.sampled_from([
+                "ECONOMY", "PROMO", "STANDARD", "SMALL", "MEDIUM", "LARGE",
+            ])),
+            draw(st.integers(min_value=1, max_value=50)),
+            draw(price2) / 100.0,
+        )
+        for k in range(n_part)
+    ]
+    orders = []
+    for k in range(n_ord):
+        if shape == "date_ties":
+            od = _day(152)  # 1995-06-01
+        elif shape == "zero_price":
+            od = _day(draw(st.integers(min_value=0, max_value=729)))  # 95-96
+        else:
+            od = _day(draw(st.integers(min_value=0, max_value=2555)))  # ..2001
+        orders.append((
+            k, fk(n_cust),
+            draw(st.sampled_from(["P", "O", "F"])),
+            draw(price2) / 100.0, od,
+            draw(st.sampled_from([
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ])),
+        ))
+    lineitem = []
+    for i in range(n_li):
+        if shape == "date_ties":
+            sd = _day(987)  # 1997-09-15, inside the q14 month window
+        elif shape == "zero_price":
+            sd = _day(draw(st.integers(min_value=973, max_value=1002)))
+        else:
+            sd = _day(draw(st.integers(min_value=0, max_value=2555)))
+        lineitem.append((
+            fk(n_ord), fk(n_part), fk(n_supp) if n_supp else 0,
+            draw(st.integers(min_value=1, max_value=7)),
+            float(draw(st.integers(min_value=1, max_value=50))),
+            0.0 if shape == "zero_price" else draw(price2) / 100.0,
+            1.0 if shape == "discount_one" else draw(disc2) / 100.0,
+            draw(st.integers(min_value=0, max_value=8)) / 100.0,
+            draw(st.sampled_from(["A", "N", "R"])),
+            draw(st.sampled_from(["O", "F"])),
+            sd,
+        ))
+    return shape, lineitem, orders, customer, supplier, part
+
+
+def _write_tpch(tmp, lineitem, orders, customer, supplier, part) -> None:
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in lineitem], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in lineitem], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in lineitem], pa.int64()),
+        "l_linenumber": pa.array([r[3] for r in lineitem], pa.int32()),
+        "l_quantity": pa.array([r[4] for r in lineitem], pa.float64()),
+        "l_extendedprice": pa.array([r[5] for r in lineitem], pa.float64()),
+        "l_discount": pa.array([r[6] for r in lineitem], pa.float64()),
+        "l_tax": pa.array([r[7] for r in lineitem], pa.float64()),
+        "l_returnflag": pa.array([r[8] for r in lineitem], pa.string()),
+        "l_linestatus": pa.array([r[9] for r in lineitem], pa.string()),
+        "l_shipdate": pa.array([r[10] for r in lineitem], pa.timestamp("us")),
+    }), os.path.join(tmp, "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([r[0] for r in orders], pa.int64()),
+        "o_custkey": pa.array([r[1] for r in orders], pa.int64()),
+        "o_orderstatus": pa.array([r[2] for r in orders], pa.string()),
+        "o_totalprice": pa.array([r[3] for r in orders], pa.float64()),
+        "o_orderdate": pa.array([r[4] for r in orders], pa.timestamp("us")),
+        "o_orderpriority": pa.array([r[5] for r in orders], pa.string()),
+    }), os.path.join(tmp, "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([r[0] for r in customer], pa.int64()),
+        "c_name": pa.array([r[1] for r in customer], pa.string()),
+        "c_nationkey": pa.array([r[2] for r in customer], pa.int32()),
+        "c_acctbal": pa.array([r[3] for r in customer], pa.float64()),
+        "c_mktsegment": pa.array([r[4] for r in customer], pa.string()),
+    }), os.path.join(tmp, "customer.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([r[0] for r in supplier], pa.int64()),
+        "s_name": pa.array([r[1] for r in supplier], pa.string()),
+        "s_nationkey": pa.array([r[2] for r in supplier], pa.int32()),
+        "s_acctbal": pa.array([r[3] for r in supplier], pa.float64()),
+    }), os.path.join(tmp, "supplier.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([r[0] for r in part], pa.int64()),
+        "p_name": pa.array([r[1] for r in part], pa.string()),
+        "p_brand": pa.array([r[2] for r in part], pa.string()),
+        "p_type": pa.array([r[3] for r in part], pa.string()),
+        "p_size": pa.array([r[4] for r in part], pa.int32()),
+        "p_retailprice": pa.array([r[5] for r in part], pa.float64()),
+    }), os.path.join(tmp, "part.parquet"))
+    # nation/region are canonical constants in the testdata (25 nations
+    # round-robin over 5 regions) — queries hard-code their names, so
+    # the fixture ships the real dims rather than fuzzing them
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }), os.path.join(tmp, "nation.parquet"))
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"], pa.string()
+        ),
+    }), os.path.join(tmp, "region.parquet"))
+
+
+def test_tpch_divide_guards_regression(spark):
+    """Deterministic pin of the r14 guard triggers (hypothesis sampling
+    may skip a shape in a short default run): a zero-revenue fixture
+    whose rows land inside tpch_q14's month and tpch_q8's year windows
+    (denominator sum == 0 WITH rows present — unguarded ANSI raised
+    DIVIDE_BY_ZERO, the oracle returns NULL), and an empty supplier
+    table run with AQE off so empty-relation propagation cannot skip the
+    derived-partsupp bridge whose DIV/% by the supplier count is the
+    other crash site."""
+    lineitem = [
+        # orderkey partkey suppkey line qty extprice disc tax rf ls shipdate
+        (0, 0, 0, 1, 5.0, 0.0, 0.0, 0.0, "N", "O", _day(987)),
+        (0, 1, 0, 2, 3.0, 0.0, 0.0, 0.0, "R", "F", _day(987)),
+        (1, 0, 0, 1, 7.0, 123.45, 1.0, 0.05, "A", "O", _day(990)),
+    ]
+    orders = [
+        (0, 0, "F", 0.0, _day(152), "1-URGENT"),
+        (1, 0, "O", 0.0, _day(400), "5-LOW"),
+    ]
+    customer = [(0, "Customer#0", 1, 100.0, "BUILDING")]  # nation 1 = AMERICA
+    supplier = [(0, "Supplier#0", 5, 0.0)]
+    part = [
+        (0, "small bolt", "Brand#12", "ECONOMY", 25, 1.0),
+        (1, "large rod", "Brand#13", "PROMO", 10, 2.0),
+    ]
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_tpch_pin_")
+    try:
+        _write_tpch(tmp, lineitem, orders, customer, supplier, part)
+        _run_fuzz(
+            spark, tmp, _TPCH_TABLES,
+            ["tpch_q14_promo_revenue", "tpch_q8_market_share"],
+            "pinned_zero_revenue",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_tpch_pin_")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        _write_tpch(tmp, lineitem, orders, customer, [], part)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        _run_fuzz(
+            spark, tmp, _TPCH_TABLES,
+            ["tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
+             "tpch_q20_potential_promotion", "tpch_q15_top_supplier"],
+            "pinned_empty_supplier",
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(_tpch_fixture())
+@settings(max_examples=5 if _FULL else 3, deadline=None)
+def test_tpch_queries_match_oracles_on_adversarial_fixtures(spark, case):
+    shape, lineitem, orders, customer, supplier, part = case
+    tmp = tempfile.mkdtemp(prefix="fixture_fuzz_tpch_")
+    try:
+        _write_tpch(tmp, lineitem, orders, customer, supplier, part)
+        _run_fuzz(spark, tmp, _TPCH_TABLES, FUZZED_TPCH_QUERIES, shape)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 @given(_join_fixture())
