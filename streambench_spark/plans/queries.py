@@ -1037,11 +1037,11 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 13 (VERDICT r12 item 1): the stalest surviving
-# proofs are the 18 remaining r08-era names (interval_join_* leading)
-# plus the 32 alphabetically-first of the 50 r09-era names (ending at
-# neardup_containment) — derived by scripts/rotation_plan.py from the
-# CORRECTNESS ledger, not from any verdict's cohort naming.
+# mechanically). Round 14 (VERDICT r13 item 2): the stalest surviving
+# proofs are the 18 remaining r09-era names (neardup_embedding_cosine
+# leading) plus the 32 alphabetically-first of the 50 r10-era names
+# (ending at relational_division) — derived by scripts/rotation_plan.py
+# from the CORRECTNESS ledger, not from any verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1062,58 +1062,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 18 remaining r08-era proofs (stalest surviving in the ledger)
-    "interval_join_full_outer_streaming",
-    "interval_join_left_outer_streaming",
-    "interval_join_streaming",
-    "kafka_wire_roundtrip",
-    "kmv_distinct_users",
-    "lag_event_deltas",
-    "moving_avg_value",
-    "pivot_user_event_matrix",
-    "rank_top_orders_per_customer",
-    "rollup_revenue",
-    "setops_viewers_and_buyers",
-    "setops_viewers_not_buyers",
-    "skew_salted_enrichment",
-    "top_k_users",
-    "user_state_history",
-    "value_histogram",
-    "wordcount_top20",
-    "ysb_trigger_early_fire",
-    # 32 of the 50 r09-era proofs (alphabetical; the other 18 roll to r14)
-    "abc_classification",
-    "activity_gini",
-    "benford_digit_test",
-    "bigram_lm_score",
-    "cdc_latest_state",
-    "cdc_with_deletes",
-    "clamped_running_balance",
-    "cms_join_size_estimate",
-    "collated_event_types",
-    "conversion_rate_ci",
-    "dedup_keep_best",
-    "embedding_centroids",
-    "embedding_covariance",
-    "embedding_norm_stats",
-    "equidepth_histogram",
-    "ewma_hourly_value",
-    "frequent_itempairs",
-    "funnel_time_to_convert",
-    "grouping_sets_revenue",
-    "histogram_sketch_quantiles",
-    "hourly_anomalies",
-    "interarrival_histogram",
-    "kmeans_assign_step",
-    "kmeans_iterations",
-    "kmv_daily_rollup",
-    "ks_value_drift",
-    "lateral_top_orders",
-    "mad_by_type",
-    "mannwhitney_value_drift",
-    "modal_value_by_type",
-    "neardup_clusters",
-    "neardup_containment",
+    # the 18 remaining r09-era proofs (stalest surviving in the ledger)
+    "neardup_embedding_cosine",
+    "neardup_lsh_recall_report",
+    "neardup_ngram_jaccard",
+    "pca_top_component",
+    "pii_scrub",
+    "repetition_stats",
+    "sequence_packing",
+    "session_windows_dynamic_gap",
+    "session_windows_dynamic_gap_streaming",
+    "session_windows_edges",
+    "simhash_fingerprint",
+    "stratified_sample",
+    "streaming_minhash_dedup",
+    "tpch_q12_shipping_modes",
+    "training_mix_pipeline",
+    "upsample_epochs",
+    "ysb_sql",
+    "zorder_layout_keys",
+    # 32 of the 50 r10-era proofs (alphabetical; the other 18 roll to r15)
+    "copurchase_degree_distribution",
+    "cross_join_metrics",
+    "cumulative_unique_users",
+    "daily_value_bands",
+    "dau_mau_stickiness",
+    "filter_project",
+    "generator_events",
+    "generator_events_flink",
+    "global_percentiles",
+    "grouped_max",
+    "grouped_percentiles",
+    "hapax_ratio_by_source",
+    "hourly_ccf_purchase_error",
+    "hypertable_rollup",
+    "hypertable_rollup_streaming",
+    "incremental_mv",
+    "interval_self_join",
+    "interval_self_join_banded",
+    "ip_pack_pairs",
+    "json_roundtrip",
+    "kmv_set_operations",
+    "longest_active_streak",
+    "moments_by_type",
+    "new_vs_returning_daily",
+    "null_semantics_audit",
+    "observed_metrics",
+    "pca_variance_explained",
+    "profile_columns",
+    "psi_value_drift",
+    "range_frame_analytics",
+    "recursive_date_spine",
+    "relational_division",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;
