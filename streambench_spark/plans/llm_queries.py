@@ -1209,6 +1209,11 @@ def q_neardup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = exact.join(cand, ["id_a", "id_b"]).agg(
         F.count(F.lit(1)).alias("n_common")
     )
+    # A corpus with NO exact near-dup pairs (a single vector, all-zero
+    # vectors) zeroes the denominator; the oracle already NULLs it via
+    # nullif(n_exact, 0), and n_common <= n_exact makes the numerator
+    # provably 0 there — the guard only swaps the ANSI DIVIDE_BY_ZERO
+    # crash for that NULL (r14 fixture-fuzz sweep find).
     return (
         ne.crossJoin(nl)
         .crossJoin(nc)
@@ -1216,8 +1221,9 @@ def q_neardup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_lsh",
             "n_common",
-            F.round(
-                F.lit(10000.0) * F.col("n_common") / F.col("n_exact")
+            F.when(
+                F.col("n_exact") != 0,
+                F.round(F.lit(10000.0) * F.col("n_common") / F.col("n_exact")),
             ).cast("long").alias("recall_bp"),
         )
     )
@@ -2624,9 +2630,18 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy, sxx, sxy = (
         F.col("n"), F.col("sx"), F.col("sy"), F.col("sxx"), F.col("sxy")
     )
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # A vocabulary with a single distinct token (n == 1: x = ln(1) = 0)
+    # zeroes the ln(rank) variance denominator — DuckDB's double 0/0 is
+    # NULL, unguarded ANSI Spark raises (r14 fixture-fuzz sweep find).
+    # For n == 1 the subtraction is the exact same IEEE product on both
+    # sides (1·x² - x·x), so denom == 0 is hit identically; denom != 0
+    # implies n >= 2, making the intercept's /n safe under one guard,
+    # and its NULL propagates exactly like the oracle's NULL-slope
+    # arithmetic.
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
     return folds.select(
         n.alias("n_tokens"),
-        F.round(slope, 6).alias("zipf_slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.when(denom != 0, F.round(slope, 6)).alias("zipf_slope"),
+        F.when(denom != 0, F.round((sy - slope * sx) / n, 6)).alias("intercept"),
     )

@@ -53,6 +53,14 @@ FUZZED_QUERIES = [
     "value_autocorr", "hourly_ccf_purchase_error", "mannwhitney_value_drift",
     "moments_by_type", "revenue_pareto", "revenue_share_by_type",
     "segment_linear_trend", "session_conversion_rate", "twap_value_per_user",
+    # r14 sweep: the remaining events-only queries whose plans contain
+    # data-dependent division / log — the crash-risk class this suite
+    # exists to cover
+    "analytic_rank_functions", "chi2_independence",
+    "histogram_sketch_quantiles", "kmv_set_operations",
+    "weekly_revenue_growth", "psi_value_drift", "ks_value_drift",
+    "weekday_seasonality", "session_bounce_rate", "user_behavior_entropy",
+    "session_type_affinity",
 ]
 
 _BASE_TS = 1_700_000_000  # epoch seconds; fixture spans <= 3 days
@@ -154,6 +162,9 @@ FUZZED_DOC_QUERIES = [
     "token_counts", "tfidf_top_terms", "pii_scrub", "neardup_containment",
     "neardup_clusters", "minhash_lsh_neardup", "simhash_fingerprint",
     "span_dedup", "contamination_scores", "source_vocab_overlap",
+    # r14 sweep: documents-only queries with data-dependent division/log
+    "split_ngram_coverage", "hapax_ratio_by_source", "token_dispersion",
+    "zipf_slope",
 ]
 
 _DOC_VOCAB = [
@@ -229,6 +240,9 @@ FUZZED_EMB_QUERIES = [
     "embedding_topk_cosine", "kmeans_assign_step", "kmeans_iterations",
     "neardup_embedding_cosine", "neardup_embedding_lsh",
     "pca_top_component", "pca_variance_explained",
+    # r14 sweep: recall_bp divides by the exact-pair count — 0 on any
+    # corpus with no near-dup pairs (e.g. a single vector)
+    "neardup_lsh_recall_report",
 ]
 
 _EMB_DIM = 64
@@ -369,6 +383,8 @@ FUZZED_TPCH_QUERIES = [
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume",
     "tpch_q19_discounted_revenue", "tpch_q20_potential_promotion",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    # r14 sweep: lineitem-only analytics with data-dependent division/log
+    "frequent_itempairs", "copurchase_degree_distribution",
 ]
 
 _TPCH_TABLES = [
