@@ -1298,8 +1298,20 @@ def q_session_windows_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
     express. The oracle is the interval-union sweep (cumulative max of
     prior session ends, break strictly past it — Spark merges on exact
     touch, same as the fixed-gap window). Same plan as fixed-gap: one
-    shuffle on user_id, per-key merge state."""
-    ev = load_table(spark, sf_dir, "events")
+    shuffle on user_id, per-key merge state.
+
+    Sessionization grain is the contract's epoch-MILLISECOND (the
+    oracle sweeps epoch_ms values): events carry µs timestamps, and an
+    event landing 1 µs past a session end inside the same millisecond
+    breaks at µs grain but touches at ms grain, so the µs fraction is
+    truncated BEFORE the session window (r14 universe-fuzz find; the
+    fixed-gap twins are unaffected — their oracles subtract raw µs
+    timestamps). Organic sf data never puts an event inside a boundary
+    millisecond (sweeps re-proven bit-identical), but corpus-density
+    streams would."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts")))
+    )
     out = win.session_windowed_agg(
         ev,
         "ts",
@@ -1416,11 +1428,16 @@ def q_session_windows_dynamic_gap_streaming(
     mode emits sessions only when the watermark passes their (dynamic)
     end — the engagement-weighted sessionization running with evicting
     state. Oracle = the shared interval-union sweep with the
-    watermark-finalized cutoff of the fixed-gap streaming twin."""
+    watermark-finalized cutoff of the fixed-gap streaming twin.
+    Same ms-grain truncation as the batch twin (the oracle sweeps
+    epoch_ms; see q_session_windows_dynamic_gap) — applied before the
+    watermark, whose ms floor it equals (floor is monotonic)."""
     from streambench_spark.sources.replay import stream_table
     from streambench_spark.streaming.ysb import run_append_to_parquet
 
-    stream = stream_table(spark, sf_dir, "events")
+    stream = stream_table(spark, sf_dir, "events").withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts")))
+    )
     agg = (
         stream.withWatermark("ts", "1 second")
         .groupBy(
