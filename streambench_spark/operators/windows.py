@@ -197,6 +197,15 @@ def sessionize_lag_sweep(
     that rule for the lag-sweep form; round 4 caught two inline copies
     carrying an identical `>=` bug.
 
+    Grain contract: the delta compares at MICROSECOND precision (the
+    timestamps' native grain), like Spark's session_window and the
+    registry's `ts - prev_ts > INTERVAL ...` oracles. An earlier
+    unix_millis form floored both timestamps to ms first, silently
+    merging an event that is 1 µs past the gap inside the same
+    millisecond — organically unreachable (no two organic events of a
+    user straddle a boundary millisecond; sweeps re-proven identical)
+    but a latent flake at corpus density (r14 universe-fuzz find).
+
     One shuffle on the keys; the lag and running-sum windows share the
     same (keys, ts) sort.
     """
@@ -208,9 +217,9 @@ def sessionize_lag_sweep(
         F.when(
             F.lag(ts_col).over(wo).isNull()
             | (
-                F.unix_millis(F.col(ts_col))
-                - F.unix_millis(F.lag(ts_col).over(wo))
-                > gap_ms
+                F.unix_micros(F.col(ts_col))
+                - F.unix_micros(F.lag(ts_col).over(wo))
+                > gap_ms * 1000
             ),
             1,
         ).otherwise(0),

@@ -1624,15 +1624,23 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nrm"),
     )
+    # The mean can land EXACTLY on a 6dp half-boundary (two rounded
+    # norms summing to an odd last digit over n=2 did, in the r14
+    # universe fuzz): Spark's F.round rounds the double's SHORTEST
+    # DECIMAL REPR half-up (BigDecimal.valueOf) and said 4.092265,
+    # while the oracle rounds the BINARY value (multiply + C round)
+    # and said 4.092264. floor(x·1e6 + 0.5)/1e6 is bit-equal to
+    # DuckDB's round for all x >= 0 (norms are), so the one output
+    # with a data-dependent half-boundary uses it.
+    mean = (
+        F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1))
+    )
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
-        F.round(
-            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_norm"),
+        (F.floor(mean * 1e6 + 0.5) / 1e6).alias("avg_norm"),
     )
 
 

@@ -236,10 +236,24 @@ def run_update_with_interval_trigger(
 
     The query fires every ``trigger_ms``; each micro-batch's update-mode
     emissions land in parquet via foreachBatch (never the driver). The
-    driver-side loop polls progress events until the source is exhausted
-    (cumulative numInputRows >= expected_rows — progress is only
-    reported for COMPLETED batches, so reaching the total implies every
-    emission is flushed), then stops the query. Downstream takes the
+    driver-side loop polls progress events until the source is exhausted,
+    then stops the query. Two exhaustion signals (progress is only
+    reported for COMPLETED batches, so either implies every emission is
+    flushed):
+
+    - cumulative numInputRows >= expected_rows — the fast path, but
+      numInputRows is an ATTRIBUTED metric: when the micro-batch plan
+      mixes the streaming scan with a static parquet leaf (the customer
+      join), Spark's leaf-to-source matching can fail and report 0 for
+      batches that did read a file (observed on a degenerate fixture:
+      offsets advanced 0..n_files while attributed rows summed to half
+      the input — the r14 universe-fuzz stall).
+    - a completed batch whose startOffset == endOffset: the replay dir
+      is FROZEN after setup, so a batch that consumed no new files means
+      the file source is drained regardless of metric attribution.
+
+    The loop also surfaces q.exception() immediately instead of letting
+    a failed query masquerade as a drain timeout. Downstream takes the
     per-key maximum of the cumulative emissions: update-mode re-emits a
     key each time its state changes, and the YSB aggregates (count,
     max ts) are monotonic, so max == final state == the batch result —
@@ -267,17 +281,24 @@ def run_update_with_interval_trigger(
         # batches age out on a long drain. Accumulate per-batchId counts
         # across polls instead; batch ids are unique per completed batch.
         rows_by_batch: dict[int, int] = {}
+        offsets_stable = False
         try:
             while True:
                 for p in q.recentProgress:
                     prog = _json.loads(p) if isinstance(p, str) else p
-                    if isinstance(prog, dict):
-                        rows_by_batch[prog["batchId"]] = prog["numInputRows"]
-                    else:
-                        rows_by_batch[prog.batchId] = prog.numInputRows
+                    if not isinstance(prog, dict):
+                        prog = _json.loads(prog.json)
+                    rows_by_batch[prog["batchId"]] = prog["numInputRows"]
+                    src = (prog.get("sources") or [{}])[0]
+                    start, end = src.get("startOffset"), src.get("endOffset")
+                    if start is not None and start == end:
+                        offsets_stable = True
                 seen = sum(rows_by_batch.values())
-                if seen >= expected_rows:
+                if seen >= expected_rows or offsets_stable:
                     break
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
                 if _time.time() > deadline:
                     raise TimeoutError(
                         f"interval-trigger drain saw {seen}/{expected_rows} "

@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 from hypothesis import given, settings, strategies as st
 
 from scripts.oracle_check import normalize
+from scripts.universe_fuzz import write_universe
 
 import __spark_entry__ as _entry
 
@@ -359,6 +360,33 @@ def _write_customer(tmp: str, cust) -> None:
         "c_mktsegment": pa.array([c[4] for c in cust], pa.string()),
     })
     pq.write_table(tbl, os.path.join(tmp, "customer.parquet"))
+
+
+def test_r14_universe_regressions(spark):
+    """Deterministic pin of the r14 universe-fuzz finds (the full wide
+    sweep — every registry query x 4 complete adversarial universes —
+    lives in scripts/universe_fuzz.py, run at round close): the
+    dynamic-gap session µs/ms grain split, the lag-sweep helper's ms
+    floor (session_conversion_rate / session_type_affinity), the
+    F.round shortest-repr half-boundary in embedding_norm_stats, and
+    the interval-trigger drain stalling on mis-attributed numInputRows
+    (ysb_trigger_early_fire — pinned on the one universe that stalled;
+    each drain costs ~15 s)."""
+    fast = [
+        "session_windows_dynamic_gap", "session_windows_dynamic_gap_streaming",
+        "session_conversion_rate", "session_type_affinity",
+        "embedding_norm_stats",
+    ]
+    for kind in ("ties_one", "zeros", "dups", "organic_small"):
+        tmp = tempfile.mkdtemp(prefix="fixture_fuzz_universe_")
+        try:
+            write_universe(tmp, kind)
+            names = fast + (["ysb_trigger_early_fire"] if kind == "zeros" else [])
+            _run_fuzz(spark, tmp, list(_TPCH_TABLES) + [
+                "events", "documents", "embeddings",
+            ], names, kind)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 # Structured-Streaming queries — watermark, session-merge, GroupState,
