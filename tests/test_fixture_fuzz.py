@@ -90,6 +90,13 @@ def _events_fixture(draw):
             ts = _BASE_TS
         else:
             ts = _BASE_TS + draw(st.integers(min_value=0, max_value=3 * 86400))
+        # sub-second jitter, biased to boundary µs — the axis the r13
+        # whole-second fixtures missed (the dynamic-gap/lag-sweep µs-vs-
+        # ms grain splits only show when an event sits INSIDE a boundary
+        # millisecond); tie shapes keep exact ties (us=0)
+        us = 0 if shape == "one_user_ties" else draw(
+            st.sampled_from([0, 0, 0, 1, 999, 1000, 500_000, 999_999])
+        )
         if shape == "constant_value":
             v = 123.45
         elif shape == "zero_values":
@@ -100,16 +107,17 @@ def _events_fixture(draw):
             v = draw(st.integers(min_value=0, max_value=56000)) / 100.0
         user = draw(st.integers(min_value=0, max_value=n_users - 1))
         etype = draw(st.sampled_from(types))
-        rows.append((i, ts, user, etype, v, "{}"))
+        rows.append((i, ts * 1_000_000 + us, user, etype, v, "{}"))
     return shape, rows
 
 
 def _write_events(tmp: str, rows) -> None:
     # timestamp("us") with no tz -> parquet isAdjustedToUTC=false, the
-    # organic testdata's MICROS flavor (catalog normalizes either way)
+    # organic testdata's MICROS flavor (catalog normalizes either way).
+    # r[1] is epoch-MICROSECONDS (r14: fixtures carry sub-second jitter).
     tbl = pa.table({
         "event_id": pa.array([r[0] for r in rows], pa.int64()),
-        "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
         "user_id": pa.array([r[2] for r in rows], pa.int64()),
         "event_type": pa.array([r[3] for r in rows], pa.string()),
         "value": pa.array([r[4] for r in rows], pa.float64()),
@@ -345,9 +353,12 @@ def _join_fixture(draw):
         ts = _BASE_TS if shape == "ts_ties" else _BASE_TS + draw(
             st.integers(min_value=0, max_value=2 * 86400)
         )
+        us = 0 if shape == "ts_ties" else draw(
+            st.sampled_from([0, 0, 0, 1, 999, 1000, 500_000, 999_999])
+        )
         v = draw(st.integers(min_value=0, max_value=56000)) / 100.0
         etype = draw(st.sampled_from(["view", "click", "cart", "purchase"]))
-        rows.append((i, ts, uid, etype, v, "{}"))
+        rows.append((i, ts * 1_000_000 + us, uid, etype, v, "{}"))
     return shape, rows, cust
 
 
@@ -414,18 +425,6 @@ def _events_rows_us(rows):
     ]
 
 
-def _write_events_us(tmp: str, rows) -> None:
-    tbl = pa.table({
-        "event_id": pa.array([r[0] for r in rows], pa.int64()),
-        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
-        "user_id": pa.array([r[2] for r in rows], pa.int64()),
-        "event_type": pa.array([r[3] for r in rows], pa.string()),
-        "value": pa.array([r[4] for r in rows], pa.float64()),
-        "props": pa.array([r[5] for r in rows], pa.string()),
-    })
-    pq.write_table(tbl, os.path.join(tmp, "events.parquet"))
-
-
 def test_streaming_queries_match_oracles_on_degenerate_fixtures(spark):
     shapes = {
         "ts_ties": [(i, _BASE_TS, 0, i % 2, "view", 5.0) for i in range(6)],
@@ -443,7 +442,7 @@ def test_streaming_queries_match_oracles_on_degenerate_fixtures(spark):
     for shape, rows in shapes.items():
         tmp = tempfile.mkdtemp(prefix="fixture_fuzz_stream_")
         try:
-            _write_events_us(tmp, _events_rows_us(rows))
+            _write_events(tmp, _events_rows_us(rows))
             _run_fuzz(spark, tmp, "events", FUZZED_STREAMING_QUERIES, shape)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
