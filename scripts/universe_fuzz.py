@@ -40,7 +40,20 @@ sys.path.insert(0, REPO)
 UNIVERSES = ["ties_one", "zeros", "dups", "organic_small"]
 
 # no data input (closed-form generators) => shape-independent, skipped
-EXCLUDE = {"generator_events", "generator_events_flink"}
+EXCLUDE = {
+    "generator_events",
+    "generator_events_flink",
+    # The streaming OUTER interval joins mismatch tiny fixtures BY
+    # CONTRACT (same exclusion as the r13 hypothesis fuzz): their
+    # documented `ts < 2024-01-29` horizon clip presumes the frozen
+    # table's Jan-30 horizon, and outer-row flush on a bounded drain
+    # depends on whether a trailing no-data micro-batch advances the
+    # watermark past the band — nondeterministic on arbitrary fixture
+    # horizons, pinned instead by their sf-dir driver proofs (r13) and
+    # the inner-join universe rows here.
+    "interval_join_left_outer_streaming",
+    "interval_join_full_outer_streaming",
+}
 
 import os, datetime
 import pyarrow as pa, pyarrow.parquet as pq

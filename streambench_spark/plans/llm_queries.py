@@ -1135,11 +1135,28 @@ def q_edit_distance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     are too coarse). Integer result, engine-exact. The id+1 self-join is
     an equi-join (one shuffle); in a real pipeline the pair source is an
     LSH/banding candidate stage, never all-pairs — edit distance is
-    O(len²) per pair and belongs strictly AFTER candidate pruning."""
+    O(len²) per pair and belongs strictly AFTER candidate pruning.
+
+    Distance metric is the oracle's BYTE-level Levenshtein: DuckDB's
+    levenshtein counts UTF-8 bytes while Spark's counts code points —
+    equal on ASCII corpora (every organic table; results re-proven
+    bit-identical), divergent on any non-ASCII prefix ('café' vs
+    'cafe' is 2 bytewise, 1 codepointwise — r14 universe-fuzz find).
+    Reinterpreting the UTF-8 bytes 1:1 as ISO-8859-1 code points makes
+    Spark's JVM-side levenshtein count bytes too, keeping the
+    agreement a property of the semantics rather than of the corpus's
+    character set."""
     docs = load_table(spark, sf_dir, "documents")
-    a = docs.select("doc_id", F.substring("text", 1, 40).alias("pa"))
+
+    def bytes_as_chars(c: F.Column) -> F.Column:
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    a = docs.select(
+        "doc_id", bytes_as_chars(F.substring("text", 1, 40)).alias("pa")
+    )
     b = docs.select(
-        (F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 40).alias("pb")
+        (F.col("doc_id") - 1).alias("doc_id"),
+        bytes_as_chars(F.substring("text", 1, 40)).alias("pb"),
     )
     return a.join(b, "doc_id").select(
         "doc_id", F.levenshtein("pa", "pb").cast("long").alias("edit_dist")

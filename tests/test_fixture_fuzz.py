@@ -174,6 +174,9 @@ FUZZED_DOC_QUERIES = [
     # r14 sweep: documents-only queries with data-dependent division/log
     "split_ngram_coverage", "hapax_ratio_by_source", "token_dispersion",
     "zipf_slope",
+    # r14 universe find: byte-vs-codepoint levenshtein on non-ASCII
+    # prefixes — the suite's unicode shape keeps it covered
+    "edit_distance_neighbors",
 ]
 
 _DOC_VOCAB = [
