@@ -55,9 +55,6 @@ EXCLUDE = {
     "interval_join_full_outer_streaming",
 }
 
-import os, datetime
-import pyarrow as pa, pyarrow.parquet as pq
-
 BASE = 1_700_000_000
 D0 = datetime.datetime(1995, 1, 1)
 def day(off): return D0 + datetime.timedelta(days=off)
@@ -244,6 +241,12 @@ def main() -> int:
     spark = get_spark(app_name="universe-fuzz", shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     qs, oracles = E.queries(), E.oracle_sql()
+    # A typo'd name argument must fail fast, not silently shrink coverage
+    # to a false-green audit (same contract as oracle_check.py).
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(f"unknown query names: {unknown}", file=sys.stderr)
+        sys.exit(2)
     names = [n for n in qs if n not in EXCLUDE and (not only or n in only)]
     print(f"universes: {kinds}  queries: {len(names)}")
     failures, timings = [], []

@@ -1037,11 +1037,11 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 # CORRECTNESS row; every slot is a re-verification of the OLDEST surviving
 # green proofs (ages computed from the recorded CORRECTNESS_r*.json files,
 # latest green round per name — scripts/rotation_plan.py derives the window
-# mechanically). Round 14 (VERDICT r13 item 2): the stalest surviving
-# proofs are the 18 remaining r09-era names (neardup_embedding_cosine
-# leading) plus the 32 alphabetically-first of the 50 r10-era names
-# (ending at relational_division) — derived by scripts/rotation_plan.py
-# from the CORRECTNESS ledger, not from any verdict's cohort naming.
+# mechanically). Round 15 (VERDICT r14 item 1): the stalest surviving
+# proofs are the 18 remaining r10-era names (revenue_pareto leading)
+# plus the 32 alphabetically-first of the 50 r11-era names (ending at
+# token_counts) — derived by scripts/rotation_plan.py from the
+# CORRECTNESS ledger, not from any verdict's cohort naming.
 # Everything outside the window keeps the IDENTICAL pytest oracle gate
 # (tests/test_registry.py runs every registered oracle).
 # The registry stays FROZEN at 219: no new entries (verdict item 6).
@@ -1062,58 +1062,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 18 remaining r09-era proofs (stalest surviving in the ledger)
-    "neardup_embedding_cosine",
-    "neardup_lsh_recall_report",
-    "neardup_ngram_jaccard",
-    "pca_top_component",
-    "pii_scrub",
-    "repetition_stats",
-    "sequence_packing",
-    "session_windows_dynamic_gap",
-    "session_windows_dynamic_gap_streaming",
-    "session_windows_edges",
-    "simhash_fingerprint",
-    "stratified_sample",
-    "streaming_minhash_dedup",
-    "tpch_q12_shipping_modes",
-    "training_mix_pipeline",
-    "upsample_epochs",
-    "ysb_sql",
-    "zorder_layout_keys",
-    # 32 of the 50 r10-era proofs (alphabetical; the other 18 roll to r15)
-    "copurchase_degree_distribution",
-    "cross_join_metrics",
-    "cumulative_unique_users",
-    "daily_value_bands",
-    "dau_mau_stickiness",
-    "filter_project",
-    "generator_events",
-    "generator_events_flink",
-    "global_percentiles",
-    "grouped_max",
-    "grouped_percentiles",
-    "hapax_ratio_by_source",
-    "hourly_ccf_purchase_error",
-    "hypertable_rollup",
-    "hypertable_rollup_streaming",
-    "incremental_mv",
-    "interval_self_join",
-    "interval_self_join_banded",
-    "ip_pack_pairs",
-    "json_roundtrip",
-    "kmv_set_operations",
-    "longest_active_streak",
-    "moments_by_type",
-    "new_vs_returning_daily",
-    "null_semantics_audit",
-    "observed_metrics",
-    "pca_variance_explained",
-    "profile_columns",
-    "psi_value_drift",
-    "range_frame_analytics",
-    "recursive_date_spine",
-    "relational_division",
+    # the 18 remaining r10-era proofs (stalest surviving in the ledger)
+    "revenue_pareto",
+    "revenue_share_by_type",
+    "rfm_segments",
+    "segment_linear_trend",
+    "session_bounce_rate",
+    "session_conversion_rate",
+    "session_type_affinity",
+    "session_windows",
+    "session_windows_streaming",
+    "snapshot_diff",
+    "table_checksums",
+    "top_event_paths",
+    "twap_value_per_user",
+    "user_activity_map",
+    "validate_events",
+    "value_autocorr",
+    "variant_json_extract",
+    "weighted_sample",
+    # 32 of the 50 r11-era proofs (alphabetical; the other 18 roll to r16)
+    "chi2_independence",
+    "chunk_docs",
+    "copurchase_pagerank",
+    "corpus_clean_pipeline",
+    "dataset_shuffle",
+    "dataset_split",
+    "decontaminate",
+    "doc_stats",
+    "embedding_lsh_multiprobe_topk",
+    "embedding_lsh_topk",
+    "event_transition_matrix",
+    "exact_dedup",
+    "full_outer_activity",
+    "lang_id",
+    "minhash_lsh_neardup",
+    "mixture_rate_sample",
+    "neardup_embedding_lsh",
+    "neardup_ngram_jaccard_capped",
+    "ohlc_hourly_bars",
+    "quality_filter",
+    "sliding_window_counts",
+    "sliding_window_streaming",
+    "source_vocab_overlap",
+    "span_dedup",
+    "split_ngram_coverage",
+    "stateful_running_counts",
+    "stateful_value_stats",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "tfidf_top_terms",
+    "timeseries_gapfill",
+    "token_counts",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;

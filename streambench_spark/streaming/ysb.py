@@ -252,6 +252,15 @@ def run_update_with_interval_trigger(
       is FROZEN after setup, so a batch that consumed no new files means
       the file source is drained regardless of metric attribution.
 
+    CONTRACT (ADVICE r14): the second signal requires Spark to COMMIT a
+    no-data micro-batch, which it only does for STATEFUL plans with
+    noDataMicroBatches enabled (the default; Spark 3.4+ emits
+    QueryIdleEvent — not a progress entry — for stateless no-data
+    triggers). ``out`` must therefore be a stateful (aggregating) plan,
+    as the YSB caller's is; a stateless reuse would fall back to the
+    numInputRows path and, if attribution fails, only surface as the
+    TimeoutError. The guard below enforces this at start.
+
     The loop also surfaces q.exception() immediately instead of letting
     a failed query masquerade as a drain timeout. Downstream takes the
     per-key maximum of the cumulative emissions: update-mode re-emits a
@@ -261,6 +270,16 @@ def run_update_with_interval_trigger(
     import json as _json
     import tempfile as _tempfile
     import time as _time
+
+    # Stateful-plan contract check (see docstring): the offsets-stable
+    # drain signal is only sound when no-data micro-batches commit.
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    if "Aggregate" not in analyzed and "FlatMapGroupsWithState" not in analyzed:
+        raise ValueError(
+            "run_update_with_interval_trigger requires a stateful plan "
+            "(aggregation / mapGroupsWithState); a stateless sink would "
+            "never commit the no-data micro-batch the drain check needs"
+        )
 
     path = _tempfile.mkdtemp(prefix="sb_trigger_out_")
 
