@@ -37,7 +37,7 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-UNIVERSES = ["ties_one", "zeros", "dups", "organic_small"]
+UNIVERSES = ["ties_one", "zeros", "dups", "organic_small", "extreme_values"]
 
 # no data input (closed-form generators) => shape-independent, skipped
 EXCLUDE = {
@@ -73,6 +73,16 @@ def write_universe(tmp, kind):
     elif kind == "dups":
         ev = [(i % 3, BASE + (i % 2) * 7, i % 2, i % 2, "view", 2.5)
               for i in range(8)]
+    elif kind == "extreme_values":
+        # r15 (deferred from the r14 triage): values AT the
+        # validate_events domain cap (1000.00 = 100k cents, past the
+        # c⁴-in-BIGINT bound), one cent under, just past the bound,
+        # and the low edge — with µs-boundary jitter (0 / 999999 / 1 /
+        # 500000) so cap values also cross ms/s truncation seams.
+        ev = [(i, BASE + i * 7000, i % 3, [0, 999_999, 1, 500_000][i % 4],
+               ["view", "click", "cart", "purchase"][i % 4],
+               [1000.0, 999.99, 551.09, 0.01][i % 4])
+              for i in range(16)]
     else:  # organic_small
         ev = [(i, BASE + i * 9431, i % 4,  i % 3,
                ["view", "click", "cart", "purchase", "signup"][i % 5],
@@ -94,6 +104,19 @@ def write_universe(tmp, kind):
     elif kind == "dups":
         docs = [(i, "the data spark the data spark", "en", "web", 29)
                 for i in range(4)]
+    elif kind == "extreme_values":
+        # length + byte-width extremes: a ~400-char single-token run, a
+        # 1-char doc, 4-byte (emoji) and 3-byte (CJK) UTF-8, a combining
+        # accent, and PII-shaped text — the byte-vs-codepoint and
+        # length-normalization seams.
+        docs = [
+            (0, ("spark " * 67).strip(), "en", "web", 0),
+            (1, "x", "en", "book", 0),
+            (2, "café 中文分析 \U0001f600\U0001f680 data", "xx", "web", 0),
+            (3, "café naivë résumé", "fr", "book", 0),
+            (4, "mail me at a@b.co or call 555-123-4567 now", "en", "web", 0),
+            (5, "the of data spark zebra", "en", "book", 0),
+        ]
     else:
         words = ["the", "of", "data", "spark", "email", "zebra", "café", "qq"]
         docs = [(i, " ".join(words[(i + j) % 8] for j in range(3 + i % 9)),
@@ -114,6 +137,24 @@ def write_universe(tmp, kind):
         vecs, labels = [[0.0] * DIM] * 3, [0, 1, 2]
     elif kind == "dups":
         vecs, labels = [[0.25] * DIM] * 4, [0] * 4
+    elif kind == "extreme_values":
+        # magnitude extremes at the DECIMAL(28,12)-ledger domain edges
+        # the covariance/PCA docstrings claim (|x| ≤ ~1e3 keeps 12dp
+        # products + corpus sums inside 10^16 integer headroom —
+        # anything bigger crashes BOTH engines in parity, which a
+        # crash-reporting fuzz can't distinguish from a defect):
+        # ±1000 caps, the float32 denormal edge (12dp-rounds to 0),
+        # values whose pairwise products land ON the 5e-13 half-boundary
+        # of the shared floor(x*1e12+0.5) rounding, and sign mixes.
+        vecs = [
+            [1000.0] * DIM,
+            [-1000.0] * DIM,
+            [1.0e-38] * DIM,
+            [7.0710678e-7] * DIM,
+            [(-1.0) ** j * 1000.0 if j % 2 else 0.001 for j in range(DIM)],
+            [((j * 11) % 2001 - 1000) / 1000.0 for j in range(DIM)],
+        ]
+        labels = [0, 1, 2, 0, 1, 2]
     else:
         vecs = [[((i * 37 + j * 11) % 2001 - 1000) / 1000.0 for j in range(DIM)]
                 for i in range(10)]
@@ -147,6 +188,30 @@ def write_universe(tmp, kind):
                 (1, "Customer#1", 3, -10.0, "AUTOMOBILE")]
         supp = [(0, "Supplier#0", 2, 5.0)]
         part = [(0, "large bolt", "Brand#45", "STANDARD", 30, 9.99)]
+    elif kind == "extreme_values":
+        # price at the 10^10-cent edge (a cents² anywhere would pass
+        # BIGINT), quantity at the 50 cap, discount spanning 0 → 1.0
+        # (type-valid past the 0.10 spec cap; revenue collapses to 0),
+        # dates at the 1992/1998 domain edges, negative balances.
+        li = [(i % 3, i % 3, i % 2, 1 + i % 4,
+               [50.0, 1.0, 49.0, 25.0][i % 4],
+               [99_999_999.99, 0.01, 950_000.5, 123.45][i % 4],
+               [0.0, 0.10, 0.5, 1.0][i % 4],
+               [0.08, 0.0, 0.04, 0.08][i % 4],
+               "ANR"[i % 3], "OF"[i % 2],
+               day([-1095, 1460, 0, 730][i % 4]))
+              for i in range(12)]
+        orders = [(0, 0, "F", 99_999_999.99, day(-1095), "1-URGENT"),
+                  (1, 1, "O", 0.01, day(1460), "5-LOW"),
+                  (2, 0, "P", 5_000_000.0, day(730), "3-MEDIUM")]
+        cust = [(0, "Customer#0", 0, -999.99, "BUILDING"),
+                (1, "Customer#1", 24, 9_999.99, "AUTOMOBILE")]
+        supp = [(0, "Supplier#0", 0, -999.99),
+                (1, "Supplier#1", 24, 9_999.99)]
+        part = [(0, "small bolt", "Brand#12", "ECONOMY", 1, 0.01),
+                (1, "large promo rod", "Brand#45", "PROMO", 50,
+                 99_999.99),
+                (2, "cold widget", "Brand#13", "STANDARD", 25, 901.0)]
     else:
         li = [(i % 5, i % 4, i % 3, 1 + i % 7, float(1 + i % 50),
                round(100.0 + i * 321.07 % 9000, 2), (i % 11) / 100.0,
