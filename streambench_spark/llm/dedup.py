@@ -23,13 +23,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streambench_spark.llm.hashing import MERSENNE_P, minhash_coefficients, spark_hash32
+from streambench_spark.llm.hashing import (
+    MERSENNE_P,
+    locale_free_lower_sql,
+    minhash_coefficients,
+    spark_hash32,
+)
 
 # ---------------------------------------------------------------------------
 # Tokenize / shingle expressions (shared with text.py semantics)
 # ---------------------------------------------------------------------------
 
-TOKENS_EXPR = r"split(lower({col}), '\\s+')"
+# Lowering is locale-free (ICU root via hashing.locale_free_lower_sql):
+# plain lower() would read the JVM default locale on non-ASCII text.
+TOKENS_EXPR = r"split(" + locale_free_lower_sql("{col}") + r", '\\s+')"
 
 
 def tokens_col(col: str = "text") -> Column:
@@ -160,7 +167,9 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     — uniformly distributed, skew-free at any scale. Returns one row per
     distinct content with the canonical (minimum) doc_id and copy count.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.trim(F.expr(locale_free_lower_sql(text_col))), r"\s+", " "
+    )
     return (
         docs.select(F.col("doc_id"), F.sha2(norm, 256).alias("text_hash"))
         .groupBy("text_hash")
@@ -618,7 +627,9 @@ def exact_dedup_keep_best(
     Pass it as a Column; the output's text_hash column then carries that
     group key.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(
+        F.trim(F.expr(locale_free_lower_sql(text_col))), r"\s+", " "
+    )
     grouper = group_expr if group_expr is not None else F.sha2(norm, 256)
     # count only NON-EMPTY tokens: split('\s+') keeps leading/trailing
     # empty strings, so a whitespace-padded copy would out-rank an

@@ -36,6 +36,32 @@ MERSENNE_P = 2_147_483_647
 HASH_MODES = ("md5", "xxhash64")
 
 
+def locale_free_lower_sql(col: str) -> str:
+    """Spark SQL fragment: lowercase ``col`` independently of the JVM
+    default locale.
+
+    Spark's plain ``lower()`` takes a byte-level fast path on all-ASCII
+    strings but falls back to ``String.toLowerCase()`` — the JVM
+    DEFAULT locale — whenever the string contains any non-ASCII byte:
+    under a Turkish/Azerbaijani host locale ``lower('CAFÉ IN')`` yields
+    dotless ``'café ın'`` while the DuckDB oracle (and every other
+    host) reads ``'café in'``. Routing through the UNICODE collation
+    forces ICU root-locale lowering (probed cost-free vs plain lower at
+    2M rows — the ASCII fast path survives); the outer CAST drops the
+    collation again so downstream grouping / joins / hashes stay
+    UTF8_BINARY (UNICODE collation would otherwise merge canonically
+    equivalent strings the oracle's binary grouping keeps distinct).
+
+    Known residue (locale-INDEPENDENT, present under every host
+    locale): Spark applies full Unicode lowercasing — context-aware
+    final sigma (``'ΑΣ'`` → ``'ας'``) and the ``'İ'`` → ``'i̇'``
+    expansion — while DuckDB's utf8proc applies simple 1:1 folding
+    (``'ασ'``, ``'i'``). Pinned in tests/test_locale_free_lower.py;
+    oracle-affecting only on corpora containing those codepoints,
+    which the frozen tables and fuzz fixtures do not."""
+    return f"cast(lower(collate({col}, 'UNICODE')) as string)"
+
+
 def spark_hash32(expr: str, mode: str = "md5") -> str:
     """Spark SQL expression: deterministic hash of string expr into
     ``[0, 2^32)``.

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from streambench_spark.llm.hashing import MERSENNE_P, spark_hash32
+from streambench_spark.llm.hashing import (
+    MERSENNE_P,
+    locale_free_lower_sql,
+    spark_hash32,
+)
 from streambench_spark.llm.dedup import TOKENS_EXPR
 
 # Small fixed stopword list (English function words) used for the quality
@@ -97,7 +101,7 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_ws_tokens"
         ),
         F.expr(
-            rf"CAST(size(regexp_extract_all(lower({text_col}), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)"
+            rf"CAST(size(regexp_extract_all({locale_free_lower_sql(text_col)}, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)) AS BIGINT)"
         ).alias("n_bpe_tokens"),
     )
 
@@ -118,7 +122,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     shared-vocabulary corpora most documents tie at the English profile;
     the operator's value is its deterministic, oracle-checkable plumbing
     (swap in real profiles for real corpora)."""
-    txt = f"lower({text_col})"
+    txt = locale_free_lower_sql(text_col)
     score_cols = []
     for lang, markers in LANG_MARKERS.items():
         total = " + ".join(_occurrences(txt, m) for m in markers)

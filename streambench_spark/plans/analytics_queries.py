@@ -305,10 +305,11 @@ def q_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one split), which would serialize the explode; on a real lake with
     thousands of splits repartition_for_compute is a no-op."""
     from streambench_spark.catalog import repartition_for_compute
+    from streambench_spark.llm.dedup import tokens_col
 
     docs = repartition_for_compute(load_table(spark, sf_dir, "documents"))
     return (
-        docs.select(F.explode(F.expr(r"split(lower(text), '\\s+')")).alias("word"))
+        docs.select(F.explode(tokens_col("text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("word"))

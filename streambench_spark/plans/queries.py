@@ -1605,6 +1605,11 @@ def q_collated_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't reach GROUP BY keys portably); output is lowercased on both
     sides for a stable display form."""
     ev = load_table(spark, sf_dir, "events")
+    # Plain upper/lower are safe HERE only because event_type is an
+    # ASCII enum (validate_events membership rule) — all-ASCII strings
+    # take Spark's locale-free byte path. Free-text columns must go
+    # through hashing.locale_free_lower_sql instead (JVM-default-locale
+    # hazard on the non-ASCII slow path).
     mixed = ev.select(
         F.when(
             F.col("event_id") % 2 == 0, F.upper(F.col("event_type"))

@@ -52,6 +52,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.shuffle.spill.compress", "true")
+        # Pin the JVM default locale: Spark's plain lower()/upper() read
+        # it on the non-ASCII slow path (Turkish-I class — see
+        # llm/hashing.locale_free_lower_sql, which fixes the plans
+        # themselves). The pin is defense-in-depth for any remaining
+        # locale-reading JVM code path; it cannot retro-apply to a
+        # session some other code already launched (static conf), which
+        # is exactly why the plan-level fix is the primary one.
+        .config("spark.driver.extraJavaOptions",
+                "-Duser.language=en -Duser.country=US")
+        .config("spark.executor.extraJavaOptions",
+                "-Duser.language=en -Duser.country=US")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
