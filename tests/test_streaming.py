@@ -513,7 +513,21 @@ def test_periodic_stats_reporter(spark):
     lines = []
     rep = PeriodicStatsReporter(q, interval_s=0.5, sink=lines.append).start()
     try:
-        time.sleep(4)
+        # Bounded wait-until instead of a fixed 4 s sleep: on a cold or
+        # contended host the rate source's first completed batch can land
+        # after 4 s, failing the rows_lifetime assert spuriously (the r15
+        # open full-suite run hit exactly that). The assertions below are
+        # unchanged — this only waits until they have a chance to hold.
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            got = list(rep.samples)  # live list, appended by the sampler
+            if (
+                len(got) >= 3
+                and got[-1]["rows_lifetime"] > 0
+                and any(s["recent_krec_s"] > 0 for s in got)
+            ):
+                break
+            time.sleep(0.25)
     finally:
         samples = rep.stop()
         q.stop()
