@@ -59,11 +59,72 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Inferred-schema memo for FILE-shaped parquet tables, keyed on the
+# file's identity + mtime + size so any rewrite misses the cache. This
+# caches METADATA only (never rows): without it every load_table call
+# pays a fresh footer-read schema inference — ~0.05-0.1 s × ~300 loads
+# per bench run of pure fixed overhead (guide §6: listing/footer costs
+# are driver-side work to amortize). Directory-shaped tables are NOT
+# memoized: a file appended inside a partition subdir does not touch the
+# top-level mtime, so the key could go stale — and the bench's dir
+# tables are freshly-written temp dirs that would never hit the cache.
+_SCHEMA_MEMO: dict[tuple, object] = {}
+
+
+def _memoized_file_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None  # let the reader raise its own error
+    if not os.path.isfile(path):
+        return None
+    key = (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_MEMO[key] = schema
+    return schema
+
+
+# DataFrame-object memo, same key plus the owning SparkContext: a
+# DataFrame is an immutable logical plan — handing the same object to
+# every query in a session is exactly what a registered catalog table
+# does, and every execution still scans the parquet files afresh (plan
+# caching, never row caching). Keyed on applicationId so a stopped /
+# restarted session can never see a plan bound to a dead JVM session.
+_DF_MEMO: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        file_key = (
+            (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+            if os.path.isfile(path)
+            else None
+        )
+    except OSError:
+        file_key = None
+    df_key = (
+        (spark.sparkContext.applicationId, name) + file_key
+        if file_key
+        else None
+    )
+    if df_key is not None:
+        cached = _DF_MEMO.get(df_key)
+        if cached is not None:
+            return cached
+    schema = _memoized_file_schema(spark, path)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
     if name == "events":
         df = _normalize_events_ts(df)
+    if df_key is not None:
+        _DF_MEMO[df_key] = df
     return df
 
 

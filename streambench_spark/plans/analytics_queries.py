@@ -1375,8 +1375,15 @@ def q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li)
     # edges are distinct and oriented src < dst → the symmetrized union
-    # inside pagerank_exact cannot contain duplicates; skip its re-dedup
-    return pagerank_exact(edges, iterations=3, edges_distinct=True)
+    # inside pagerank_exact cannot contain duplicates; skip its re-dedup.
+    # checkpoint=False (r15, guide §1.2/§5): this is a FIXED 3-round run
+    # with no per-round action, so the unrolled lineage executes exactly
+    # once in the final sink — the per-round localCheckpoint bought no
+    # re-execution protection and cost a node-sized materialization job
+    # per round (measured 27 → 18 jobs, rows identical; sym/deg stay
+    # checkpointed inside pagerank_exact and are exchange-reused).
+    return pagerank_exact(edges, iterations=3, edges_distinct=True,
+                          checkpoint=False)
 
 
 @register(

@@ -1933,14 +1933,26 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     join order), the infinity-norm normalizer is an order-free max, and
     each iterate rounds to 9dp, so Spark and the oracle walk IDENTICAL
     vectors. Scale: A is d x d (corpus-size-independent after the one
-    covariance pass); each step is a d^2-row join + d-row aggregate with
-    localCheckpoint lineage truncation, the pagerank pattern."""
+    covariance pass), so every post-covariance frame is dimension-sized.
+
+    r15 optimization (guide §1.2/§2.4/§5): the iteration used to run an
+    eager localCheckpoint plus a separate max-aggregate broadcast per
+    step — 43 jobs for 6 steps of 64-row arithmetic. The normalizer is
+    now an unpartitioned window max (single reference to w, so the
+    6-step lineage chains LINEARLY with no subtree duplication) and the
+    whole iteration executes lazily in the one final action: 12 jobs,
+    identical rows (plans/r15/pca_top_component_{before,after}.txt).
+    m == 0 (all-zero covariance: identical or single vectors) still
+    yields NULL like the oracle's 0/0, not an ANSI DIVIDE_BY_ZERO crash
+    (the r13 fixture-fuzz guard), and NULL propagates identically."""
+    from pyspark.sql import Window
+
     embs = _embs(spark, sf_dir)
     A = _global_cov_frame(embs, 9).localCheckpoint(eager=True)
     v = spark.range(64).select(
         F.col("id").cast("int").alias("i"), F.lit(1.0).alias("val")
     )
-    m_final = None
+    w_all = Window.partitionBy()
     for _ in range(6):
         w = (
             A.join(v.select(F.col("i").alias("j"), "val"), "j")
@@ -1953,30 +1965,16 @@ def q_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum("t").cast("double").alias("w"))
         )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            # m == 0 (all-zero covariance: identical or single vectors)
-            # must yield NULL like the oracle's 0/0, not an ANSI
-            # DIVIDE_BY_ZERO crash; the NULL then propagates through the
-            # remaining iterations and outputs identically in both
-            # engines (r13 fixture-fuzz find).
-            .select(
-                "i",
-                F.when(
-                    F.col("m") != 0, F.round(F.col("w") / F.col("m"), 9)
-                ).alias("val"),
-            )
-            .localCheckpoint(eager=True)
+        m = F.max(F.abs(F.col("w"))).over(w_all)
+        v = w.select(
+            "i",
+            F.when(m != 0, F.round(F.col("w") / m, 9)).alias("val"),
+            m.alias("_m"),
         )
-        m_final = m
-    return (
-        v.crossJoin(F.broadcast(m_final.select(F.round("m", 4).alias("eigenvalue"))))
-        .select(
-            F.col("i").cast("long").alias("dim"),
-            (F.round("val", 6) + F.lit(0.0)).alias("loading"),
-            "eigenvalue",
-        )
+    return v.select(
+        F.col("i").cast("long").alias("dim"),
+        (F.round("val", 6) + F.lit(0.0)).alias("loading"),
+        F.round("_m", 4).alias("eigenvalue"),
     )
 
 
@@ -2015,12 +2013,24 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
     trace of the covariance (total variance). Same determinism ledger as
     pca_top_component — decimal sums of 12dp-rounded products — plus the
     trace, which is a 64-term exact-rounded sum. One extra d^2-row join
-    after the iteration; nothing corpus-sized."""
+    after the iteration; nothing corpus-sized.
+
+    r15 optimization: same lazy-chained iteration as pca_top_component
+    (window-max normalizer, no per-step eager checkpoint — 48 jobs down
+    to ~14, identical rows); only the FINAL iterate is checkpointed
+    once, because the Rayleigh numerator references it twice (vi, vj)
+    and the norm a third time — without that one materialization the
+    6-step subtree would execute three times in the final action. The
+    m == 0 guard (r13 fixture-fuzz find) is unchanged: a zero norm
+    yields NULL like the oracle's 0/0 and propagates identically."""
+    from pyspark.sql import Window
+
     embs = _embs(spark, sf_dir)
     A = _global_cov_frame(embs, 9).localCheckpoint(eager=True)
     v = spark.range(64).select(
         F.col("id").cast("int").alias("i"), F.lit(1.0).alias("val")
     )
+    w_all = Window.partitionBy()
     for _ in range(6):
         w = (
             A.join(v.select(F.col("i").alias("j"), "val"), "j")
@@ -2031,22 +2041,12 @@ def q_pca_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("i")
             .agg(F.sum("t").cast("double").alias("w"))
         )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            # m == 0 (all-zero covariance: identical or single vectors)
-            # must yield NULL like the oracle's 0/0, not an ANSI
-            # DIVIDE_BY_ZERO crash; the NULL then propagates through the
-            # remaining iterations and outputs identically in both
-            # engines (r13 fixture-fuzz find).
-            .select(
-                "i",
-                F.when(
-                    F.col("m") != 0, F.round(F.col("w") / F.col("m"), 9)
-                ).alias("val"),
-            )
-            .localCheckpoint(eager=True)
+        m = F.max(F.abs(F.col("w"))).over(w_all)
+        v = w.select(
+            "i",
+            F.when(m != 0, F.round(F.col("w") / m, 9)).alias("val"),
         )
+    v = v.localCheckpoint(eager=True)
     vav = (
         A.join(v.select(F.col("i"), F.col("val").alias("vi")), "i")
         .join(v.select(F.col("i").alias("j"), F.col("val").alias("vj")), "j")
@@ -2162,7 +2162,13 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmin can never flip between engines. This relational spelling
     explodes dims x k per row (fine at bench scale, transparent to the
     oracle); the 100 TB path is the BLAS batch in similarity.py's
-    applyInPandas — same assignments, opaque to SQL."""
+    applyInPandas — same assignments, opaque to SQL.
+
+    r15: argmin via min(struct(dist, c)) hash aggregate instead of a
+    row_number window — lexicographic struct order IS the window's
+    ORDER BY dist ASC, c ASC (dist never NULL/NaN), and the aggregate
+    partial-combines map-side where the window had to shuffle-and-sort
+    the corpus-sized distance frame (guide §2.3)."""
     embs = _embs(spark, sf_dir)
     xall = embs.select(
         "vec_id", "label", F.explode(F.expr("sequence(0, 63)")).alias("dim"),
@@ -2195,10 +2201,15 @@ def q_kmeans_assign_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "c")
         .agg(F.sum("t").cast("double").alias("dist"))
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c"))
-    best = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # label is constant per vec_id, so grouping on (vec_id, label) is
+    # per-vector granularity; min(struct) = the window's ORDER BY
+    # dist ASC, c ASC winner (r15: hash aggregate with map-side partials
+    # instead of a corpus-sized shuffle-and-sort window — guide §2.3)
+    best = (
+        d.groupBy("vec_id", "label")
+        .agg(F.min(F.struct("dist", "c")).alias("_best"))
+        .select("label", F.col("_best.c").alias("c"))
+    )
     return best.groupBy("label", F.col("c").alias("assigned")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2266,10 +2277,18 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     9dp-rounded squared terms and 12dp values sum as DECIMALs, argmin
     ties break on cluster id, per-vector dists round to 6dp before the
     inertia sum — both engines walk identical assignments through both
-    rounds. Spark side localCheckpoints each frame so the lineage stays
-    flat; frames after the explode are (k*d)- or corpus-row bounded."""
-    from pyspark.sql import Window
+    rounds. Frames after the explode are (k*d)- or corpus-row bounded.
 
+    r15 optimization (guide §1.2/§2.3/§5): only the 5x-reused exploded
+    frame ``x`` is checkpointed — the centroid/assignment frames each
+    feed exactly one consumer, so the fixed 2-round lineage now chains
+    LAZILY into the single final action instead of paying an eager
+    materialization job per frame (20 → ~8 jobs, rows identical). The
+    per-vector argmin is a ``min(struct(dist, c))`` hash aggregate
+    (partial map-side — the corpus-sized frame never sorts) instead of
+    a row_number window: lexicographic struct order IS the window's
+    ORDER BY dist ASC, c ASC, so the winner (and its dist) is the same
+    row; dist is never NULL/NaN (a decimal sum of squares)."""
     embs = _embs(spark, sf_dir)
     x = embs.select(
         "vec_id", F.explode(F.expr("sequence(0, 63)")).alias("dim"),
@@ -2292,7 +2311,6 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("vd").cast("double") / F.count(F.lit(1)), 9
                 ).alias("m")
             )
-            .localCheckpoint(eager=True)
         )
 
     def assign(cent_df):
@@ -2307,12 +2325,11 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("vec_id", "c")
             .agg(F.sum("t").cast("double").alias("dist"))
         )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("dist"), F.asc("c"))
         return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c", "dist")
-            .localCheckpoint(eager=True)
+            d.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "c")).alias("_best"))
+            .select("vec_id", F.col("_best.c").alias("c"),
+                    F.col("_best.dist").alias("dist"))
         )
 
     cent0 = update(lab)

@@ -1482,26 +1482,40 @@ def q_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-frontier breadth: WITH RECURSIVE (Spark 4) generating the
     daily spine between the table's min and max day, left-joined to
     purchase counts — the recursive twin of timeseries_gapfill's
-    sequence() spine, run as the SAME SQL text in both engines. The
-    recursion depth is the day span (bounded by the calendar, not the
-    data volume); the fact contributes one aggregate. Cost note: Spark
-    executes each recursion step as its own job (~0.2 s/step — measured
-    6 s for 30 days vs 0.2 s for the sequence() spine), so recursion is
-    for genuinely self-referential queries; for plain spines prefer
-    timeseries_gapfill's generator."""
+    sequence() spine; the oracle runs the recursion over a bounds CTE.
+    The recursion depth is the day span (bounded by the calendar, not
+    the data volume); the fact contributes one aggregate.
+
+    r15 optimization (guide §1.2/§2.4): the original recursive term was
+    ``FROM spine, bounds WHERE d < d1`` with ``bounds`` an aggregate
+    over events — Spark re-evaluated the bounds subtree inside EVERY
+    recursion step (219 jobs, 6.4 s clean / 13-34 s under steal noise
+    for a 30-day span; each step re-aggregated the fact). The two
+    scalars are corpus-size-INDEPENDENT (one min/max row), so they are
+    fetched with one bounded O(1)-row action and inlined as literals:
+    the recursive step becomes a self-referential 1-row map, events is
+    aggregated exactly twice (bounds + purchase counts), and the same
+    30-row spine emerges from ~30 trivial jobs (measured 0.9-1.5 s,
+    rows bit-identical; plans/r15/recursive_date_spine_{before,after}).
+    An empty table inlines NULL bounds: the seed row is NULL and
+    ``d < NULL`` never recurses — exactly the all-CTE plan's output."""
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
-    return spark.sql(
+    r = spark.sql(
         """
-        WITH RECURSIVE bounds AS (
-            SELECT CAST(unix_millis(min(ts)) DIV 86400000 AS BIGINT) AS d0,
-                   CAST(unix_millis(max(ts)) DIV 86400000 AS BIGINT) AS d1
-            FROM events
-        ),
-        spine(d) AS (
-            SELECT d0 FROM bounds
+        SELECT CAST(unix_millis(min(ts)) DIV 86400000 AS BIGINT) AS d0,
+               CAST(unix_millis(max(ts)) DIV 86400000 AS BIGINT) AS d1
+        FROM events
+        """
+    ).first()
+    d0 = "NULL" if r["d0"] is None else str(int(r["d0"]))
+    d1 = "NULL" if r["d1"] is None else str(int(r["d1"]))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(d) AS (
+            SELECT CAST({d0} AS BIGINT) AS d
             UNION ALL
-            SELECT d + 1 FROM spine, bounds WHERE d < d1
+            SELECT d + 1 FROM spine WHERE d < {d1}
         ),
         agg AS (
             SELECT CAST(unix_millis(ts) DIV 86400000 AS BIGINT) AS d,

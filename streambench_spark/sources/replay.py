@@ -35,11 +35,16 @@ def stream_table(
     catalog (ns-long or TIMESTAMP_NTZ storage flavors) — batch and
     streaming plans see one schema.
     """
-    from streambench_spark.catalog import _ensure_session_confs
+    from streambench_spark.catalog import (
+        _ensure_session_confs,
+        _memoized_file_schema,
+    )
 
     _ensure_session_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _memoized_file_schema(spark, path)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
     reader = spark.readStream.schema(raw_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
