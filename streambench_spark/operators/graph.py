@@ -31,19 +31,23 @@ def connected_components(
     component label is the minimum node id reachable from the node.
 
     Each round: every node adopts min(own label, neighbors' labels).
-    Terminates when a round changes nothing (checked with a count — one
-    action per round, which is what makes the loop driver-paced; the
+    Terminates when a round changes nothing (checked with a count — ONE
+    action per round: the per-round frames are LAZY localCheckpoints, so
+    the convergence count is also the job that materializes them; an
+    eager checkpoint would add a second full pass over the node frame
+    per round just to store it, then re-read it for the count. The
     per-round dataset is one row per node, NOT per edge).
     """
-    # materialize the edge list once — without this, every round's join
+    # checkpoint the edge list once — without this, every round's join
     # AND convergence count re-executes the upstream edge computation
-    # (for neardup_clusters that is the whole Jaccard pipeline per round)
+    # (for neardup_clusters that is the whole Jaccard pipeline per round);
+    # lazy: round 1's count materializes it, later rounds read the blocks
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -64,7 +68,7 @@ def connected_components(
                 ).alias("comp"),
                 F.col("comp").alias("_old"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = proposed.filter(F.col("comp") != F.col("_old")).count()
         labels = proposed.drop("_old")
         if changed == 0:
@@ -114,7 +118,7 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .unionByName(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
@@ -122,7 +126,7 @@ def connected_components_star(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _sym(frame: DataFrame) -> DataFrame:
@@ -153,14 +157,14 @@ def connected_components_star(
             .join(_mins(sym), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
         sym = _sym(e)
         # small-star: u and its not-larger neighbors hook onto the minimum.
         # Materialize the neighborhood-min frame ONCE — both union legs
         # read it, and Spark does not share the groupBy subtree across
         # legs, so an inline _mins(sym) would run the dominant aggregate
         # twice per alternation.
-        mins = _mins(sym).localCheckpoint()
+        mins = _mins(sym).localCheckpoint(eager=False)
         small_nbrs = (
             sym.filter(F.col("v") <= F.col("u"))
             .join(mins, "u")
@@ -171,7 +175,7 @@ def connected_components_star(
             small_nbrs.unionByName(small_self)
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sig = _signature(e)
         if new_sig == sig:

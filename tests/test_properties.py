@@ -651,6 +651,39 @@ def test_connected_components_twins_match_union_find(spark, edge_list):
     assert got_star == want
 
 
+def test_connected_components_one_action_per_round(spark):
+    """r15 optimization pin: the min-label loop's per-round frames are
+    LAZY localCheckpoints, so each round costs exactly ONE Spark action
+    (the convergence count doubles as the materialization job). With AQE
+    off (1 action == 1 job, no stage-materialization jobs), a graph that
+    converges in 2 rounds must submit exactly 2 jobs inside
+    connected_components plus 1 for the collect — eager per-round
+    checkpoints would roughly double that (2 init + 2/round)."""
+    from streambench_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (10, 11)], "src long, dst long"
+    )
+    edges.count()  # settle any lazy source setup outside the job group
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spark.sparkContext.setJobGroup("cc-action-budget", "r15 pin")
+        got = {
+            (r["node"], r["comp"])
+            for r in connected_components(edges).collect()
+        }
+        jobs = spark.sparkContext.statusTracker().getJobIdsForGroup(
+            "cc-action-budget"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sparkContext.setJobGroup(None, None)
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    # star of 1 + the 10-11 island: labels settle in round 1, round 2
+    # confirms → 2 count jobs + 1 collect
+    assert len(jobs) == 3, f"expected 3 jobs (2 rounds + collect), got {len(jobs)}"
+
+
 @given(
     st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=20),
     st.integers(min_value=0, max_value=8),
