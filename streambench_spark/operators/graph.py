@@ -40,14 +40,19 @@ def connected_components(
     """
     # checkpoint the edge list once — without this, every round's join
     # AND convergence count re-executes the upstream edge computation
-    # (for neardup_clusters that is the whole Jaccard pipeline per round);
-    # lazy: round 1's count materializes it, later rounds read the blocks
+    # (for neardup_clusters that is the whole Jaccard pipeline per round).
+    # sym is LAZY: the labels init below references it exactly once, so
+    # that one eager job materializes both frames. labels must stay
+    # EAGER: round 1's count references it twice (nbr_min + proposed
+    # joins), and a lazy checkpoint referenced twice inside its own
+    # materializing job runs both map stages concurrently — duplicating
+    # the compute instead of reading stored blocks.
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("a").alias("node")).distinct().withColumn("comp", F.col("node"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         nbr_min = (
@@ -157,14 +162,17 @@ def connected_components_star(
             .join(_mins(sym), "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
-        e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
+        # EAGER: the small-star job references this frame 2x (both _sym
+        # legs) and 2x more through mins — a lazy checkpoint would let the
+        # concurrent map stages duplicate the large-star join compute
+        e = large.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
         sym = _sym(e)
         # small-star: u and its not-larger neighbors hook onto the minimum.
         # Materialize the neighborhood-min frame ONCE — both union legs
         # read it, and Spark does not share the groupBy subtree across
         # legs, so an inline _mins(sym) would run the dominant aggregate
         # twice per alternation.
-        mins = _mins(sym).localCheckpoint(eager=False)
+        mins = _mins(sym).localCheckpoint(eager=True)
         small_nbrs = (
             sym.filter(F.col("v") <= F.col("u"))
             .join(mins, "u")
@@ -175,6 +183,9 @@ def connected_components_star(
             small_nbrs.unionByName(small_self)
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            # LAZY: the signature below is this frame's only reference
+            # until it is materialized — the signature job doubles as
+            # the materialization, saving one pass per alternation
             .localCheckpoint(eager=False)
         )
         new_sig = _signature(e)

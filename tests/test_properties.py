@@ -654,11 +654,13 @@ def test_connected_components_twins_match_union_find(spark, edge_list):
 def test_connected_components_one_action_per_round(spark):
     """r15 optimization pin: the min-label loop's per-round frames are
     LAZY localCheckpoints, so each round costs exactly ONE Spark action
-    (the convergence count doubles as the materialization job). With AQE
-    off (1 action == 1 job, no stage-materialization jobs), a graph that
-    converges in 2 rounds must submit exactly 2 jobs inside
-    connected_components plus 1 for the collect — eager per-round
-    checkpoints would roughly double that (2 init + 2/round)."""
+    (the convergence count doubles as the materialization job), and the
+    edge frame rides the labels-init job (its only single-reference
+    action). With AQE off (1 action == 1 job, no stage-materialization
+    jobs), a graph that converges in 2 rounds must submit exactly 1
+    labels-init + 2 round counts inside connected_components plus 1 for
+    the collect — eager per-round checkpoints added one more full pass
+    per round (2 init + 2/round)."""
     from streambench_spark.operators.graph import connected_components
 
     edges = spark.createDataFrame(
@@ -680,8 +682,10 @@ def test_connected_components_one_action_per_round(spark):
         spark.sparkContext.setJobGroup(None, None)
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
     # star of 1 + the 10-11 island: labels settle in round 1, round 2
-    # confirms → 2 count jobs + 1 collect
-    assert len(jobs) == 3, f"expected 3 jobs (2 rounds + collect), got {len(jobs)}"
+    # confirms → 1 labels-init + 2 count jobs + 1 collect
+    assert len(jobs) == 4, (
+        f"expected 4 jobs (init + 2 rounds + collect), got {len(jobs)}"
+    )
 
 
 @given(
