@@ -611,6 +611,113 @@ def main() -> None:
         _noop_cogroup, schema="id long, k long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Warm the Structured Streaming engine too, same intent as the batch
+    # warmups above: the FIRST availableNow drain in a session pays
+    # one-time engine init — StreamExecution/state-store class loading,
+    # sink committer setup, and per-operator-class codegen — measured at
+    # r15 as ~9 s on the first stream-stream join drain (12.2 s cold vs
+    # 3.0 s warm for the identical query) and ~2-3 s on the first
+    # stateful drain. Without this, that init lands on whichever
+    # STREAMING REGISTRY QUERY happens to run first and flips between
+    # twins run-to-run (the r15 close had to exonerate
+    # interval_join_left_outer_streaming 5.78 ↔ 2.85 swaps as exactly
+    # this). Four 4-row drains, one per streaming operator class the
+    # registry uses (stateless file sink, state-store aggregate,
+    # applyInPandasWithState, watermarked stream-stream join), run
+    # concurrently on 2 shuffle partitions so the warmup itself stays a
+    # few seconds. Timed per-query semantics are unchanged — this is
+    # measurement hygiene (guide §1), not caching: every registry drain
+    # still computes from its own parquet input.
+    import shutil
+    import tempfile
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    tmp_dirs: list[str] = []
+
+    def _tmp(prefix: str) -> str:
+        d = tempfile.mkdtemp(prefix=prefix)
+        tmp_dirs.append(d)
+        return d
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        src_dir = _tmp("sb_warm_src_")
+        spark.range(0, 4, 1, 1).withColumn(
+            "ts", F.expr("timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id)")
+        ).write.mode("overwrite").parquet(src_dir)
+
+        def src():
+            return spark.readStream.schema("id long, ts timestamp").parquet(src_dir)
+
+        def w_stateless():
+            return (
+                src().writeStream.format("parquet")
+                .option("path", _tmp("sb_warm_out_"))
+                .option("checkpointLocation", _tmp("sb_warm_ck_"))
+                .trigger(availableNow=True).start()
+            )
+
+        def w_agg():
+            return (
+                src().groupBy("id").count()
+                .writeStream.format("memory")
+                .queryName(f"warm_{uuid.uuid4().hex[:8]}")
+                .outputMode("update")
+                .option("checkpointLocation", _tmp("sb_warm_ck_"))
+                .trigger(availableNow=True).start()
+            )
+
+        def w_state():
+            from streambench_spark.streaming.stateful import running_counts
+
+            rc = running_counts(
+                src().select(F.col("id").alias("user_id"),
+                             F.lit("x").alias("event_type")),
+                ["user_id", "event_type"],
+                "user_id long, event_type string, n long",
+            )
+            return (
+                rc.writeStream.format("memory")
+                .queryName(f"warm_{uuid.uuid4().hex[:8]}")
+                .outputMode("update")
+                .option("checkpointLocation", _tmp("sb_warm_ck_"))
+                .trigger(availableNow=True).start()
+            )
+
+        def w_join():
+            left = src().withWatermark("ts", "1 second")
+            right = src().withWatermark("ts", "1 second")
+            j = left.alias("l").join(
+                right.alias("r"),
+                F.expr("l.id = r.id AND r.ts >= l.ts "
+                       "AND r.ts <= l.ts + interval 1 hour"),
+            )
+            return (
+                j.select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+                .writeStream.format("parquet")
+                .option("path", _tmp("sb_warm_out_"))
+                .option("checkpointLocation", _tmp("sb_warm_ck_"))
+                .trigger(availableNow=True).start()
+            )
+
+        # 2 shuffle partitions: state-store setup/commit is per
+        # (partition x store x batch); at the session's 32 the tiny join
+        # drain alone measured 20 s, at 2 it is ~4 s. Restored before any
+        # timed query runs.
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            queries = list(pool.map(lambda w: w(), (w_stateless, w_agg, w_state, w_join)))
+        for q in queries:
+            if not q.awaitTermination(120):
+                q.stop()
+    except Exception as exc:  # warmup must never kill the bench
+        print(f"streaming warmup skipped: {exc!r}", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        for d in tmp_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
     timings = _run_registry(spark, sf_dir)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
