@@ -641,6 +641,7 @@ def main() -> None:
         return d
 
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    queries: list = []
     try:
         src_dir = _tmp("sb_warm_src_")
         spark.range(0, 4, 1, 1).withColumn(
@@ -706,14 +707,32 @@ def main() -> None:
         # drain alone measured 20 s, at 2 it is ~4 s. Restored before any
         # timed query runs.
         spark.conf.set("spark.sql.shuffle.partitions", "2")
+        # Track every query the instant it starts so the finally block
+        # can stop stragglers even when a later start() or an
+        # awaitTermination raises — otherwise leaked queries keep
+        # running while their source/checkpoint dirs are rmtree'd.
+        def _start(w):
+            q = w()
+            queries.append(q)
+            return q
+
         with ThreadPoolExecutor(max_workers=4) as pool:
-            queries = list(pool.map(lambda w: w(), (w_stateless, w_agg, w_state, w_join)))
+            list(pool.map(_start, (w_stateless, w_agg, w_state, w_join)))
+        # One shared deadline across all four drains (not 120 s each):
+        # a hung warmup may cost at most ~60 s before the timed loop.
+        deadline = time.monotonic() + 60.0
         for q in queries:
-            if not q.awaitTermination(120):
+            if not q.awaitTermination(max(1.0, deadline - time.monotonic())):
                 q.stop()
     except Exception as exc:  # warmup must never kill the bench
         print(f"streaming warmup skipped: {exc!r}", file=sys.stderr)
     finally:
+        for q in queries:
+            try:
+                if q.isActive:
+                    q.stop()
+            except Exception:
+                pass
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         for d in tmp_dirs:
             shutil.rmtree(d, ignore_errors=True)
