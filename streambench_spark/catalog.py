@@ -9,6 +9,7 @@ root and partition pruning applies (nothing here assumes single files).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,7 +69,34 @@ def _normalize_events_ts(df: DataFrame) -> DataFrame:
 # memoized: a file appended inside a partition subdir does not touch the
 # top-level mtime, so the key could go stale — and the bench's dir
 # tables are freshly-written temp dirs that would never hit the cache.
-_SCHEMA_MEMO: dict[tuple, object] = {}
+class _LRUMemo(OrderedDict):
+    """Bounded LRU dict: the memos hold a handful of entries per bench
+    run (~10 tables x a few SF dirs), but a long-lived session loading
+    thousands of distinct paths must not grow them without bound —
+    schema/plan objects pin JVM-side references. Eviction order is
+    least-recently-USED (gets refresh recency), so the working set of a
+    looping workload always stays resident."""
+
+    def __init__(self, maxsize: int = 256) -> None:
+        super().__init__()
+        self._maxsize = maxsize
+
+    def get(self, key, default=None):
+        try:
+            value = super().__getitem__(key)
+        except KeyError:
+            return default
+        self.move_to_end(key)
+        return value
+
+    def __setitem__(self, key, value) -> None:
+        super().__setitem__(key, value)
+        self.move_to_end(key)
+        while len(self) > self._maxsize:
+            self.popitem(last=False)
+
+
+_SCHEMA_MEMO: _LRUMemo = _LRUMemo()
 
 
 def _memoized_file_schema(spark: SparkSession, path: str):
@@ -92,7 +120,7 @@ def _memoized_file_schema(spark: SparkSession, path: str):
 # does, and every execution still scans the parquet files afresh (plan
 # caching, never row caching). Keyed on applicationId so a stopped /
 # restarted session can never see a plan bound to a dead JVM session.
-_DF_MEMO: dict[tuple, DataFrame] = {}
+_DF_MEMO: _LRUMemo = _LRUMemo()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
