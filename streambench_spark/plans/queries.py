@@ -447,7 +447,13 @@ def q_interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r.event_id").alias("purchase_id"),
         F.col("l.user_id").alias("user_id"),
     )
-    return run_append_to_parquet(spark, joined, state_partitions=8)
+    # INNER join: every match emits on the data batch where both rows
+    # are present; the trailing no-data batch only evicts state and
+    # emits nothing (r16 measured it at 1.2-1.6 s of pure state-store
+    # commit cycle) — skip it. The outer-join twins MUST keep it: their
+    # null-padded rows emit exactly when the watermark closes a band.
+    return run_append_to_parquet(spark, joined, state_partitions=8,
+                                 final_no_data_batch=False)
 
 
 @register(

@@ -77,6 +77,38 @@ def start_query(
 
 
 @contextmanager
+def _pinned_no_data_batch(spark: SparkSession, enabled: bool):
+    """Temporarily disable the trailing no-data micro-batch for a bounded
+    drain whose final watermark batch is PROVABLY emission-free.
+
+    availableNow runs one extra data-less batch after the input drains so
+    the advanced watermark can finalize state (emit closed windows /
+    outer-join nulls, evict state). Operators whose emissions all happen
+    on DATA batches — inner stream-stream joins (matches emit when both
+    rows are present; the watermark bounds state, not emission) and
+    dropDuplicates[WithinWatermark] (first occurrence emits immediately;
+    eviction emits nothing) — pay that batch's full per-partition
+    state-store commit cycle (measured 1.2-1.6 s on the sf0.1 interval
+    joins) for zero output rows. Callers assert that property by passing
+    final_no_data_batch=False; anything watermark-FINALIZED (append-mode
+    aggregates, outer joins) must keep the default. Restored after the
+    run, so surrounding queries are unaffected."""
+    if enabled:
+        yield
+        return
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+@contextmanager
 def _pinned_state_partitions(spark: SparkSession, n: int | None):
     """Temporarily pin spark.sql.shuffle.partitions for a bounded
     streaming run. A stateful query's state-store count is fixed at the
@@ -152,14 +184,21 @@ def run_append_to_parquet(
     out: DataFrame,
     timeout_s: int = 300,
     state_partitions: int | None = None,
+    final_no_data_batch: bool = True,
 ) -> DataFrame:
     """Drain a streaming DataFrame availableNow in append mode to a
     parquet file sink and return the files as a batch DataFrame — the
     scale-correct streaming shape (bounded state, nothing collected to
     the driver); raises on timeout so a partial drain never masquerades
-    as the final result."""
+    as the final result.
+
+    ``final_no_data_batch=False`` skips the trailing watermark-finalize
+    micro-batch — ONLY for plans whose emissions all happen on data
+    batches (see _pinned_no_data_batch); append-mode aggregates and
+    outer joins must keep the default."""
     path = tempfile.mkdtemp(prefix="sb_append_out_")
-    with _pinned_state_partitions(spark, state_partitions):
+    with _pinned_state_partitions(spark, state_partitions), \
+            _pinned_no_data_batch(spark, final_no_data_batch):
         q = start_query(out, fmt="parquet", mode="append", available_now=True,
                         options={"path": path})
         if not q.awaitTermination(timeout_s):
