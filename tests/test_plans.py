@@ -240,10 +240,17 @@ def test_triangles_node_keyed_no_forced_broadcast(spark):
 
 
 def test_pagerank_round_is_one_join_one_aggregate(spark):
-    """One PageRank round (uncheckpointed lineage) is exactly the
-    documented shape: the edge join + the contribution aggregate + the
-    node-sized rank rebuild — 4 exchanges total, every one keyed on a
-    node id, nothing hint-broadcast (operators/graph.py:pagerank_exact)."""
+    """One PageRank round (uncheckpointed lineage), both strategies
+    (operators/graph.py:pagerank_exact, r16):
+
+    - node count under broadcast_max_nodes: the node-sized rank frame is
+      hint-broadcast into the edge join and the rank rebuild — exactly
+      TWO BroadcastExchange and ONE shuffle (the contribution
+      aggregate, keyed on the node id) per round; the edge list is
+      never shuffled by the join.
+    - guard fallback (broadcast_max_nodes=0 — the 100 TB posture when
+      the node set can't broadcast): the original shape, 4 shuffle
+      exchanges, nothing hint-broadcast, every key a node id."""
     import pyspark.sql.functions as F
 
     from streambench_spark.catalog import load_table
@@ -266,12 +273,24 @@ def test_pagerank_round_is_one_join_one_aggregate(spark):
         plan = spark._sc._jvm.PythonSQLUtils.explainString(
             pr._jdf.queryExecution(), "formatted"
         )
+        pr_fb = pagerank_exact(edges, iterations=1, edges_distinct=True,
+                               checkpoint=False, broadcast_max_nodes=0)
+        plan_fb = spark._sc._jvm.PythonSQLUtils.explainString(
+            pr_fb._jdf.queryExecution(), "formatted"
+        )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert plan.count("BroadcastExchange (") == 0
-    assert plan.count("Exchange (") == 4
+    # broadcast path: 2 broadcasts, 1 true shuffle (count("Exchange (")
+    # includes BroadcastExchange as a substring match)
+    assert plan.count("BroadcastExchange (") == 2
+    assert plan.count("Exchange (") - plan.count("BroadcastExchange (") == 1
     keys = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan))
-    assert keys <= {"a", "b"}, keys
+    assert keys <= {"b"}, keys
+    # guard fallback: the pre-r16 SMJ shape, unchanged
+    assert plan_fb.count("BroadcastExchange (") == 0
+    assert plan_fb.count("Exchange (") == 4
+    keys_fb = set(re.findall(r"Arguments: hashpartitioning\((\w+)#", plan_fb))
+    assert keys_fb <= {"a", "b"}, keys_fb
 
 
 def test_exchange_reuse_for_shared_aggregate(spark):
