@@ -79,6 +79,40 @@ def test_skip_no_data_batch_preserves_drain_results(spark, tmp_path):
         assert with_batch == without and len(with_batch) > 0
 
 
+def test_paced_drain_floor_derivation_inputs(spark):
+    """r16 floor derivation pin for the paced-drain family
+    (ysb_paced_files_drain / ysb_trigger_early_fire / cms_streaming_merge):
+    their wall time is N_batches x the per-batch micro-batch machinery
+    cycle (engine trigger + foreachBatch job + commit), where N_batches
+    is EXACTLY ceil(n_files / maxFilesPerTrigger) data batches — pinned
+    here so the declared pacing can't silently drift (a floor claim over
+    8 batches is void if the source drains in one). The r16 measurement:
+    a trivial passthrough drain under identical pacing costs within
+    ~1-2 s of the real drains at sf0.1 (plans/r16/paced_floor.json), so
+    the family is at the machinery floor of its declared semantics."""
+    import tempfile
+
+    from streambench_spark.sources.replay import stream_table_multifile
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream = stream_table_multifile(spark, sf_dir, "events", n_files=4,
+                                    max_files_per_trigger=1)
+    seen: list[int] = []
+
+    def handle(bdf, bid):
+        if bdf.count() > 0:
+            seen.append(bid)
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sb_ck_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(seen) == 4  # ceil(n_files / maxFilesPerTrigger)
+
+
 def test_no_data_batch_conf_restored(spark):
     """The pin must not leak into the session (other drains rely on the
     finalize batch)."""
