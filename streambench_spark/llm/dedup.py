@@ -287,7 +287,15 @@ def ngram_jaccard_pairs_capped(
     """
     from pyspark.sql import Window
 
-    sets = doc_shingle_sets(docs, n, text_col)
+    # The per-doc set frame feeds THREE differently-keyed consumers
+    # (the df-capped candidate join on h, and the verify joins on id_a
+    # and id_b). AQE exchange reuse dedups identical exchanges but the
+    # collect_set AGGREGATE above the doc_id exchange re-executes per
+    # consumer — the r16 triangles lesson. Materializing the bounded
+    # per-doc arrays once (one corpus-shingle pass in the block store)
+    # halves the query: 1.74 -> 0.85 s median over 5 interleaved reps at
+    # sf0.1, pairs identical (plans/r16/neardup_ab_evidence.json).
+    sets = doc_shingle_sets(docs, n, text_col).localCheckpoint(eager=True)
     posts = sets.select("doc_id", F.explode("hsh").alias("h"))
     # df-cap via a count window over the one shuffle-on-h the self-join
     # needs anyway (postings are distinct per doc, so count(*) per h IS
@@ -411,7 +419,12 @@ def minhash_lsh_pairs(
             "recall"
         )
     rows = num_hashes // bands
-    sets = doc_shingle_sets(docs, n, text_col, hash_mode=hash_mode)
+    # same three-consumer shape as ngram_jaccard_pairs_capped (posts ->
+    # signatures, verify a-side, verify b-side): checkpoint the bounded
+    # per-doc set arrays once — 1.23 -> 0.62 s median interleaved at
+    # sf0.1, pairs identical (r16).
+    sets = doc_shingle_sets(docs, n, text_col,
+                            hash_mode=hash_mode).localCheckpoint(eager=True)
     posts = sets.select("doc_id", F.explode("hsh").alias("h"))
     sig = minhash_signatures(docs, num_hashes, n, text_col, posts=posts,
                              hash_mode=hash_mode)
