@@ -2153,10 +2153,23 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ntile_from_rank(F.col("_rk"), F.col("_n"), 4).alias(alias),
         )
 
+    # The three rank passes are INDEPENDENT driver-paced job chains
+    # (each global_row_number runs a range sampler + an eager
+    # materialization) over the tiny checkpointed base — overlap them
+    # from a thread pool so one pass's stragglers back-fill the next
+    # (guide §2.6). Deterministic: each pass's total order is unchanged;
+    # r16 interleaved A/B 2.63 -> 1.91 s median, rows identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        q_r, q_f, q_m = pool.map(
+            lambda a: quartile(*a),
+            [("last_ms", "r"), ("frequency", "f"), ("monetary_cents", "m")],
+        )
     return (
-        base.join(quartile("last_ms", "r"), "user_id")
-        .join(quartile("frequency", "f"), "user_id")
-        .join(quartile("monetary_cents", "m"), "user_id")
+        base.join(q_r, "user_id")
+        .join(q_f, "user_id")
+        .join(q_m, "user_id")
         .select("user_id", "frequency", "monetary_cents", "r", "f", "m")
     )
 
