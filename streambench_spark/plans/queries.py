@@ -1068,58 +1068,58 @@ from streambench_spark.plans import tpch_queries  # noqa: E402, F401
 _DRIVER_EXCLUDED: frozenset[str] = frozenset({"events_partitioned_source"})
 
 _DRIVER_WINDOW: list[str] = [
-    # the 18 remaining r10-era proofs (stalest surviving in the ledger)
-    "revenue_pareto",
-    "revenue_share_by_type",
-    "rfm_segments",
-    "segment_linear_trend",
-    "session_bounce_rate",
-    "session_conversion_rate",
-    "session_type_affinity",
-    "session_windows",
-    "session_windows_streaming",
-    "snapshot_diff",
-    "table_checksums",
-    "top_event_paths",
-    "twap_value_per_user",
-    "user_activity_map",
-    "validate_events",
-    "value_autocorr",
-    "variant_json_extract",
-    "weighted_sample",
-    # 32 of the 50 r11-era proofs (alphabetical; the other 18 roll to r16)
-    "chi2_independence",
-    "chunk_docs",
-    "copurchase_pagerank",
-    "corpus_clean_pipeline",
-    "dataset_shuffle",
-    "dataset_split",
-    "decontaminate",
-    "doc_stats",
-    "embedding_lsh_multiprobe_topk",
-    "embedding_lsh_topk",
-    "event_transition_matrix",
-    "exact_dedup",
-    "full_outer_activity",
-    "lang_id",
-    "minhash_lsh_neardup",
-    "mixture_rate_sample",
-    "neardup_embedding_lsh",
-    "neardup_ngram_jaccard_capped",
-    "ohlc_hourly_bars",
-    "quality_filter",
-    "sliding_window_counts",
-    "sliding_window_streaming",
-    "source_vocab_overlap",
-    "span_dedup",
-    "split_ngram_coverage",
-    "stateful_running_counts",
-    "stateful_value_stats",
-    "streaming_dedup",
-    "streaming_dedup_within_watermark",
-    "tfidf_top_terms",
-    "timeseries_gapfill",
-    "token_counts",
+    # the 18 remaining r11-era proofs (stalest surviving in the ledger)
+    "token_dispersion",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "user_behavior_entropy",
+    "weekday_seasonality",
+    "weekly_revenue_growth",
+    "windowed_collect",
+    "windowed_distinct_users",
+    "windowed_global_sum",
+    "ysb",
+    "ysb_10s",
+    "ysb_streaming",
+    "ysb_streaming_append",
+    "zipf_slope",
+    # 32 of the 50 r12-era proofs (alphabetical; the rest roll to r17)
+    "analytic_rank_functions",
+    "asof_join_attribution",
+    "asof_join_cogrouped_attribution",
+    "audio_segment_plan",
+    "binary_features",
+    "bloom_decontaminate",
+    "bloom_join_prune",
+    "bpe_pair_counts",
+    "canonical_per_source",
+    "chunk_docs_overlap",
+    "cms_heavy_hitters",
+    "cms_streaming_merge",
+    "cohort_retention",
+    "compacted_events_source",
+    "contamination_scores",
+    "copurchase_triangles",
+    "corpus_stats",
+    "cube_order_priority_status",
+    "doc_fingerprint",
+    "edit_distance_neighbors",
+    "embedding_ivf_topk",
+    "embedding_quantize_int8",
+    "embedding_topk_cosine",
+    "events_csv_source",
+    "events_json_source",
+    "events_orc_source",
+    "events_schema_evolution_source",
+    "frame_sampling_plan",
+    "funnel_conversion",
+    "gopher_quality_rules",
+    "grep_docs",
+    "image_resize",
 ]
 
 # Rotation closed (r06). Re-verification proceeds oldest-proof-first;
